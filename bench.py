@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>, "docs_per_sec": ...}
+
+--scaling additionally runs the flagship pipeline at two parallelism
+levels (N and 4N cores, default 8 vs 32) on the same input and reports
+throughput at both plus efficiency = (T_N / T_4N) / 4 — the sandbox
+evidence for the >=0.8 N->4N scaling criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _flagship_synth(spark, n_docs: int, cores: int):
+    """North-star pipeline over the interleaved docs table at bench scale:
+    synth docs (JVM-side) -> derive geometry -> LidarTile -> PIP overlay tag
+    -> per-(tile, poly) aggregate. The testdata documents table is tiny
+    (500-5000 rows); the input-shape contract says the engine's table is
+    the interleaved docs table, synthesized deterministically at scale."""
+    from pyspark.sql import functions as F
+    from whitebox_tools_spark import derive
+    from whitebox_tools_spark.operators import tiling
+    from whitebox_tools_spark.operators.pip import tag_polygon
+    from whitebox_tools_spark.sources import vectors
+    from whitebox_tools_spark.sources.docs import synth_docs
+
+    docs = synth_docs(spark, n_docs, partitions=cores * 2)
+    geo = derive.with_geometry(docs, "doc_num")
+    tiled = tiling.lidar_tile(geo, min_points=2, extent=None)
+    tagged = tag_polygon(tiled, vectors.rect_layer())
+    return tagged.groupBy("tile", "poly_fid").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("z").alias("sum_z")
+    )
+
+
+def _run_suite(
+    sf_dir: str,
+    cores: int,
+    queries: list[str] | None = None,
+    n_bench_docs: int | None = None,
+) -> dict:
+    from whitebox_tools_spark.session import get_spark
+    from whitebox_tools_spark import api
+
+    spark = get_spark(cores=cores, shuffle_partitions=cores, app=f"bench-{cores}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = queries if queries is not None else list(api.QUERIES)
+    per_query: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name in names:
+        t0 = time.perf_counter()
+        df = api.QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+    total = time.perf_counter() - t_all
+
+    # flagship throughput (docs/sec) over the synth interleaved docs table
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = 0.1
+    n_docs = n_bench_docs or int(
+        os.environ.get("SPARK_GRAFT_BENCH_DOCS", int(2_000_000 * sf_num / 0.1))
+    )
+    t0 = time.perf_counter()
+    _flagship_synth(spark, n_docs, cores).write.format("noop").mode("overwrite").save()
+    flagship_sec = time.perf_counter() - t0
+
+    spark.stop()
+    return {
+        "total_sec": total,
+        "queries": per_query,
+        "n_docs": n_docs,
+        "flagship_sec": round(flagship_sec, 3),
+        "docs_per_sec": round(n_docs / flagship_sec, 1),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--scaling", action="store_true", help="run flagship at N and 4N cores")
+    ap.add_argument("--scaling-n", type=int, default=8)
+    ap.add_argument("--queries", nargs="*", default=None)
+    args = ap.parse_args()
+
+    sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    res = _run_suite(args.sf_dir, args.cores, args.queries)
+
+    out = {
+        "metric": "headline_suite_wall",
+        "value": round(res["total_sec"], 3),
+        "unit": "sec",
+        "queries": res["queries"],
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_docs": res["n_docs"],
+        "flagship_docs_per_sec": res["docs_per_sec"],
+        "cores": args.cores,
+    }
+
+    if args.scaling:
+        n = args.scaling_n
+        lo = _run_suite(args.sf_dir, n, [])
+        hi = _run_suite(args.sf_dir, 4 * n, [])
+        eff = (lo["flagship_sec"] / hi["flagship_sec"]) / 4.0
+        out["scaling"] = {
+            "n_cores": n,
+            "docs_per_sec_n": lo["docs_per_sec"],
+            "docs_per_sec_4n": hi["docs_per_sec"],
+            "efficiency": round(eff, 3),
+        }
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

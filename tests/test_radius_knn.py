@@ -1,0 +1,103 @@
+"""Radius & kNN join parity vs the FRS numpy oracle (incl. the reference's
+own pinned constellation, fixed_radius_search.rs:468-559)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from whitebox_tools_spark import derive
+from whitebox_tools_spark.kernels.frs import frs_knn_search, frs_radius_search
+from whitebox_tools_spark.operators.radius_join import knn_join, radius_join
+
+FRS_PTS = [
+    (1, 40.0, 32.0),
+    (2, 25.0, 65.0),
+    (3, 42.0, 35.0),
+    (4, 40.0, 31.0),
+    (5, 24.0, 68.0),
+]
+
+
+@pytest.fixture(scope="module")
+def frs_points(spark):
+    return spark.createDataFrame(FRS_PTS, "pid long, x double, y double")
+
+
+def test_radius_join_reference_constellation(spark, frs_points):
+    q = spark.createDataFrame([(0, 40.5, 31.5)], "qid long, x double, y double")
+    got = radius_join(frs_points, q, 0.75).select("pid_p", "dist").collect()
+    assert sorted((r["pid_p"], round(r["dist"], 12)) for r in got) == [
+        (1, round(0.7071067811865476, 12)),
+        (4, round(0.7071067811865476, 12)),
+    ]
+
+
+def test_knn_join_reference_constellation(spark, frs_points):
+    q = spark.createDataFrame([(0, 40.5, 31.5)], "qid long, x double, y double")
+    got = knn_join(frs_points, q, k=3, radius=0.75).select("pid_p", "dist").collect()
+    assert sorted((r["pid_p"], round(r["dist"], 12)) for r in got) == sorted(
+        [
+            (4, round(0.7071067811865476, 12)),
+            (1, round(0.7071067811865476, 12)),
+            (3, round(3.8078865529319543, 12)),
+        ]
+    )
+
+
+def test_radius_join_parity_random(spark):
+    n_pts, n_q, radius = 300, 40, 60.0
+    ids = np.arange(n_pts)
+    px, py = derive.np_coord(ids, "x"), derive.np_coord(ids, "y")
+    qids = np.arange(n_q) + 10_000
+    qx, qy = derive.np_coord(qids, "x"), derive.np_coord(qids, "y")
+
+    pts = spark.createDataFrame(
+        [(int(i), float(a), float(b)) for i, a, b in zip(ids, px, py)],
+        "pid long, x double, y double",
+    )
+    qs = spark.createDataFrame(
+        [(int(i), float(a), float(b)) for i, a, b in zip(qids, qx, qy)],
+        "qid long, x double, y double",
+    )
+    got = radius_join(pts, qs, radius).select("qid", "pid_p", "dist").collect()
+    got_set = {(r["qid"], r["pid_p"], round(r["dist"], 9)) for r in got}
+
+    expect = set()
+    for qi, qqx, qqy in zip(qids, qx, qy):
+        for v, d in frs_radius_search(px, py, ids, qqx, qqy, radius):
+            expect.add((int(qi), int(v), round(d, 9)))
+    assert got_set == expect
+    assert len(expect) > 50  # fixture dense enough to be meaningful
+
+
+def test_knn_join_parity_random(spark):
+    n_pts, n_q, k, radius = 200, 25, 5, 30.0
+    ids = np.arange(n_pts)
+    px, py = derive.np_coord(ids, "x"), derive.np_coord(ids, "y")
+    qids = np.arange(n_q) + 50_000
+    qx, qy = derive.np_coord(qids, "x"), derive.np_coord(qids, "y")
+
+    pts = spark.createDataFrame(
+        [(int(i), float(a), float(b)) for i, a, b in zip(ids, px, py)],
+        "pid long, x double, y double",
+    )
+    qs = spark.createDataFrame(
+        [(int(i), float(a), float(b)) for i, a, b in zip(qids, qx, qy)],
+        "qid long, x double, y double",
+    )
+    got = knn_join(pts, qs, k=k, radius=radius).select("qid", "pid_p", "dist").collect()
+
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append((r["pid_p"], round(r["dist"], 9)))
+
+    for qi, qqx, qqy in zip(qids, qx, qy):
+        expect = frs_knn_search(px, py, ids, qqx, qqy, k, radius)
+        exp = sorted((int(v), round(d, 9)) for v, d in expect)
+        assert sorted(by_q.get(int(qi), [])) == exp, int(qi)
+
+
+def test_knn_k_exceeds_population(spark, frs_points):
+    q = spark.createDataFrame([(0, 40.5, 31.5)], "qid long, x double, y double")
+    got = knn_join(frs_points, q, k=50, radius=0.75).collect()
+    assert len(got) == 5

@@ -1,0 +1,252 @@
+"""Fixed-radius and kNN neighbour joins (the FRS contract as Spark joins).
+
+Parity contracts (src/structures/fixed_radius_search.rs):
+- radius join (:100-133): result = all (query, point) pairs with
+  dist^2 <= radius^2 (inclusive), found via bucket = radius/2 + 5x5 probe;
+- kNN join (:134-218): shell expansion from the 3x3 block, stop at the
+  first chebyshev shell where the CUMULATIVE candidate count reaches k,
+  answer = k smallest distances among candidates seen so far (approximate
+  by design — we replicate the stopping rule exactly);
+- Euclidean metric reports sqrt(d2), Squared reports d2.
+
+Scale design:
+- radius join: one explode (25x on the QUERY side only) + one hash
+  equi-join on the packed cell key. The explode happens before the
+  exchange so Catalyst sees a plain equi-join; AQE skew-join splits hot
+  cells at runtime.
+- knn join ('stats' strategy, default): the per-cell count table (tiny —
+  one row per OCCUPIED cell, it is the spatial histogram, not the data) is
+  collected and broadcast; a vectorized pandas UDF replays the reference's
+  ring expansion against the histogram to find each query's stop shell and
+  emits exactly the non-empty candidate cells (pruning empty cells cuts
+  the subsequent join fan-out massively in sparse regions). Then ONE hash
+  join + window top-k. Two shuffles, zero driver iteration, independent of
+  how many shells any query needs.
+- knn join ('loop' strategy): bounded driver loop joining only unfilled
+  queries per shell — for when the cell histogram itself is too large to
+  broadcast (extremely fine radius at extreme scale). Same semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from whitebox_tools_spark.operators.cells import (
+    MASK32,
+    explode_neighbors,
+    ring_cells,
+    with_cell,
+)
+
+
+def _d2_mul(x: str, y: str):
+    """Squared distance via explicit self-multiplication (NOT pow): keeps
+    the arithmetic bit-identical with the numpy and DuckDB oracles."""
+    dx = F.col(x) - F.col(f"{x}_p")
+    dy = F.col(y) - F.col(f"{y}_p")
+    return dx * dx + dy * dy
+
+
+def _prep_points(points: DataFrame, radius: float, x: str, y: str) -> DataFrame:
+    pts = with_cell(points, radius, x, y, prefix="pcell")
+    # suffix every point column with _p to avoid collisions with the query side
+    return pts.select(
+        [F.col(c).alias(f"{c}_p") for c in points.columns]
+        + [F.col("pcell_key").alias("cell_key_p")]
+    )
+
+
+def radius_join(
+    points: DataFrame,
+    queries: DataFrame,
+    radius: float,
+    x: str = "x",
+    y: str = "y",
+    squared: bool = False,
+) -> DataFrame:
+    """All (query, point) pairs within ``radius``.
+
+    Output: all query columns + point columns suffixed ``_p`` + ``dist``.
+    """
+    pts = _prep_points(points, radius, x, y)
+    q = with_cell(queries, radius, x, y, prefix="qcell")
+    probe = explode_neighbors(q, steps=2, prefix="qcell").drop(
+        "qcell_i", "qcell_j", "qcell_key"
+    )
+    joined = probe.join(pts, probe.probe_key == pts.cell_key_p, "inner").drop(
+        "probe_key", "cell_key_p"
+    )
+    d2 = _d2_mul(x, y)
+    out = joined.where(d2 <= F.lit(radius * radius))
+    dist = d2 if squared else F.sqrt(d2)
+    return out.withColumn("dist", dist)
+
+
+def _cell_histogram(points: DataFrame, radius: float, x: str, y: str) -> dict[int, int]:
+    counts = (
+        with_cell(points, radius, x, y, prefix="c")
+        .groupBy("c_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return {r["c_key"]: r["n"] for r in counts}
+
+
+def _stop_shell_and_cells(hist: dict[int, int], qi: int, qj: int, k: int):
+    """Replay fixed_radius_search.rs:134-218 against the cell histogram:
+    expand shells until cumulative count >= k; return candidate cell keys
+    (non-empty only)."""
+    cells: list[int] = []
+    total = 0
+    # 3x3 start block (shell <= 1)
+    for di in (-1, 0, 1):
+        for dj in (-1, 1, 0):
+            key = ((qi + di) << 32) | ((qj + dj) & MASK32)
+            n = hist.get(key)
+            if n:
+                cells.append(key)
+                total += n
+    shell = 2
+    # bound: expand at most until every occupied cell would be covered
+    max_needed = len(hist)
+    seen_cells = len(cells)
+    while total < k and seen_cells < max_needed:
+        s = shell
+        for di in range(-s, s + 1):
+            for dj in range(-s, s + 1):
+                if abs(di) == s or abs(dj) == s:
+                    key = ((qi + di) << 32) | ((qj + dj) & MASK32)
+                    n = hist.get(key)
+                    if n:
+                        cells.append(key)
+                        total += n
+        seen_cells = len(cells)
+        shell += 1
+        if shell > 1 << 20:  # safety bound
+            break
+    return cells
+
+
+def knn_join(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    radius: float,
+    query_id: str = "qid",
+    x: str = "x",
+    y: str = "y",
+    squared: bool = False,
+    strategy: str = "stats",
+) -> DataFrame:
+    """Approximate kNN join with the reference's shell-stop semantics.
+
+    Output: query columns + point columns (``_p``) + ``dist`` + ``knn_rank``
+    (1..k by ascending distance; reference tie order — cell probe order —
+    is replaced by a deterministic (d2, x_p, y_p) sort; compare
+    order-insensitively).
+    """
+    if strategy == "loop":
+        return _knn_join_loop(points, queries, k, radius, query_id, x, y, squared)
+
+    spark = points.sparkSession
+    hist = _cell_histogram(points, radius, x, y)
+    bc = spark.sparkContext.broadcast(hist)
+    inv_r = 1.0 / (radius * 0.5)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def candidate_cells(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        h = bc.value
+        qi = np.floor(xs.to_numpy(dtype=np.float64) * inv_r).astype(np.int64)
+        qj = np.floor(ys.to_numpy(dtype=np.float64) * inv_r).astype(np.int64)
+        return pd.Series(
+            [_stop_shell_and_cells(h, int(a), int(b), k) for a, b in zip(qi, qj)]
+        )
+
+    pts = _prep_points(points, radius, x, y)
+    q = queries.withColumn("_cand", candidate_cells(F.col(x), F.col(y)))
+    probe = q.select("*", F.explode("_cand").alias("probe_key")).drop("_cand")
+    joined = probe.join(pts, probe.probe_key == pts.cell_key_p, "inner").drop(
+        "probe_key", "cell_key_p"
+    )
+    d2 = _d2_mul(x, y)
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("_d2").asc(), F.col(f"{x}_p"), F.col(f"{y}_p")
+    )
+    ranked = (
+        joined.withColumn("_d2", d2)
+        .withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= k)
+    )
+    dist = F.col("_d2") if squared else F.sqrt(F.col("_d2"))
+    return ranked.withColumn("dist", dist).drop("_d2")
+
+
+def _knn_join_loop(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    radius: float,
+    query_id: str,
+    x: str,
+    y: str,
+    squared: bool,
+) -> DataFrame:
+    """Driver-loop kNN (for when the cell histogram can't broadcast)."""
+    pts = _prep_points(points, radius, x, y)
+    ext = with_cell(points, radius, x, y, prefix="c").agg(
+        F.min("c_i"), F.max("c_i"), F.min("c_j"), F.max("c_j")
+    ).collect()[0]
+    max_shell = (
+        1 if ext[0] is None else int(max(ext[1] - ext[0], ext[3] - ext[2]) + 2)
+    )
+
+    q = with_cell(queries, radius, x, y, prefix="qcell")
+    unfilled = q
+    acc: DataFrame | None = None
+    done_parts: list[DataFrame] = []
+    d2_expr = _d2_mul(x, y)
+
+    for shell in range(1, max_shell + 1):
+        if shell == 1:
+            probe = explode_neighbors(unfilled, steps=1, prefix="qcell")
+        else:
+            probe = ring_cells(unfilled, shell, prefix="qcell")
+        cand = (
+            probe.join(pts, probe.probe_key == pts.cell_key_p, "inner")
+            .drop("probe_key", "cell_key_p")
+            .withColumn("_d2", d2_expr)
+        )
+        acc = cand if acc is None else acc.unionByName(cand)
+        acc = acc.localCheckpoint(eager=True)
+
+        counts = acc.groupBy(query_id).agg(F.count(F.lit(1)).alias("_n"))
+        filled_ids = counts.where(F.col("_n") >= k).select(query_id)
+        remaining = unfilled.join(filled_ids, query_id, "left_anti").localCheckpoint(
+            eager=True
+        )
+        done_parts.append(acc.join(F.broadcast(filled_ids), query_id, "left_semi"))
+        if remaining.limit(1).count() == 0:
+            break
+        if shell == max_shell:
+            done_parts.append(acc.join(filled_ids, query_id, "left_anti"))
+            break
+        acc = acc.join(filled_ids, query_id, "left_anti")
+        unfilled = remaining
+
+    result = done_parts[0]
+    for part in done_parts[1:]:
+        result = result.unionByName(part)
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("_d2").asc(), F.col(f"{x}_p"), F.col(f"{y}_p")
+    )
+    ranked = result.withColumn("knn_rank", F.row_number().over(w)).where(
+        F.col("knn_rank") <= k
+    )
+    dist = F.col("_d2") if squared else F.sqrt(F.col("_d2"))
+    return ranked.withColumn("dist", dist).drop(
+        "_d2", "qcell_i", "qcell_j", "qcell_key"
+    )

@@ -1,0 +1,156 @@
+"""Polygon fixture layers.
+
+A polygon *layer* is represented two ways, kept in sync:
+- engine form: a small Python list of features (numpy rings + hole flags +
+  attrs), broadcast to executors for the PIP UDFs (mirrors the reference,
+  which always holds the whole clip shapefile in memory,
+  src/tools/gis_analysis/clip.rs Shapefile::read); and
+- relational form: a DataFrame (fid, part, is_hole, xs, ys, bbox, attrs)
+  for SQL-side uses.
+
+Hole convention: a part is a hole iff its ring is counter-clockwise
+(src/vector/shapefile/geometry.rs:305+); builders below orient rings
+accordingly (CW shells, CCW holes, y-up frame).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class PolygonFeature:
+    fid: int
+    rings: list  # list[np.ndarray (n,2) closed]
+    holes: list  # list[bool]
+    attrs: dict = field(default_factory=dict)
+
+    @property
+    def bbox(self):
+        allp = np.vstack(self.rings)
+        return (
+            float(allp[:, 0].min()),
+            float(allp[:, 1].min()),
+            float(allp[:, 0].max()),
+            float(allp[:, 1].max()),
+        )
+
+
+def rect_ring(xmin: float, ymin: float, xmax: float, ymax: float, hole: bool = False) -> np.ndarray:
+    """Closed axis-aligned ring; CW for shells, CCW for holes (y-up)."""
+    shell = [
+        [xmin, ymin],
+        [xmin, ymax],
+        [xmax, ymax],
+        [xmax, ymin],
+        [xmin, ymin],
+    ]
+    ring = np.array(shell, dtype=np.float64)
+    return ring[::-1].copy() if hole else ring
+
+
+def rect_feature(fid: int, xmin, ymin, xmax, ymax, hole=None, **attrs) -> PolygonFeature:
+    rings = [rect_ring(xmin, ymin, xmax, ymax)]
+    holes = [False]
+    if hole is not None:
+        rings.append(rect_ring(*hole, hole=True))
+        holes.append(True)
+    return PolygonFeature(fid=fid, rings=rings, holes=holes, attrs=attrs)
+
+
+# ------------------------------------------------------------ fixture layers
+
+# Oracle-friendly layer: axis-aligned rects (+ one hole) over the [0,1000)^2
+# derived-coordinate domain. PIP for these under the reference's winding
+# arithmetic is exactly the half-open box test (see tests/test_kernels.py
+# TestPointInPoly), so a DuckDB oracle can express the join in pure SQL.
+RECT_SPECS = [
+    # fid, xmin, ymin, xmax, ymax, hole(xmin,ymin,xmax,ymax) or None
+    (1, 100.0, 100.0, 400.0, 350.0, None),
+    (2, 500.0, 450.0, 800.0, 900.0, (600.0, 550.0, 700.0, 700.0)),
+    (3, 50.0, 600.0, 300.0, 950.0, None),
+]
+
+
+def rect_layer() -> list[PolygonFeature]:
+    return [
+        rect_feature(fid, xmin, ymin, xmax, ymax, hole=hole, zone=fid)
+        for fid, xmin, ymin, xmax, ymax, hole in RECT_SPECS
+    ]
+
+
+def rect_layer_sql_predicate(x: str = "x", y: str = "y") -> str:
+    """DuckDB predicate equivalent to membership in any rect_layer feature."""
+    terms = []
+    for _, xmin, ymin, xmax, ymax, hole in RECT_SPECS:
+        t = f"({x} >= {xmin} AND {x} < {xmax} AND {y} >= {ymin} AND {y} < {ymax})"
+        if hole:
+            hx0, hy0, hx1, hy1 = hole
+            t = (
+                f"({t} AND NOT ({x} >= {hx0} AND {x} < {hx1} "
+                f"AND {y} >= {hy0} AND {y} < {hy1}))"
+            )
+        terms.append(t)
+    return "(" + " OR ".join(terms) + ")"
+
+
+def rect_layer_fid_case(x: str = "x", y: str = "y") -> str:
+    """DuckDB CASE returning the LAST matching feature fid (last-wins order).
+
+    Features are disjoint in this fixture, so last-wins == only-match; the
+    CASE enumerates in reverse layer order to mirror clip.rs last-hit-wins.
+    """
+    whens = []
+    for fid, xmin, ymin, xmax, ymax, hole in reversed(RECT_SPECS):
+        t = f"({x} >= {xmin} AND {x} < {xmax} AND {y} >= {ymin} AND {y} < {ymax})"
+        if hole:
+            hx0, hy0, hx1, hy1 = hole
+            t = (
+                f"({t} AND NOT ({x} >= {hx0} AND {x} < {hx1} "
+                f"AND {y} >= {hy0} AND {y} < {hy1}))"
+            )
+        whens.append(f"WHEN {t} THEN {fid}")
+    return "CASE " + " ".join(whens) + " ELSE NULL END"
+
+
+def exotic_layer() -> list[PolygonFeature]:
+    """Hand-made hard cases for pytest parity (concave, bowtie, multipart)."""
+    c_poly = np.array(
+        [[0, 0], [0, 30], [30, 30], [30, 20], [10, 20], [10, 10], [30, 10], [30, 0], [0, 0]],
+        dtype=np.float64,
+    )
+    bow = np.array([[50, 50], [70, 70], [70, 50], [50, 70], [50, 50]], dtype=np.float64)
+    multi_a = rect_ring(100, 0, 120, 20)
+    multi_b = rect_ring(140, 0, 160, 20)
+    multi_b_hole = rect_ring(145, 5, 155, 15, hole=True)
+    return [
+        PolygonFeature(1, [c_poly], [False], {"name": "cshape"}),
+        PolygonFeature(2, [bow], [False], {"name": "bowtie"}),
+        PolygonFeature(
+            3, [multi_a, multi_b, multi_b_hole], [False, False, True], {"name": "multi"}
+        ),
+    ]
+
+
+def layer_to_rows(layer: list[PolygonFeature]) -> list[dict]:
+    """Relational form: one row per part."""
+    rows = []
+    for feat in layer:
+        for part_num, (ring, hole) in enumerate(zip(feat.rings, feat.holes)):
+            rows.append(
+                dict(
+                    fid=feat.fid,
+                    part=part_num,
+                    is_hole=bool(hole),
+                    xs=[float(v) for v in ring[:, 0]],
+                    ys=[float(v) for v in ring[:, 1]],
+                    xmin=float(ring[:, 0].min()),
+                    ymin=float(ring[:, 1].min()),
+                    xmax=float(ring[:, 0].max()),
+                    ymax=float(ring[:, 1].max()),
+                    **feat.attrs,
+                )
+            )
+    return rows
