@@ -140,6 +140,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_join": q_knn_join,
 }
 
+# family catalogs merged at import (each module pairs QUERIES + ORACLE_SQL)
+from whitebox_tools_spark import catalog_grid as _cat_grid  # noqa: E402
+
+QUERIES.update(_cat_grid.QUERIES)
+
 
 # ------------------------------------------------------------- oracle SQL
 
@@ -222,6 +227,8 @@ SELECT doc_id, CAST({vectors.rect_layer_fid_case()} AS BIGINT) AS poly_fid FROM 
     "radius_join": _oracle_radius(),
     "knn_join": _oracle_knn(),
 }
+
+ORACLE_SQL.update(_cat_grid.ORACLE_SQL)
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
