@@ -26,15 +26,19 @@ def duck():
 
 
 def _canon(val):
+    """Sortable, type-canonical wrapper: (rank, value). Nulls and NaNs get
+    their own ranks so mixed None/float columns still sort."""
     if val is None:
-        return None
+        return (0, 0)
     if isinstance(val, float):
         if math.isnan(val):
-            return "nan"
-        return float(val)
+            return (1, 0)
+        return (2, float(val))
+    if isinstance(val, bool):
+        return (2, float(val))
     if isinstance(val, int):
-        return float(val)
-    return val
+        return (2, float(val))
+    return (3, str(val))
 
 
 def _canon_rows(rows, cols):

@@ -142,8 +142,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # family catalogs merged at import (each module pairs QUERIES + ORACLE_SQL)
 from whitebox_tools_spark import catalog_grid as _cat_grid  # noqa: E402
+from whitebox_tools_spark import catalog_focal as _cat_focal  # noqa: E402
+from whitebox_tools_spark import catalog_zonal as _cat_zonal  # noqa: E402
+from whitebox_tools_spark import catalog_attr as _cat_attr  # noqa: E402
 
 QUERIES.update(_cat_grid.QUERIES)
+QUERIES.update(_cat_focal.QUERIES)
+QUERIES.update(_cat_zonal.QUERIES)
+QUERIES.update(_cat_attr.QUERIES)
 
 
 # ------------------------------------------------------------- oracle SQL
@@ -229,6 +235,9 @@ SELECT doc_id, CAST({vectors.rect_layer_fid_case()} AS BIGINT) AS poly_fid FROM 
 }
 
 ORACLE_SQL.update(_cat_grid.ORACLE_SQL)
+ORACLE_SQL.update(_cat_focal.ORACLE_SQL)
+ORACLE_SQL.update(_cat_zonal.ORACLE_SQL)
+ORACLE_SQL.update(_cat_attr.ORACLE_SQL)
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
