@@ -1,0 +1,90 @@
+"""Snapshot-checkpoint resume, lineage, metrics, --py-files packaging."""
+
+import os
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+from whitebox_tools_spark import derive
+from whitebox_tools_spark.checkpoint import Pipeline, Stage, build_pyfiles_zip
+from whitebox_tools_spark.operators import tiling
+from whitebox_tools_spark.sources.tables import documents
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _stages():
+    def s_derive(spark, inputs):
+        return derive.with_geometry(documents(spark, SF_DIR), "doc_id").select(
+            "doc_id", "x", "y", "z"
+        )
+
+    def s_tile(spark, inputs):
+        return tiling.lidar_tile(inputs["derive"], min_points=2)
+
+    return [
+        Stage("derive", s_derive, inputs=[], key_cols=["doc_id"]),
+        Stage("tile", s_tile, inputs=["derive"], key_cols=["doc_id", "tile"]),
+    ]
+
+
+class TestPipelineResume:
+    def test_run_resume_invalidate(self, spark, tmp_path):
+        root = str(tmp_path / "ckpt")
+        p = Pipeline(root, _stages())
+
+        out1, executed1 = p.run(spark)
+        assert executed1 == ["derive", "tile"]
+        n1 = out1.count()
+
+        # full resume: nothing recomputes
+        out2, executed2 = p.run(spark)
+        assert executed2 == []
+        assert out2.count() == n1
+
+        # version bump on the first stage invalidates everything downstream
+        stages = _stages()
+        stages[0].version = "2"
+        p3 = Pipeline(root, stages)
+        _out3, executed3 = p3.run(spark)
+        assert executed3 == ["derive", "tile"]
+
+        # bumping only the last stage recomputes only it
+        stages = _stages()
+        stages[0].version = "2"
+        stages[1].version = "2"
+        p4 = Pipeline(root, stages)
+        _out4, executed4 = p4.run(spark)
+        assert executed4 == ["tile"]
+
+    def test_lineage_and_metrics(self, spark, tmp_path):
+        root = str(tmp_path / "ckpt2")
+        p = Pipeline(root, _stages())
+        out, _ = p.run(spark)
+
+        lin = p.lineage()
+        assert [e["stage"] for e in lin] == ["derive", "tile"]
+        assert lin[1]["inputs"]["derive"] == lin[0]["fingerprint"]
+        assert lin[1]["rows"] == out.count()
+
+        m = p.metrics(spark, "tile")
+        assert m.agg(F.sum("rows")).collect()[0][0] == out.count()
+        assert {"partition_id", "rows", "min_doc_id", "max_doc_id", "min_tile", "max_tile"} <= set(
+            m.columns
+        )
+
+
+class TestPackaging:
+    def test_pyfiles_zip_importable(self, tmp_path):
+        zp = build_pyfiles_zip(str(tmp_path / "pkg.zip"))
+        assert os.path.exists(zp)
+        code = (
+            "import sys; sys.path.insert(0, sys.argv[1]); "
+            "import whitebox_tools_spark.api as a; "
+            "print(len(a.QUERIES))"
+        )
+        r = subprocess.run(
+            [sys.executable, "-c", code, zp], capture_output=True, text=True, check=True
+        )
+        assert int(r.stdout.strip()) > 30

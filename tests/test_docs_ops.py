@@ -1,0 +1,120 @@
+"""Training-data ops: LSH ANN recall vs brute force, media decode
+plumbing, near-dup pipelines on synthetic near-duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from whitebox_tools_spark.operators import ann, media
+from whitebox_tools_spark.operators import text as tx
+from whitebox_tools_spark.sources.tables import documents, load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestAnn:
+    def test_lsh_recall_vs_brute_force(self, spark):
+        emb = load(spark, SF_DIR, "embeddings").cache()
+        queries = emb.where(F.pmod("vec_id", F.lit(10)) == 0).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        bf = ann.brute_force_topk(emb, queries, k=5)
+        ls = ann.lsh_topk(emb, queries, k=5)
+        truth = {(r["qid"], r["vec_id"]) for r in bf.collect()}
+        approx = {(r["qid"], r["vec_id"]) for r in ls.collect()}
+        recall = len(truth & approx) / len(truth)
+        # random 64-dim embeddings are a worst case for LSH; the point is
+        # the pipeline shape — just require meaningful overlap
+        assert recall >= 0.2, f"LSH recall {recall}"
+
+    def test_brute_force_topk_shape(self, spark):
+        emb = load(spark, SF_DIR, "embeddings")
+        queries = emb.limit(3).select(F.col("vec_id").alias("qid"), "embedding")
+        out = ann.brute_force_topk(emb, queries, k=4).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["qid"], []).append(r)
+        for q, rows in by_q.items():
+            assert len(rows) == 4
+            ranks = sorted(r["rank"] for r in rows)
+            assert ranks == [1, 2, 3, 4]
+            coss = [r["cos"] for r in sorted(rows, key=lambda r: r["rank"])]
+            assert coss == sorted(coss, reverse=True)
+            assert all(r["vec_id"] != q for r in rows)
+
+    def test_embedding_near_dup_finds_planted_dup(self, spark):
+        emb = load(spark, SF_DIR, "embeddings")
+        # plant a near-duplicate of vec 0 with id 100000
+        dup = emb.where(F.col("vec_id") == 0).select(
+            F.lit(100000).cast("long").alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(1.000001)).alias("embedding"),
+            F.col("label"),
+        )
+        full = emb.unionByName(dup)
+        pairs = ann.embedding_near_dup_pairs(full, threshold=0.99)
+        got = {(r["a"], r["b"]) for r in pairs.collect()}
+        assert (0, 100000) in got
+
+
+class TestNearDupText:
+    def _with_dup(self, spark):
+        docs = documents(spark, SF_DIR)
+        # duplicate doc 0's text under a new id, tweak one token
+        dup = docs.where(F.col("doc_id") == 0).select(
+            F.lit(900000).cast("long").alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        return docs.unionByName(dup)
+
+    def test_minhash_finds_planted_near_dup(self, spark):
+        full = self._with_dup(spark)
+        pairs = tx.minhash_dedup_pairs(full, threshold=0.8)
+        got = {(r["a"], r["b"]) for r in pairs.collect()}
+        assert (0, 900000) in got
+
+    def test_simhash_planted_dup_close(self, spark):
+        full = self._with_dup(spark)
+        sig = {r["doc_id"]: r["simhash"] for r in tx.simhash(full).collect()}
+        ham = bin(sig[0] ^ sig[900000]).count("1")
+        assert ham <= 8
+
+    def test_exact_dedup_keeps_min_id(self, spark):
+        docs = documents(spark, SF_DIR)
+        dup = docs.where(F.col("doc_id") == 3).select(
+            F.lit(900001).cast("long").alias("doc_id"), "text", "lang", "source", "n_chars"
+        )
+        full = docs.unionByName(dup)
+        kept = {r["doc_id"] for r in tx.exact_dedup(full).collect()}
+        assert 3 in kept and 900001 not in kept
+
+
+class TestMedia:
+    def test_synth_and_decode(self, spark):
+        m = media.synth_media(documents(spark, SF_DIR))
+        feats = media.decode_features(m).collect()
+        assert len(feats) == documents(spark, SF_DIR).count()
+        by_id = {r["doc_id"]: r for r in feats}
+        for doc_id, r in by_id.items():
+            assert r["n_bytes"] == 16 * (doc_id % 7 + 1)
+            assert 0.0 <= r["mean_byte"] <= 255.0
+            assert 0.0 <= r["entropy8"] <= 3.0
+
+    def test_decode_deterministic(self, spark):
+        m = media.synth_media(documents(spark, SF_DIR))
+        a = sorted(map(tuple, media.decode_features(m).collect()))
+        b = sorted(map(tuple, media.decode_features(m).collect()))
+        assert a == b
+
+    def test_real_decoder_is_stub(self, spark):
+        m = media.synth_media(documents(spark, SF_DIR))
+        with pytest.raises(Exception):
+            media.decode_features(m, decoder="real").collect()
+
+    def test_frame_sample(self, spark):
+        m = media.synth_media(documents(spark, SF_DIR))
+        frames = media.frame_sample(m, every_n_bytes=16)
+        n = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in n:
+            assert r["n"] == (r["doc_id"] % 7) + 1  # 16*k bytes / 16

@@ -1,0 +1,32 @@
+"""Registry consistency: every 'exact' tool's catalog queries exist, and
+the registry covers exactly the reference's 424 registered tools."""
+
+from whitebox_tools_spark import api
+from whitebox_tools_spark.registry import TOOLS, coverage_summary
+
+
+def test_full_tool_count():
+    assert len(TOOLS) == 424
+
+
+def test_statuses_valid():
+    assert set(v["status"] for v in TOOLS.values()) <= {
+        "exact",
+        "engine",
+        "expr",
+        "deferred",
+    }
+
+
+def test_exact_tools_have_live_queries():
+    for name, meta in TOOLS.items():
+        if meta["status"] == "exact":
+            for q in meta["queries"].split(","):
+                assert q in api.QUERIES, f"{name}: query {q} not in catalog"
+                assert q in api.ORACLE_SQL, f"{name}: query {q} has no oracle"
+
+
+def test_coverage_floor():
+    s = coverage_summary()
+    assert s["exact"] >= 45
+    assert s["exact"] + s["engine"] + s["expr"] >= 170

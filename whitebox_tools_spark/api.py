@@ -145,11 +145,15 @@ from whitebox_tools_spark import catalog_grid as _cat_grid  # noqa: E402
 from whitebox_tools_spark import catalog_focal as _cat_focal  # noqa: E402
 from whitebox_tools_spark import catalog_zonal as _cat_zonal  # noqa: E402
 from whitebox_tools_spark import catalog_attr as _cat_attr  # noqa: E402
+from whitebox_tools_spark import catalog_docs as _cat_docs  # noqa: E402
+from whitebox_tools_spark import catalog_local as _cat_local  # noqa: E402
 
 QUERIES.update(_cat_grid.QUERIES)
 QUERIES.update(_cat_focal.QUERIES)
 QUERIES.update(_cat_zonal.QUERIES)
 QUERIES.update(_cat_attr.QUERIES)
+QUERIES.update(_cat_docs.QUERIES)
+QUERIES.update(_cat_local.QUERIES)
 
 
 # ------------------------------------------------------------- oracle SQL
@@ -238,6 +242,8 @@ ORACLE_SQL.update(_cat_grid.ORACLE_SQL)
 ORACLE_SQL.update(_cat_focal.ORACLE_SQL)
 ORACLE_SQL.update(_cat_zonal.ORACLE_SQL)
 ORACLE_SQL.update(_cat_attr.ORACLE_SQL)
+ORACLE_SQL.update(_cat_docs.ORACLE_SQL)
+ORACLE_SQL.update(_cat_local.ORACLE_SQL)
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -1,0 +1,260 @@
+"""Query catalog: training-data pipeline ops over documents/embeddings —
+dedup (exact / MinHash-LSH / SimHash), text analysis (tokens, quality,
+language id, fingerprints), similarity search (brute-force cosine top-k),
+multimodal metadata plumbing.
+
+Every op is JVM-side (HOFs) with an exact DuckDB oracle built from the
+same portable md5-based hashing, so signatures match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whitebox_tools_spark.operators import ann, media
+from whitebox_tools_spark.operators import text as tx
+from whitebox_tools_spark.sources.tables import documents, load
+
+H60 = tx.h60_sql
+JACCARD_T = 0.5
+SIMHASH_MAX_HAM = 6
+ANN_K = 5
+ANN_QMOD = 50
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.exact_dedup(documents(spark, sf_dir))
+
+
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = tx.with_minhash(documents(spark, sf_dir))
+    return sig.select("doc_id", F.posexplode("minhash").alias("band", "mh"))
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tx.minhash_dedup_pairs(documents(spark, sf_dir), threshold=JACCARD_T)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.simhash(documents(spark, sf_dir))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.simhash_pairs(documents(spark, sf_dir), max_hamming=SIMHASH_MAX_HAM)
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.token_counts(documents(spark, sf_dir))
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tx.quality_score(documents(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "punct_ratio",
+        "stopword_ratio",
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.lang_id(documents(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.fingerprint(documents(spark, sf_dir))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.pmod("vec_id", F.lit(ANN_QMOD)) == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = ann.brute_force_topk(emb, queries, k=ANN_K)
+    return out.select(
+        "qid", "vec_id", F.round("cos", 6).alias("cos"), F.col("rank").cast("int").alias("rank")
+    )
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media.synth_media(documents(spark, sf_dir))
+    return m.select(
+        "doc_id",
+        "media_ref",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.col("meta.kind").alias("kind"),
+    )
+
+
+QUERIES = {
+    "exact_dedup": q_exact_dedup,
+    "minhash_sig": q_minhash_sig,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
+    "token_stats": q_token_stats,
+    "quality": q_quality,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "ann_topk": q_ann_topk,
+    "media_meta": q_media_meta,
+}
+
+
+# ------------------------------------------------------------- oracle SQL
+
+_TOKS_CTE = "toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk FROM documents)"
+
+_HS_CTE = (
+    "hs AS (SELECT doc_id, list_transform(tk, t -> "
+    + H60("t")
+    + f" % {tx.H60_REDUCE}) AS h FROM toks)"
+)
+
+_SIG_ITEMS = ", ".join(
+    f"list_min(list_transform(h, v -> (v * {a} + {b}) % {tx.H60_P}))"
+    for a, b in tx.MINHASH_COEFFS
+)
+_SIG_CTE = f"sig AS (SELECT doc_id, [{_SIG_ITEMS}] AS mh FROM hs)"
+
+_SIMHASH_SUMS = ", ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(tx.SIMHASH_BITS)
+)
+_SIMHASH_PACK = " + ".join(
+    f"(CASE WHEN s{b} >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {b})"
+    for b in range(tx.SIMHASH_BITS)
+)
+_SIMHASH_CTES = f"""
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tokn FROM documents),
+th AS (SELECT doc_id, {H60("tokn")} AS h FROM tok),
+g AS (SELECT doc_id, {_SIMHASH_SUMS} FROM th GROUP BY doc_id),
+s AS (SELECT doc_id, {_SIMHASH_PACK} AS simhash FROM g)"""
+
+_EN_STOP = "[" + ", ".join(f"'{w}'" for w in tx.STOPWORDS["en"]) + "]"
+
+
+def _lang_case() -> str:
+    scores = {
+        lang: f"len(list_intersect(tk, ["
+        + ", ".join(f"'{w}'" for w in tx.STOPWORDS[lang])
+        + "]))"
+        for lang in tx.LANG_PRIORITY
+    }
+    whens = []
+    for lang in tx.LANG_PRIORITY:
+        conds = []
+        for other in tx.LANG_PRIORITY:
+            if other == lang:
+                continue
+            op = ">=" if tx.LANG_PRIORITY.index(other) > tx.LANG_PRIORITY.index(lang) else ">"
+            conds.append(f"{scores[lang]} {op} {scores[other]}")
+        whens.append("WHEN " + " AND ".join(conds) + f" THEN '{lang}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{tx.LANG_PRIORITY[0]}' END"
+
+
+ORACLE_SQL = {
+    "exact_dedup": """
+SELECT doc_id, md5(text) AS content_hash FROM documents
+QUALIFY row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) = 1
+""",
+    "minhash_sig": f"""
+WITH {_TOKS_CTE},
+{_HS_CTE},
+{_SIG_CTE}
+SELECT doc_id, CAST(i - 1 AS INT) AS band, mh[i] AS mh
+FROM sig, range(1, {len(tx.MINHASH_COEFFS) + 1}) t(i)
+""",
+    "minhash_pairs": f"""
+WITH {_TOKS_CTE},
+{_HS_CTE},
+{_SIG_CTE},
+b AS (SELECT doc_id, i AS band, mh[i] AS key
+      FROM sig, range(1, {len(tx.MINHASH_COEFFS) + 1}) t(i)),
+cand AS (SELECT l.doc_id AS a, r.doc_id AS b
+         FROM b l JOIN b r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+         GROUP BY 1, 2),
+j AS (SELECT c.a, c.b,
+             CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE) AS inter,
+             CAST(len(ta.tk) + len(tb.tk) AS DOUBLE) AS tot
+      FROM cand c JOIN toks ta ON c.a = ta.doc_id JOIN toks tb ON c.b = tb.doc_id)
+SELECT a, b, round(inter / (tot - inter), 6) AS jaccard
+FROM j WHERE inter / (tot - inter) >= {JACCARD_T!r}
+""",
+    "simhash": f"""
+WITH {_SIMHASH_CTES.lstrip()}
+SELECT doc_id, simhash FROM s
+""",
+    "simhash_pairs": f"""
+WITH {_SIMHASH_CTES.lstrip()},
+bands AS (SELECT doc_id, simhash, t.i AS band, (simhash >> (t.i * 8)) & 255 AS key
+          FROM s, range(0, 4) t(i)),
+cand AS (SELECT l.doc_id AS a, r.doc_id AS b, l.simhash AS ha, r.simhash AS hb
+         FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+         GROUP BY 1, 2, 3, 4)
+SELECT a, b, bit_count(xor(ha, hb)) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {SIMHASH_MAX_HAM}
+""",
+    "token_stats": f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{tx.BPE_PAT}')) AS INT) AS n_bpe_tokens,
+       CAST(length(text) AS INT) AS n_chars_
+FROM documents
+""",
+    "quality": f"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '{tx.PUNCT_PAT}')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> list_contains({_EN_STOP}, t))) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
+  FROM documents)
+SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+       round(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct_ratio)
+             + 0.3 * stopword_ratio, 6) AS quality
+FROM q
+""",
+    "lang_id": f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, {_lang_case()} AS pred_lang FROM toks
+""",
+    "fingerprint": f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk,
+                  len(string_split(text, ' ')) AS n FROM documents),
+sh AS (SELECT doc_id, text,
+              list_transform(range(1, greatest(n - 2, 1) + 1),
+                i -> concat_ws(' ', tk[i], tk[least(i + 1, n)], tk[least(i + 2, n)])) AS sg
+       FROM t)
+SELECT doc_id, md5(text) AS content_md5,
+       list_min(list_transform(sg, s -> {H60("s")})) AS min_shingle_hash
+FROM sh
+""",
+    "ann_topk": f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS nrm FROM e),
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % {ANN_QMOD} = 0),
+p AS (SELECT q.qid, n.vec_id,
+             list_sum(list_transform(range(1, {ann.DIM + 1}), i -> qv[i] * v[i]))
+               / (sqrt(qn) * sqrt(nrm)) AS cosr
+      FROM q CROSS JOIN n WHERE q.qid <> n.vec_id),
+r AS (SELECT qid, vec_id, cosr,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cosr DESC, vec_id) AS INT)
+               AS rank
+      FROM p)
+SELECT qid, vec_id, round(cosr, 6) AS cos, rank FROM r WHERE rank <= {ANN_K}
+""",
+    "media_meta": """
+SELECT doc_id,
+       'm://' || CAST(doc_id AS VARCHAR) AS media_ref,
+       CAST(octet_length(unhex(repeat(md5('m://' || CAST(doc_id AS VARCHAR)),
+                                      CAST(doc_id % 7 + 1 AS INT)))) AS BIGINT) AS n_bytes,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind
+FROM documents
+""",
+}

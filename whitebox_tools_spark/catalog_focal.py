@@ -71,11 +71,50 @@ def q_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _aliased(focal.mosaic([a, b]), round6=False)
 
 
+def q_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _aliased(focal.aspect(_raster(spark, sf_dir), GRID, tile_size=TILE_SIZE))
+
+
+def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # output is a rounded integer scale — exact, no 6dp rounding needed
+    return _aliased(
+        focal.hillshade(_raster(spark, sf_dir), GRID, tile_size=TILE_SIZE), round6=False
+    )
+
+
+def q_max_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whitebox_tools_spark.operators.filters import stat_filter
+
+    return _aliased(
+        stat_filter(_raster(spark, sf_dir), GRID, "max", 5, 5, tile_size=TILE_SIZE),
+        round6=False,
+    )
+
+
+def q_median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whitebox_tools_spark.operators.filters import stat_filter
+
+    return _aliased(
+        stat_filter(_raster(spark, sf_dir), GRID, "median", 3, 3, tile_size=TILE_SIZE)
+    )
+
+
+def q_stdev_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whitebox_tools_spark.operators.filters import stdev_filter
+
+    return _aliased(stdev_filter(_raster(spark, sf_dir), GRID, 5, 5, tile_size=TILE_SIZE))
+
+
 QUERIES = {
     "slope": q_slope,
     "mean_filter": q_mean_filter,
     "aggregate_raster": q_aggregate_raster,
     "mosaic": q_mosaic,
+    "aspect": q_aspect,
+    "hillshade": q_hillshade,
+    "max_filter": q_max_filter,
+    "median_filter": q_median_filter,
+    "stdev_filter": q_stdev_filter,
 }
 
 
@@ -155,9 +194,107 @@ FROM a FULL OUTER JOIN b ON a.cell_row = b.cell_row AND a.cell_col = b.cell_col
 """
 
 
+def _nbr_joins() -> tuple[str, str]:
+    joins, nbrs = [], []
+    for k, (dx, dy) in enumerate(zip(_DX, _DY)):
+        joins.append(
+            f"LEFT JOIN r n{k} ON n{k}.cell_row = c.cell_row + ({dy}) "
+            f"AND n{k}.cell_col = c.cell_col + ({dx})"
+        )
+        nbrs.append(f"coalesce(n{k}.value, c.value) AS n{k}")
+    return " ".join(joins), ", ".join(nbrs)
+
+
+def _oracle_aspect() -> str:
+    joins, nbrs = _nbr_joins()
+    eight_res = GRID.res_x * 8.0
+    return f"""
+WITH {_PTS_CTE},
+{_PTS_RASTER_LAST_CTE},
+nb AS (SELECT c.cell_row, c.cell_col, {nbrs} FROM r c {joins}),
+d AS (SELECT cell_row, cell_col,
+             (n6 - n4 + 2.0 * (n7 - n3) + n0 - n2) / {eight_res!r} AS fy,
+             (n2 - n4 + 2.0 * (n1 - n5) + n0 - n6) / {eight_res!r} AS fx
+      FROM nb)
+SELECT cell_row, cell_col,
+       CASE WHEN fx > 0.0
+            THEN round(180.0 - degrees(atan(fy / fx)) + 90.0 * sign(fx), 6)
+            ELSE -1.0 END AS value
+FROM d
+"""
+
+
+def _oracle_hillshade() -> str:
+    import math
+
+    joins, nbrs = _nbr_joins()
+    eight_res = GRID.res_x * 8.0
+    az = math.radians(315.0 - 90.0)
+    sin_t = math.sin(math.radians(30.0))
+    cos_t = math.cos(math.radians(30.0))
+    return f"""
+WITH {_PTS_CTE},
+{_PTS_RASTER_LAST_CTE},
+nb AS (SELECT c.cell_row, c.cell_col, {nbrs} FROM r c {joins}),
+d AS (SELECT cell_row, cell_col,
+             (n6 - n4 + 2.0 * (n7 - n3) + n0 - n2) / {eight_res!r} AS fy,
+             (n2 - n4 + 2.0 * (n1 - n5) + n0 - n6) / {eight_res!r} AS fx
+      FROM nb),
+h AS (SELECT cell_row, cell_col,
+             CASE WHEN fx <> 0.0 THEN
+               (sqrt(fx*fx + fy*fy) / sqrt(1.0 + (fx*fx + fy*fy)))
+               * ({sin_t!r} / sqrt(fx*fx + fy*fy)
+                  - {cos_t!r} * sin({az!r} - (pi() - atan(fy / fx) + (pi() / 2.0) * sign(fx))))
+             ELSE 0.5 END * 32767.0 AS z
+      FROM d)
+SELECT cell_row, cell_col, round(greatest(z, 0.0)) AS value FROM h
+"""
+
+
+def _oracle_stat_filter(stat_sql: str, mid: int, round6: bool) -> str:
+    val = f"round({stat_sql}, 6)" if round6 else stat_sql
+    return f"""
+WITH {_PTS_CTE},
+{_PTS_RASTER_LAST_CTE},
+offs AS (SELECT a.i - {mid} AS dr, b.i - {mid} AS dc
+         FROM range(0, {2 * mid + 1}) a(i), range(0, {2 * mid + 1}) b(i)),
+j AS (SELECT c.cell_row, c.cell_col, {stat_sql.replace('VAL', 'n.value')} AS v
+      FROM r c CROSS JOIN offs o
+      JOIN r n ON n.cell_row = c.cell_row + o.dr AND n.cell_col = c.cell_col + o.dc
+      GROUP BY c.cell_row, c.cell_col)
+SELECT cell_row, cell_col, {'round(v, 6)' if round6 else 'v'} AS value FROM j
+"""
+
+
+def _oracle_stdev_filter(mid: int) -> str:
+    return f"""
+WITH {_PTS_CTE},
+{_PTS_RASTER_LAST_CTE},
+mn AS (SELECT min(value) AS m FROM r),
+offs AS (SELECT a.i - {mid} AS dr, b.i - {mid} AS dc
+         FROM range(0, {2 * mid + 1}) a(i), range(0, {2 * mid + 1}) b(i)),
+j AS (SELECT c.cell_row, c.cell_col,
+             sum(n.value - mn.m) AS s, sum((n.value - mn.m) * (n.value - mn.m)) AS s2,
+             count(*) AS cnt
+      FROM r c CROSS JOIN mn CROSS JOIN offs o
+      JOIN r n ON n.cell_row = c.cell_row + o.dr AND n.cell_col = c.cell_col + o.dc
+      WHERE c.cell_row + o.dr >= 1 AND c.cell_col + o.dc >= 1
+      GROUP BY c.cell_row, c.cell_col),
+v AS (SELECT cell_row, cell_col, (s2 - (s * s) / cnt) / cnt AS var FROM j)
+SELECT cell_row, cell_col,
+       round(CASE WHEN var > 0.0 THEN sqrt(var) ELSE 0.0 END, 6) AS value
+FROM v
+"""
+
+
 ORACLE_SQL = {
     "slope": _oracle_slope(),
     "mean_filter": _oracle_mean(),
     "aggregate_raster": _oracle_aggregate(),
     "mosaic": _oracle_mosaic(),
+    "aspect": _oracle_aspect(),
+    "hillshade": _oracle_hillshade(),
+    "max_filter": _oracle_stat_filter("max(VAL)", 2, round6=False),
+    "median_filter": _oracle_stat_filter("median(VAL)", 1, round6=True),
+    "stdev_filter": _oracle_stdev_filter(2),
 }

@@ -188,28 +188,77 @@ _SLOPE_DX = (1, 1, 1, 0, -1, -1, -1, 0)
 _SLOPE_DY = (-1, 0, 1, 1, 1, 0, -1, -1)
 
 
+def horn_fxfy(block, valid, z_factor: float, res_x: float):
+    """Horn 1981 finite differences (slope.rs:263-291): the 8 neighbours
+    in d_x/d_y order, NoData/out-of-grid neighbours replaced by the center
+    value; returns (fx, fy) over 8*res_x."""
+    size_r, size_c = block.shape
+    eight_res = res_x * 8.0
+    z = block
+    n = []
+    for dx, dy in zip(_SLOPE_DX, _SLOPE_DY):
+        shifted = np.full_like(block, np.nan)
+        vmask = np.zeros_like(valid)
+        src_r = slice(max(dy, 0), size_r + min(dy, 0))
+        dst_r = slice(max(-dy, 0), size_r + min(-dy, 0))
+        src_c = slice(max(dx, 0), size_c + min(dx, 0))
+        dst_c = slice(max(-dx, 0), size_c + min(-dx, 0))
+        shifted[dst_r, dst_c] = block[src_r, src_c]
+        vmask[dst_r, dst_c] = valid[src_r, src_c]
+        n.append(np.where(vmask, shifted * z_factor, z * z_factor))
+    fy = (n[6] - n[4] + 2.0 * (n[7] - n[3]) + n[0] - n[2]) / eight_res
+    fx = (n[2] - n[4] + 2.0 * (n[1] - n[5]) + n[0] - n[6]) / eight_res
+    return fx, fy
+
+
 def slope_stencil(z_factor: float = 1.0):
-    """Horn slope (slope.rs:269-291): missing/NoData neighbours take the
-    center value; degrees(atan(sqrt(fx^2+fy^2)))."""
+    """Horn slope (slope.rs:269-291): degrees(atan(sqrt(fx^2+fy^2)))."""
 
     def stencil(block, valid, base_r, base_c, cfg: GridConfig):
-        size_r, size_c = block.shape
-        eight_res = cfg.res_x * 8.0
-        z = block
-        n = []
-        for dx, dy in zip(_SLOPE_DX, _SLOPE_DY):
-            shifted = np.full_like(block, np.nan)
-            vmask = np.zeros_like(valid)
-            src_r = slice(max(dy, 0), size_r + min(dy, 0))
-            dst_r = slice(max(-dy, 0), size_r + min(-dy, 0))
-            src_c = slice(max(dx, 0), size_c + min(dx, 0))
-            dst_c = slice(max(-dx, 0), size_c + min(-dx, 0))
-            shifted[dst_r, dst_c] = block[src_r, src_c]
-            vmask[dst_r, dst_c] = valid[src_r, src_c]
-            n.append(np.where(vmask, shifted * z_factor, z * z_factor))
-        fy = (n[6] - n[4] + 2.0 * (n[7] - n[3]) + n[0] - n[2]) / eight_res
-        fx = (n[2] - n[4] + 2.0 * (n[1] - n[5]) + n[0] - n[6]) / eight_res
+        fx, fy = horn_fxfy(block, valid, z_factor, cfg.res_x)
         out = np.degrees(np.arctan(np.sqrt(fx * fx + fy * fy)))
+        return np.where(valid, out, np.nan)
+
+    return stencil
+
+
+def aspect_stencil(z_factor: float = 1.0):
+    """Aspect (terrain_analysis/aspect.rs:275-282), transcribed literally
+    from this reference version: fx > 0 -> 180 - degrees(atan(fy/fx)) +
+    90*sign(fx); otherwise -1 (flat/negative-fx sentinel)."""
+
+    def stencil(block, valid, base_r, base_c, cfg: GridConfig):
+        fx, fy = horn_fxfy(block, valid, z_factor, cfg.res_x)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            val = 180.0 - np.degrees(np.arctan(fy / fx)) + 90.0 * np.sign(fx)
+        out = np.where(fx > 0.0, val, -1.0)
+        return np.where(valid, out, np.nan)
+
+    return stencil
+
+
+def hillshade_stencil(azimuth: float = 315.0, altitude: float = 30.0, z_factor: float = 1.0):
+    """Hillshade (terrain_analysis/hillshade.rs:260-330): azimuth rotated
+    -90deg, altitude trig precomputed; fx != 0 -> term1*(term2-term3) else
+    0.5; scaled by 32767, clamped >= 0, rounded half-away-from-zero."""
+    az = np.radians(azimuth - 90.0)
+    alt = np.radians(altitude)
+    sin_theta = np.sin(alt)
+    cos_theta = np.cos(alt)
+
+    def stencil(block, valid, base_r, base_c, cfg: GridConfig):
+        fx, fy = horn_fxfy(block, valid, z_factor, cfg.res_x)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            tan_slope = np.sqrt(fx * fx + fy * fy)
+            aspect = np.pi - np.arctan(fy / fx) + (np.pi / 2.0) * np.sign(fx)
+            term1 = tan_slope / np.sqrt(1.0 + tan_slope * tan_slope)
+            term2 = sin_theta / tan_slope
+            term3 = cos_theta * np.sin(az - aspect)
+            z = term1 * (term2 - term3)
+        z = np.where(fx != 0.0, z, 0.5)
+        z = z * 32767.0
+        z = np.where(z < 0.0, 0.0, z)
+        out = np.floor(z + 0.5)  # f64::round = half away from zero (z >= 0)
         return np.where(valid, out, np.nan)
 
     return stencil
@@ -235,6 +284,25 @@ def slope(
     raster: DataFrame, cfg: GridConfig, z_factor: float = 1.0, tile_size: int = 128
 ) -> DataFrame:
     return focal_apply(raster, cfg, slope_stencil(z_factor), 1, tile_size)
+
+
+def aspect(
+    raster: DataFrame, cfg: GridConfig, z_factor: float = 1.0, tile_size: int = 128
+) -> DataFrame:
+    return focal_apply(raster, cfg, aspect_stencil(z_factor), 1, tile_size)
+
+
+def hillshade(
+    raster: DataFrame,
+    cfg: GridConfig,
+    azimuth: float = 315.0,
+    altitude: float = 30.0,
+    z_factor: float = 1.0,
+    tile_size: int = 128,
+) -> DataFrame:
+    return focal_apply(
+        raster, cfg, hillshade_stencil(azimuth, altitude, z_factor), 1, tile_size
+    )
 
 
 # ------------------------------------------------------- block aggregation

@@ -1,0 +1,321 @@
+"""Text analysis + deduplication for large-scale training-data pipelines.
+
+Not part of the reference toolbox (WhiteboxTools is geospatial-only) but a
+first-class requirement of this engine: the 10^12-document table is a
+training corpus, and these are the corpus ops. Everything is JVM-side
+(split / transform / aggregate higher-order functions) so each op is a
+narrow projection + at most one shuffle; each has an exact DuckDB oracle.
+
+Portable hashing: h60(s) = first 15 hex chars of md5(s) as int64 — the
+same value in Spark (conv), DuckDB (hex cast) and Python (hashlib), so
+minhash/simhash signatures are bit-identical across engines.
+
+Ops:
+- exact_dedup: md5(text) group, keep min record id.
+- minhash signatures (M permutations over distinct-token 60-bit hashes,
+  (a*h + b) % P with P = 2^31-1-ish prime) + banded LSH candidate pairs +
+  exact token-Jaccard verification (the classic MinHashLSH pipeline).
+- simhash (32-bit): per-token hash bit votes, packed signature; hamming
+  pairs via band join.
+- token counting: whitespace tokens + a BPE-ish regex token count.
+- quality scoring: length/punctuation/stopword components.
+- language id: stopword-hit scoring over a small per-language lexicon.
+- fingerprinting: content md5 + min-shingle-hash (winnowing-lite).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+H60_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime) — minhash modulus
+H60_REDUCE = 1 << 30  # token hashes reduced below 2^30 so a*h stays in int64
+
+# (a, b) pairs for the M=8 minhash permutations — fixed odd constants
+MINHASH_COEFFS = [
+    (1_664_525, 1_013_904_223),
+    (22_695_477, 1),
+    (134_775_813, 1_103_515_245),
+    (214_013, 2_531_011),
+    (69_069, 362_437),
+    (75, 74),
+    (1_103_515_245, 12_345),
+    (48_271, 11),
+]
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"],
+    "fr": ["le", "la", "et", "de", "un", "une", "est", "pour", "dans", "que"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "eine", "zu", "mit", "von"],
+    "es": ["el", "la", "y", "de", "un", "una", "es", "para", "en", "que"],
+}
+LANG_PRIORITY = ["en", "fr", "de", "es"]  # tie order, first wins
+
+BPE_PAT = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+PUNCT_PAT = "[^a-z0-9 ]"
+
+
+def h60(c: Column) -> Column:
+    """Portable 60-bit md5 hash (identical in Spark / DuckDB / Python)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def h60_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def distinct_tokens(text: Column) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+# ------------------------------------------------------------- exact dedup
+
+
+def exact_dedup(docs: DataFrame, text: str = "text", record: str = "doc_id") -> DataFrame:
+    """Keep the first record (min id) of each exact-content group."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(text)).alias("content_hash")
+    w = Window.partitionBy("content_hash").orderBy(record)
+    return (
+        docs.select(F.col(record), h)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ----------------------------------------------------------------- minhash
+
+
+def token_hashes(text: Column) -> Column:
+    """Distinct-token 60-bit hashes reduced below 2^30 (overflow-safe)."""
+    return F.transform(distinct_tokens(text), lambda t: F.pmod(h60(t), F.lit(H60_REDUCE)))
+
+
+def minhash_signature(text: Column) -> Column:
+    """Array of M minhashes over the token-hash set."""
+    hs = token_hashes(text)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(hs, lambda v: F.pmod(v * F.lit(a) + F.lit(b), F.lit(H60_P)))
+            )
+            for a, b in MINHASH_COEFFS
+        ]
+    )
+
+
+def with_minhash(docs: DataFrame, text: str = "text") -> DataFrame:
+    return docs.withColumn("minhash", minhash_signature(F.col(text)))
+
+
+def minhash_candidates(
+    docs: DataFrame, record: str = "doc_id", text: str = "text", rows_per_band: int = 1
+) -> DataFrame:
+    """Banded-LSH candidate pairs (a < b). rows_per_band=1 -> candidates
+    share at least one minhash; higher values tighten the bucket key.
+    One explode + one self equi-join on (band, key) — AQE handles hot
+    buckets."""
+    sig = with_minhash(docs, text).select(record, "minhash")
+    n_bands = len(MINHASH_COEFFS) // rows_per_band
+    bands = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                *[
+                    F.element_at("minhash", i * rows_per_band + j + 1)
+                    for j in range(rows_per_band)
+                ],
+            )
+            for i in range(n_bands)
+        ]
+    )
+    b = sig.select(record, F.posexplode(bands).alias("band", "key"))
+    l = b.select(F.col(record).alias("a"), "band", "key")
+    r = b.select(F.col(record).alias("b"), "band", "key")
+    return (
+        l.join(r, ["band", "key"], "inner")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    threshold: float,
+    record: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Exact distinct-token Jaccard for candidate pairs; keep >= threshold."""
+    toks = docs.select(F.col(record), distinct_tokens(F.col(text)).alias("toks"))
+    j = (
+        pairs.join(toks.select(F.col(record).alias("a"), F.col("toks").alias("ta")), "a")
+        .join(toks.select(F.col(record).alias("b"), F.col("toks").alias("tb")), "b")
+    )
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    union = (F.size("ta") + F.size("tb")).cast("double") - inter
+    return (
+        j.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame, threshold: float = 0.5, record: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signature -> bands -> candidate
+    join -> exact Jaccard filter."""
+    return jaccard_pairs(
+        docs, minhash_candidates(docs, record, text), threshold, record, text
+    )
+
+
+# ----------------------------------------------------------------- simhash
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, record: str = "doc_id", text: str = "text") -> DataFrame:
+    """32-bit SimHash over the token multiset (one explode + one groupBy
+    with 32 map-side-combinable sums)."""
+    tok = docs.select(
+        F.col(record), F.explode(tokens(F.col(text))).alias("tok")
+    ).withColumn("h", h60(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    g = tok.groupBy(record).agg(*votes)
+    packed = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{b}") >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        packed = term if packed is None else packed + term
+    return g.select(F.col(record), packed.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, record: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance: band join on 4 byte
+    blocks (any equal block -> candidate; exact for hamming <= 3 over 4
+    bands by pigeonhole), then bit_count verify."""
+    sig = simhash(docs, record, text)
+    bands = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(i),
+                F.shiftright(F.col("simhash"), i * 8).bitwiseAND(F.lit(255)),
+            )
+            for i in range(4)
+        ]
+    )
+    b = sig.select(record, "simhash", F.explode(bands).alias("key"))
+    l = b.select(F.col(record).alias("a"), F.col("simhash").alias("ha"), "key")
+    r = b.select(F.col(record).alias("b"), F.col("simhash").alias("hb"), "key")
+    cand = (
+        l.join(r, "key").where(F.col("a") < F.col("b")).select("a", "b", "ha", "hb").distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.withColumn("hamming", ham).where(F.col("hamming") <= max_hamming).select(
+        "a", "b", "hamming"
+    )
+
+
+# ------------------------------------------------------------ text metrics
+
+
+def token_counts(docs: DataFrame, record: str = "doc_id", text: str = "text") -> DataFrame:
+    t = F.col(text)
+    return docs.select(
+        F.col(record),
+        F.size(tokens(t)).alias("n_tokens"),
+        F.regexp_count(t, F.lit(BPE_PAT)).alias("n_bpe_tokens"),
+        F.length(t).alias("n_chars_"),
+    )
+
+
+def quality_score(docs: DataFrame, record: str = "doc_id", text: str = "text") -> DataFrame:
+    """Length / punctuation / stopword quality components + combined score."""
+    t = F.col(text)
+    n_tok = F.size(tokens(t)).cast("double")
+    punct = F.regexp_count(t, F.lit(PUNCT_PAT)).cast("double") / F.length(t).cast("double")
+    stop = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(
+        F.filter(tokens(t), lambda tk: F.array_contains(stop, tk))
+    ).cast("double")
+    stop_ratio = stop_hits / n_tok
+    score = (
+        F.lit(0.4) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct)
+        + F.lit(0.3) * stop_ratio
+    )
+    return docs.select(
+        F.col(record),
+        n_tok.alias("n_tokens"),
+        punct.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, record: str = "doc_id", text: str = "text") -> DataFrame:
+    """Stopword-hit language id. Deterministic tie order = LANG_PRIORITY."""
+    toks = distinct_tokens(F.col(text))
+    scores = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS[lang]]))
+        )
+        for lang in LANG_PRIORITY
+    }
+    # CASE chain: first lang whose score beats all later langs (>=) and
+    # strictly beats all earlier ones (>)
+    expr = None
+    for lang in LANG_PRIORITY:
+        conds = []
+        for other in LANG_PRIORITY:
+            if other == lang:
+                continue
+            if LANG_PRIORITY.index(other) > LANG_PRIORITY.index(lang):
+                conds.append(scores[lang] >= scores[other])
+            else:
+                conds.append(scores[lang] > scores[other])
+        allc = conds[0]
+        for c in conds[1:]:
+            allc = allc & c
+        expr = F.when(allc, F.lit(lang)) if expr is None else expr.when(allc, F.lit(lang))
+    pred = expr.otherwise(F.lit(LANG_PRIORITY[0]))
+    return docs.select(F.col(record), pred.alias("pred_lang"))
+
+
+def fingerprint(docs: DataFrame, record: str = "doc_id", text: str = "text") -> DataFrame:
+    """Content fingerprints: exact md5 + min 3-word-shingle hash."""
+    t = F.col(text)
+    toks = tokens(t)
+    n = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, F.least(i + 1, n)),
+            F.element_at(toks, F.least(i + 2, n)),
+        ),
+    )
+    min_sh = F.array_min(F.transform(shingles, lambda s: h60(s)))
+    return docs.select(
+        F.col(record), F.md5(t).alias("content_md5"), min_sh.alias("min_shingle_hash")
+    )
