@@ -1,0 +1,61 @@
+"""Physical-plan guards: the plans we designed for are the plans Spark
+actually picks. Catches regressions like a broadcast turning into a
+shuffle join or a filter failing to reach the parquet scan."""
+
+from pyspark.sql import functions as F
+
+from whitebox_tools_spark import derive
+from whitebox_tools_spark.operators import tiling
+from whitebox_tools_spark.operators.pip import clip_points
+from whitebox_tools_spark.operators.radius_join import radius_join
+from whitebox_tools_spark.sources import vectors
+from whitebox_tools_spark.sources.tables import documents
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _geo(spark):
+    return derive.with_geometry(documents(spark, SF_DIR), "doc_id")
+
+
+class TestPlans:
+    def test_pip_clip_is_narrow(self, spark):
+        """The broadcast-layer PIP join must be a NARROW map pass — zero
+        shuffles over the document table."""
+        plan = _plan(clip_points(_geo(spark), vectors.rect_layer(), "semi"))
+        assert "Exchange" not in plan, plan
+
+    def test_tile_population_filter_broadcasts_counts(self, spark):
+        """The tiny per-tile count table must broadcast back onto the big
+        side (BroadcastHashJoin, LeftSemi), never shuffle the doc table a
+        second time."""
+        df = tiling.lidar_tile(_geo(spark), min_points=2)
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+    def test_radius_join_is_single_shuffle_equijoin(self, spark):
+        """Cell-key radius join: the probe-side explode happens BEFORE the
+        exchange and the join is a plain hash equi-join on the packed key."""
+        geo = _geo(spark)
+        pts = geo.select(F.col("doc_id").alias("pid"), "x", "y", "z")
+        qs = geo.select(F.col("doc_id").alias("qid"), "x", "y")
+        plan = _plan(radius_join(pts, qs, 25.0))
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "Generate explode" in plan or "Generate" in plan  # 5x5 neighbour explode
+
+    def test_projection_pushdown_reaches_scan(self, spark):
+        """Column pruning: a 2-column projection must not read the whole
+        documents schema."""
+        df = documents(spark, SF_DIR).select("doc_id")
+        plan = _plan(df)
+        assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
+
+    def test_filter_pushdown_reaches_scan(self, spark):
+        df = documents(spark, SF_DIR).where(F.col("doc_id") < 100).select("doc_id")
+        plan = _plan(df)
+        assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan, plan

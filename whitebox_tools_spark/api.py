@@ -147,6 +147,7 @@ from whitebox_tools_spark import catalog_zonal as _cat_zonal  # noqa: E402
 from whitebox_tools_spark import catalog_attr as _cat_attr  # noqa: E402
 from whitebox_tools_spark import catalog_docs as _cat_docs  # noqa: E402
 from whitebox_tools_spark import catalog_local as _cat_local  # noqa: E402
+from whitebox_tools_spark import catalog_iter as _cat_iter  # noqa: E402
 
 QUERIES.update(_cat_grid.QUERIES)
 QUERIES.update(_cat_focal.QUERIES)
@@ -154,6 +155,7 @@ QUERIES.update(_cat_zonal.QUERIES)
 QUERIES.update(_cat_attr.QUERIES)
 QUERIES.update(_cat_docs.QUERIES)
 QUERIES.update(_cat_local.QUERIES)
+QUERIES.update(_cat_iter.QUERIES)
 
 
 # ------------------------------------------------------------- oracle SQL
@@ -244,6 +246,7 @@ ORACLE_SQL.update(_cat_zonal.ORACLE_SQL)
 ORACLE_SQL.update(_cat_attr.ORACLE_SQL)
 ORACLE_SQL.update(_cat_docs.ORACLE_SQL)
 ORACLE_SQL.update(_cat_local.ORACLE_SQL)
+ORACLE_SQL.update(_cat_iter.ORACLE_SQL)
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -105,7 +105,16 @@ def q_stdev_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _aliased(stdev_filter(_raster(spark, sf_dir), GRID, 5, 5, tile_size=TILE_SIZE))
 
 
+def q_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whitebox_tools_spark.operators.filters import gradient_filter
+
+    return _aliased(
+        gradient_filter(_raster(spark, sf_dir), GRID, "sobel", tile_size=TILE_SIZE)
+    )
+
+
 QUERIES = {
+    "sobel": q_sobel,
     "slope": q_slope,
     "mean_filter": q_mean_filter,
     "aggregate_raster": q_aggregate_raster,
@@ -287,7 +296,24 @@ FROM v
 """
 
 
+def _oracle_sobel() -> str:
+    from whitebox_tools_spark.operators.filters import GRADIENT_MASKS
+
+    joins, nbrs = _nbr_joins()
+    mx, my = GRADIENT_MASKS["sobel"]
+    sx = " + ".join(f"n{i} * {mx[i]!r}" for i in range(8) if mx[i] != 0.0)
+    sy = " + ".join(f"n{i} * {my[i]!r}" for i in range(8) if my[i] != 0.0)
+    return f"""
+WITH {_PTS_CTE},
+{_PTS_RASTER_LAST_CTE},
+nb AS (SELECT c.cell_row, c.cell_col, {nbrs} FROM r c {joins}),
+g AS (SELECT cell_row, cell_col, ({sx}) AS sx, ({sy}) AS sy FROM nb)
+SELECT cell_row, cell_col, round(sqrt(sx * sx + sy * sy), 6) AS value FROM g
+"""
+
+
 ORACLE_SQL = {
+    "sobel": _oracle_sobel(),
     "slope": _oracle_slope(),
     "mean_filter": _oracle_mean(),
     "aggregate_raster": _oracle_aggregate(),

@@ -147,3 +147,103 @@ def stdev_filter(
     return focal_apply(
         raster, cfg, stdev_filter_stencil(filter_x, filter_y, float(min_val)), halo, tile_size
     )
+
+
+# ------------------------------------------------------ convolution masks
+
+# D8 neighbour order used by the 3x3 gradient filters (sobel_filter.rs:290)
+_G_DX = (1, 1, 1, 0, -1, -1, -1, 0)
+_G_DY = (-1, 0, 1, 1, 1, 0, -1, -1)
+
+GRADIENT_MASKS = {
+    # (mask_x, mask_y) in _G_DX/_G_DY order
+    "sobel": ((1.0, 2.0, 1.0, 0.0, -1.0, -2.0, -1.0, 0.0),
+              (1.0, 0.0, -1.0, -2.0, -1.0, 0.0, 1.0, 2.0)),   # sobel_filter.rs:292-293
+    "prewitt": ((1.0, 1.0, 1.0, 0.0, -1.0, -1.0, -1.0, 0.0),
+                (1.0, 0.0, -1.0, -1.0, -1.0, 0.0, 1.0, 1.0)),  # prewitt_filter.rs
+    "scharr": ((-3.0, -10.0, -3.0, 0.0, 3.0, 10.0, 3.0, 0.0),
+               (3.0, 0.0, -3.0, -10.0, -3.0, 0.0, 3.0, 10.0)),  # scharr_filter.rs
+}
+
+
+def _shifted(block, valid, dx, dy):
+    size_r, size_c = block.shape
+    shifted = np.full_like(block, np.nan)
+    vmask = np.zeros_like(valid)
+    src_r = slice(max(dy, 0), size_r + min(dy, 0))
+    dst_r = slice(max(-dy, 0), size_r + min(-dy, 0))
+    src_c = slice(max(dx, 0), size_c + min(dx, 0))
+    dst_c = slice(max(-dx, 0), size_c + min(-dx, 0))
+    shifted[dst_r, dst_c] = block[src_r, src_c]
+    vmask[dst_r, dst_c] = valid[src_r, src_c]
+    return shifted, vmask
+
+
+def gradient_filter(
+    raster: DataFrame, cfg: GridConfig, variant: str = "sobel", tile_size: int = 128
+) -> DataFrame:
+    """SobelFilter / PrewittFilter / ScharrFilter (3x3 variants):
+    out = sqrt(sx^2 + sy^2) with NoData/out-of-grid neighbours replaced by
+    the center value (sobel_filter.rs:300-312)."""
+    mask_x, mask_y = GRADIENT_MASKS[variant]
+
+    def stencil(block, valid, base_r, base_c, cfg_):
+        sx = np.zeros_like(block)
+        sy = np.zeros_like(block)
+        for i, (dx, dy) in enumerate(zip(_G_DX, _G_DY)):
+            shifted, vmask = _shifted(block, valid, dx, dy)
+            zn = np.where(vmask, shifted, block)
+            sx = sx + zn * mask_x[i]
+            sy = sy + zn * mask_y[i]
+        out = np.sqrt(sx * sx + sy * sy)
+        return np.where(valid, out, np.nan)
+
+    return focal_apply(raster, cfg, stencil, 1, tile_size)
+
+
+# emboss direction kernels (emboss_filter.rs), row-major 3x3 over
+# dx=(-1,0,1)x3, dy=(-1,-1,-1,0,0,0,1,1,1)
+EMBOSS_WEIGHTS = {
+    "n": (0, -1, 0, 0, 0, 0, 0, 1, 0),
+    "s": (0, 1, 0, 0, 0, 0, 0, -1, 0),
+    "e": (0, 0, 0, 1, 0, -1, 0, 0, 0),
+    "w": (0, 0, 0, -1, 0, 1, 0, 0, 0),
+    "ne": (0, 0, -1, 0, 0, 0, 1, 0, 0),
+    "sw": (0, 0, 1, 0, 0, 0, -1, 0, 0),
+    "nw": (-1, 0, 0, 0, 0, 0, 0, 0, 1),
+    "se": (1, 0, 0, 0, 0, 0, 0, 0, -1),
+}
+_M_DX = (-1, 0, 1, -1, 0, 1, -1, 0, 1)
+_M_DY = (-1, -1, -1, 0, 0, 0, 1, 1, 1)
+
+
+def mask_filter(
+    raster: DataFrame,
+    cfg: GridConfig,
+    weights,
+    offsets_dx=_M_DX,
+    offsets_dy=_M_DY,
+    tile_size: int = 128,
+) -> DataFrame:
+    """Generic weighted-mask filter (EmbossFilter, HighPassFilter,
+    LaplacianFilter kernels): out = sum(zn * w), NoData neighbours take
+    the center value."""
+
+    def stencil(block, valid, base_r, base_c, cfg_):
+        acc = np.zeros_like(block)
+        for w, dx, dy in zip(weights, offsets_dx, offsets_dy):
+            if w == 0:
+                continue
+            shifted, vmask = _shifted(block, valid, dx, dy)
+            zn = np.where(vmask, shifted, block)
+            acc = acc + zn * float(w)
+        return np.where(valid, acc, np.nan)
+
+    halo = max(max(abs(d) for d in offsets_dx), max(abs(d) for d in offsets_dy))
+    return focal_apply(raster, cfg, stencil, halo, tile_size)
+
+
+def emboss_filter(
+    raster: DataFrame, cfg: GridConfig, direction: str = "n", tile_size: int = 128
+) -> DataFrame:
+    return mask_filter(raster, cfg, EMBOSS_WEIGHTS[direction], tile_size=tile_size)

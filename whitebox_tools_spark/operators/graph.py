@@ -1,0 +1,69 @@
+"""Distributed graph primitives for the iterative raster family
+(SURVEY.md §2.8).
+
+connected_components: hash-to-min label propagation with pointer jumping
+(label-of-label shortcutting), so convergence is O(log diameter) driver
+rounds instead of O(diameter) — each round is two shuffles
+(neighbour-min + jump), localCheckpoint'ed to keep lineage flat. This is
+the standard large-scale CC recipe (two-phase hash-to-min) expressed as
+plain DataFrame joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, nodes: DataFrame, node: str = "id", max_rounds: int = 60
+) -> DataFrame:
+    """Connected components over undirected ``edges(a, b)``.
+
+    Returns (node, comp) with comp = min node id in the component.
+    ``nodes`` supplies isolated vertices too.
+    """
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = nodes.select(F.col(node).alias("node"), F.col(node).alias("comp"))
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_rounds):
+        nbr_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        prop = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        # pointer jumping: comp <- comp(comp)
+        parent = prop.select(F.col("node").alias("p_node"), F.col("comp").alias("p_comp"))
+        jumped = (
+            prop.join(parent, prop.comp == parent.p_node, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("p_comp"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels

@@ -1,0 +1,343 @@
+"""Iterative / global-propagation raster ops (SURVEY.md §2.8): Clump,
+Euclidean distance/allocation, D8 pointer, D8 flow accumulation.
+
+Parity contracts:
+- Clump (gis_analysis/clump.rs:230-292): flood fill over equal-valued
+  4/8-connected cells; clump id = 1-based order of each component's first
+  cell in row-major scan; zero_back -> value-0 cells output 0; NoData
+  stays NoData. Spark: equal-value adjacency edges + distributed
+  connected components (operators/graph.py), then the scan-order id is
+  recovered exactly as dense_rank over each component's min row-major
+  index (identical to discovery order).
+- EuclideanDistance / EuclideanAllocation (gis_analysis/
+  euclidean_distance.rs): distance from every cell to the nearest target
+  (value != 0) cell. The reference runs Shih & Wu's two-pass transform
+  (exact up to its documented corner cases); we compute the EXACT
+  nearest-target distance — targets broadcast, numpy min per Arrow batch
+  (the same broadcast-small-side pattern as the PIP join; for huge target
+  sets the cell-join ring search in operators/radius_join.py applies).
+  Allocation ties resolve to the smallest (row, col) target.
+- D8Pointer (hydro_analysis/d8_pointer.rs:230-280): steepest positive
+  slope over the 8 neighbours, slope = (z - zn)/grid_length (diagonals
+  sqrt(2)-scaled), STRICT > so the first maximum in d_x/d_y order wins;
+  no positive slope -> 0; output 2^dir (non-ESRI) / rotated (ESRI).
+- D8FlowAccumulation (hydro_analysis/d8_flow_accum.rs:330-430): every
+  cell starts at 1; counts propagate topologically downstream. Flow is
+  strictly height-decreasing => DAG; accum(c) = #cells whose flow path
+  passes through c (incl. itself). Spark: frontier iteration
+  acc_{t+1} = 1 + sum(upstream acc_t), converging in longest-flow-path
+  rounds (bounded, localCheckpoint'ed); at cluster scale this is the
+  standard aggregate-messages loop.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from whitebox_tools_spark.operators.gridding import GridConfig
+from whitebox_tools_spark.operators.graph import connected_components
+
+# neighbour order shared by the D8 family (d8_pointer.rs:235-236)
+D8_DX = (1, 1, 1, 0, -1, -1, -1, 0)
+D8_DY = (-1, 0, 1, 1, 1, 0, -1, -1)
+
+
+def _cell_id(cfg: GridConfig):
+    return (F.col("row") * cfg.cols + F.col("col")).alias("id")
+
+
+# ----------------------------------------------------------------- clump
+
+
+def clump(
+    raster: DataFrame, cfg: GridConfig, diag: bool = True, zero_back: bool = False
+) -> DataFrame:
+    """Clump: (row, col, value=clump id as double); background cells keep
+    0 when zero_back."""
+    cells = raster.where(F.col("value").isNotNull()).select(
+        "row", "col", "value", _cell_id(cfg)
+    )
+    if zero_back:
+        fg = cells.where(F.col("value") != 0.0)
+        bg = cells.where(F.col("value") == 0.0).select(
+            "row", "col", F.lit(0.0).alias("value")
+        )
+    else:
+        fg, bg = cells, None
+    fg = fg.localCheckpoint(eager=True)
+
+    n_dirs = 8 if diag else 4
+    offs = F.array(
+        *[
+            F.struct(F.lit(D8_DY[i]).alias("dr"), F.lit(D8_DX[i]).alias("dc"))
+            for i in range(8)
+            if diag or D8_DX[i] == 0 or D8_DY[i] == 0
+        ][:n_dirs]
+    )
+    ex = fg.select("id", "row", "col", "value", F.explode(offs).alias("o"))
+    probe = ex.select(
+        F.col("id").alias("a"),
+        ((F.col("row") + F.col("o.dr")) * cfg.cols + (F.col("col") + F.col("o.dc"))).alias(
+            "nbr"
+        ),
+        F.col("value").alias("va"),
+        (F.col("row") + F.col("o.dr")).alias("nr"),
+        (F.col("col") + F.col("o.dc")).alias("nc"),
+    ).where(
+        (F.col("nr") >= 0) & (F.col("nr") < cfg.rows) & (F.col("nc") >= 0) & (F.col("nc") < cfg.cols)
+    )
+    other = fg.select(F.col("id").alias("b"), F.col("value").alias("vb"))
+    edges = (
+        probe.join(other, probe.nbr == other.b)
+        .where(F.col("va") == F.col("vb"))
+        .select("a", "b")
+    )
+    comps = connected_components(edges, fg.select("id"), "id")
+
+    # discovery-order id == dense rank of the component's min row-major id
+    first = comps.groupBy("comp").agg(F.min("node").alias("first_id"))
+    w = Window.orderBy("first_id")
+    ranked = first.withColumn("fid", F.row_number().over(w).cast("double"))
+    labeled = (
+        fg.join(comps, fg.id == comps.node)
+        .join(ranked, "comp")
+        .select("row", "col", F.col("fid").alias("value"))
+    )
+    return labeled.unionByName(bg) if bg is not None else labeled
+
+
+# ---------------------------------------------------- euclidean distance
+
+
+def euclidean_distance(
+    raster: DataFrame, cfg: GridConfig, allocation: bool = False
+) -> DataFrame:
+    """Exact nearest-target distance for every grid cell (targets =
+    cells with value != 0). allocation=True returns the nearest target's
+    value instead (ties -> smallest (row, col))."""
+    spark = raster.sparkSession
+    targets = (
+        raster.where(F.col("value").isNotNull() & (F.col("value") != 0.0))
+        .select("row", "col", "value")
+        .orderBy("row", "col")
+        .collect()
+    )
+    t_r = np.array([t["row"] for t in targets], dtype=np.float64)
+    t_c = np.array([t["col"] for t in targets], dtype=np.float64)
+    t_v = np.array([t["value"] for t in targets], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((t_r, t_c, t_v))
+
+    from whitebox_tools_spark.operators.gridding import cell_centers
+
+    cells = cell_centers(spark, cfg).select("row", "col")
+    schema = T.StructType(
+        [
+            T.StructField("row", T.LongType()),
+            T.StructField("col", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    res_x, res_y = cfg.res_x, cfg.res_y
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tr, tc, tv = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            r = pdf["row"].to_numpy(dtype=np.float64)[:, None]
+            c = pdf["col"].to_numpy(dtype=np.float64)[:, None]
+            d2 = ((r - tr[None, :]) * res_y) ** 2 + ((c - tc[None, :]) * res_x) ** 2
+            idx = np.argmin(d2, axis=1)  # first min = smallest (row,col) tie-break
+            val = tv[idx] if allocation else np.sqrt(d2[np.arange(len(r)), idx])
+            yield pd.DataFrame(
+                {"row": pdf["row"].to_numpy(), "col": pdf["col"].to_numpy(), "value": val}
+            )
+
+    return cells.mapInPandas(run, schema=schema)
+
+
+# ------------------------------------------------------------- D8 family
+
+
+def _d8_dir_stencil(cfg: GridConfig, esri_style: bool = False, as_index: bool = False):
+    diag_len = (cfg.res_x * cfg.res_x + cfg.res_y * cfg.res_y) ** 0.5
+    lengths = [
+        diag_len, cfg.res_x, diag_len, cfg.res_y, diag_len, cfg.res_x, diag_len, cfg.res_y
+    ]
+    out_vals = (
+        [128.0, 1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0]
+        if esri_style
+        else [1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0]
+    )
+
+    def stencil(block, valid, base_r, base_c, cfg_):
+        size_r, size_c = block.shape
+        best_slope = np.full_like(block, -np.inf)
+        best_dir = np.full(block.shape, -1, dtype=np.int64)
+        for i, (dx, dy) in enumerate(zip(D8_DX, D8_DY)):
+            shifted = np.full_like(block, np.nan)
+            vmask = np.zeros_like(valid)
+            src_r = slice(max(dy, 0), size_r + min(dy, 0))
+            dst_r = slice(max(-dy, 0), size_r + min(-dy, 0))
+            src_c = slice(max(dx, 0), size_c + min(dx, 0))
+            dst_c = slice(max(-dx, 0), size_c + min(-dx, 0))
+            shifted[dst_r, dst_c] = block[src_r, src_c]
+            vmask[dst_r, dst_c] = valid[src_r, src_c]
+            with np.errstate(invalid="ignore"):
+                slope = (block - shifted) / lengths[i]
+            upd = vmask & (slope > best_slope) & (slope > 0.0)
+            best_slope = np.where(upd, slope, best_slope)
+            best_dir = np.where(upd, i, best_dir)
+        if as_index:
+            out = best_dir.astype(np.float64)  # -1 = pit/flat
+        else:
+            vals = np.array(out_vals)
+            out = np.where(best_dir >= 0, vals[np.clip(best_dir, 0, 7)], 0.0)
+        return np.where(valid, out, np.nan)
+
+    return stencil
+
+
+def d8_pointer(
+    raster: DataFrame, cfg: GridConfig, esri_style: bool = False, tile_size: int = 128
+) -> DataFrame:
+    from whitebox_tools_spark.operators.focal import focal_apply
+
+    return focal_apply(raster, cfg, _d8_dir_stencil(cfg, esri_style), 1, tile_size)
+
+
+def d8_flow_accumulation(
+    raster: DataFrame, cfg: GridConfig, tile_size: int = 128, max_rounds: int = 200
+) -> DataFrame:
+    """acc(c) = #cells whose D8 flow path passes through c (out_type=
+    'cells', the reference default). Frontier iteration over the flow DAG."""
+    from whitebox_tools_spark.operators.focal import focal_apply
+
+    dirs = focal_apply(
+        raster, cfg, _d8_dir_stencil(cfg, as_index=True), 1, tile_size
+    ).select("row", "col", F.col("value").cast("int").alias("dir"))
+    dirs = dirs.localCheckpoint(eager=True)
+
+    dx = F.array(*[F.lit(v) for v in D8_DX])
+    dy = F.array(*[F.lit(v) for v in D8_DY])
+    down = dirs.where(F.col("dir") >= 0).select(
+        _cell_id(cfg).alias("a"),
+        (
+            (F.col("row") + F.element_at(dy, F.col("dir") + 1)) * cfg.cols
+            + (F.col("col") + F.element_at(dx, F.col("dir") + 1))
+        ).alias("b"),
+    )
+    down = down.localCheckpoint(eager=True)
+
+    nodes = dirs.select("row", "col", _cell_id(cfg))
+    acc = nodes.select("id", F.lit(1.0).alias("acc"))
+    for _ in range(max_rounds):
+        contrib = (
+            down.join(acc, down.a == acc.id)
+            .groupBy("b")
+            .agg(F.sum("acc").alias("inflow"))
+        )
+        new_acc = (
+            nodes.select("id")
+            .join(contrib, nodes.id == contrib.b, "left")
+            .select("id", (F.lit(1.0) + F.coalesce(F.col("inflow"), F.lit(0.0))).alias("acc"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_acc.alias("n")
+            .join(acc.alias("o"), "id")
+            .where(F.col("n.acc") != F.col("o.acc"))
+            .limit(1)
+            .count()
+        )
+        acc = new_acc
+        if changed == 0:
+            break
+    return nodes.join(acc, "id").select("row", "col", F.col("acc").alias("value"))
+
+
+# --------------------------------------------------------------- watershed
+
+
+def watershed(
+    raster: DataFrame, pour_points: DataFrame, cfg: GridConfig, tile_size: int = 128,
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Watershed (hydro_analysis/watershed.rs:300-400): every cell takes
+    the id of the FIRST pour point on its D8 downstream walk; pour-point
+    cells keep their own id; cells whose walk ends in a pit with no pour
+    point stay NoData.
+
+    ``pour_points``: (row, col, value=id). Distributed via pointer
+    doubling over the flow function — label(c) resolves in O(log path)
+    rounds; each round is two hash joins on cell ids (localCheckpoint'ed).
+    """
+    from whitebox_tools_spark.operators.focal import focal_apply
+
+    dirs = focal_apply(
+        raster, cfg, _d8_dir_stencil(cfg, as_index=True), 1, tile_size
+    ).select("row", "col", F.col("value").cast("int").alias("dir"))
+
+    dx = F.array(*[F.lit(v) for v in D8_DX])
+    dy = F.array(*[F.lit(v) for v in D8_DY])
+    nodes = dirs.select(
+        "row",
+        "col",
+        _cell_id(cfg),
+        F.when(
+            F.col("dir") >= 0,
+            (F.col("row") + F.element_at(dy, F.col("dir") + 1)) * cfg.cols
+            + (F.col("col") + F.element_at(dx, F.col("dir") + 1)),
+        ).alias("nxt"),
+    )
+    pour = pour_points.select(
+        (F.col("row") * cfg.cols + F.col("col")).alias("id"),
+        F.col("value").alias("pour_id"),
+    )
+    # pour cells are terminal: their own label, no onward pointer needed
+    state = (
+        nodes.join(pour, "id", "left")
+        .select(
+            "row",
+            "col",
+            "id",
+            F.col("pour_id").alias("label"),
+            F.when(F.col("pour_id").isNull(), F.col("nxt")).alias("ptr"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        target = state.select(
+            F.col("id").alias("t_id"),
+            F.col("label").alias("t_label"),
+            F.col("ptr").alias("t_ptr"),
+        )
+        new_state = (
+            state.join(target, state.ptr == target.t_id, "left")
+            .select(
+                "row",
+                "col",
+                "id",
+                F.coalesce(F.col("label"), F.col("t_label")).alias("label"),
+                F.when(
+                    F.col("label").isNull() & F.col("t_label").isNull(), F.col("t_ptr")
+                ).alias("ptr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        remaining = new_state.where(
+            F.col("label").isNull() & F.col("ptr").isNotNull()
+        ).limit(1).count()
+        state = new_state
+        if remaining == 0:
+            break
+    return state.where(F.col("label").isNotNull()).select(
+        "row", "col", F.col("label").alias("value")
+    )
