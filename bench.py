@@ -135,39 +135,69 @@ def main() -> None:
     }
 
     if args.scaling:
-        # each level gets a FRESH process/JVM (in-process session reuse
-        # pins JVM-level settings and pollutes timings)
+        # Each level gets a FRESH process/JVM; levels are run in two
+        # INTERLEAVED passes (n, 4n, n, 4n) and the best time per level is
+        # kept — this sandbox VM shows multi-x run-to-run noise on
+        # identical work (host CPU steal), so single-window comparisons
+        # mislead. A pure-JVM embarrassingly-parallel CONTROL job is timed
+        # in the same processes: its N->4N efficiency is the VM's actual
+        # parallelism ceiling, reported alongside the engine's.
         import subprocess
 
         n = args.scaling_n
-        n_docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", 100_000_000))
-        secs = {}
-        for cores in (n, 4 * n):
-            r = subprocess.run(
-                [
-                    sys.executable,
-                    os.path.abspath(__file__),
-                    "--flagship-only",
-                    "--cores",
-                    str(cores),
-                    "--n-docs",
-                    str(n_docs),
-                ],
-                capture_output=True,
-                text=True,
-                check=True,
-            )
-            secs[cores] = float(r.stdout.strip().splitlines()[-1])
+        n_docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", 500_000_000))
+        secs: dict[int, float] = {}
+        ctrl: dict[int, float] = {}
+        for _pass in range(2):
+            for cores in (n, 4 * n):
+                r = subprocess.run(
+                    [
+                        sys.executable,
+                        os.path.abspath(__file__),
+                        "--flagship-only",
+                        "--cores",
+                        str(cores),
+                        "--n-docs",
+                        str(n_docs),
+                    ],
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                )
+                f_sec, c_sec = (
+                    float(v) for v in r.stdout.strip().splitlines()[-1].split()
+                )
+                secs[cores] = min(secs.get(cores, 1e18), f_sec)
+                ctrl[cores] = min(ctrl.get(cores, 1e18), c_sec)
         eff = (secs[n] / secs[4 * n]) / 4.0
+        ctrl_eff = (ctrl[n] / ctrl[4 * n]) / 4.0
         out["scaling"] = {
             "n_cores": n,
             "n_docs": n_docs,
             "docs_per_sec_n": round(n_docs / secs[n], 1),
             "docs_per_sec_4n": round(n_docs / secs[4 * n], 1),
             "efficiency": round(eff, 3),
+            "control_efficiency": round(ctrl_eff, 3),
+            "efficiency_vs_vm_ceiling": round(eff / ctrl_eff, 3) if ctrl_eff else None,
         }
 
     print(json.dumps(out))
+
+
+def _time_control(spark, cores: int, reps: int = 2) -> float:
+    """Embarrassingly-parallel pure-JVM control (sin-sum over a range):
+    its N->4N ratio measures what parallel speedup this host can give AT
+    ALL — the engine's efficiency is judged against this ceiling."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, cores * 2).select(
+            F.sin(F.col("id").cast("double")).alias("s")
+        ).agg(F.sum("s")).collect()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def _flagship_only(cores: int, n_docs: int) -> None:
@@ -175,9 +205,10 @@ def _flagship_only(cores: int, n_docs: int) -> None:
 
     spark = get_spark(cores=cores, shuffle_partitions=cores, app=f"flag-{cores}")
     spark.sparkContext.setLogLevel("ERROR")
-    sec = _time_flagship(spark, n_docs, cores, reps=5, agg="min")
+    sec = _time_flagship(spark, n_docs, cores, reps=2, agg="min")
+    ctrl = _time_control(spark, cores)
     spark.stop()
-    print(sec)
+    print(sec, ctrl)
 
 
 if __name__ == "__main__":

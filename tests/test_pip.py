@@ -89,3 +89,40 @@ def test_spans_preserved_through_clip(spark):
     docs = synth_docs(spark, 400)
     out = clip_points(derive.with_geometry(docs, "doc_num"), rect_layer())
     assert check_span_equality(docs, out) == 0
+
+
+def test_expr_and_arrow_strategies_agree(spark):
+    """The codegen expression path and the Arrow kernel path implement the
+    same semantics — every point, both part modes, exotic geometry."""
+    n = 800
+    docs = derive.with_geometry(synth_docs(spark, n), "doc_num").select(
+        "doc_num", (F.col("x") / 6.0).alias("x"), (F.col("y") / 6.0).alias("y")
+    )  # compress into the exotic layer's [0,170)x[0,70) neighbourhood
+    for layer in (rect_layer(), exotic_layer()):
+        for part_mode in ("last_wins", "shell_then_hole"):
+            e = {
+                r["doc_num"]
+                for r in clip_points(
+                    docs, layer, "semi", part_mode, strategy="expr"
+                ).select("doc_num").collect()
+            }
+            a = {
+                r["doc_num"]
+                for r in clip_points(
+                    docs, layer, "semi", part_mode, strategy="arrow"
+                ).select("doc_num").collect()
+            }
+            assert e == a, (part_mode, len(e), len(a))
+            te = {
+                (r["doc_num"], r["poly_fid"])
+                for r in tag_polygon(docs, layer, part_mode, strategy="expr").select(
+                    "doc_num", "poly_fid"
+                ).collect()
+            }
+            ta = {
+                (r["doc_num"], r["poly_fid"])
+                for r in tag_polygon(docs, layer, part_mode, strategy="arrow").select(
+                    "doc_num", "poly_fid"
+                ).collect()
+            }
+            assert te == ta

@@ -45,7 +45,9 @@ from whitebox_tools_spark.sources.vectors import PolygonFeature
 Mode = Literal["semi", "anti"]
 PartMode = Literal["last_wins", "shell_then_hole"]
 
-EXPR_MAX_VERTICES = 4096  # layers up to this inline into the plan ('expr')
+# layers up to this many total vertices inline into the plan ('expr');
+# beyond it the unrolled codegen method would exceed JIT-friendly size
+EXPR_MAX_VERTICES = 512
 
 
 # --------------------------------------------------- JVM expression path
@@ -57,26 +59,24 @@ def _inside_ring_col(x: F.Column, y: F.Column, ring: np.ndarray) -> F.Column:
     Bit-identical transcription of poly_ops.rs:21-72 / kernels.geometry:
     is_left = (bx-ax)*(py-ay) - (px-ax)*(by-ay); upward crossing with
     point strictly left -> +1, downward with point strictly right -> -1;
-    inside iff winding % 2 != 0 (edge points OUTSIDE)."""
-    edges = F.array(
-        *[
-            F.struct(
-                F.lit(float(ring[i, 0])).alias("ax"),
-                F.lit(float(ring[i, 1])).alias("ay"),
-                F.lit(float(ring[i + 1, 0])).alias("bx"),
-                F.lit(float(ring[i + 1, 1])).alias("by"),
-            )
-            for i in range(len(ring) - 1)
-        ]
-    )
+    inside iff winding % 2 != 0 (edge points OUTSIDE).
 
-    def contrib(acc, e):
-        il = (e["bx"] - e["ax"]) * (y - e["ay"]) - (x - e["ax"]) * (e["by"] - e["ay"])
-        up = (e["ay"] <= y) & (e["by"] > y) & (il > 0.0)
-        dn = (e["ay"] > y) & (e["by"] <= y) & (il < 0.0)
-        return acc + F.when(up, 1).when(dn, -1).otherwise(0)
-
-    wn = F.aggregate(edges, F.lit(0), contrib)
+    The fold is UNROLLED into a plain sum of per-edge expressions rather
+    than an ``aggregate`` higher-order function: HOFs materialize the
+    literal edge array per row (interpreted eval + per-row allocation),
+    which made the overlay GC-bound and anti-scale with thread count;
+    the unrolled form is pure whole-stage codegen with zero allocation."""
+    wn = None
+    for i in range(len(ring) - 1):
+        ax, ay = float(ring[i, 0]), float(ring[i, 1])
+        bx, by = float(ring[i + 1, 0]), float(ring[i + 1, 1])
+        il = (F.lit(bx) - F.lit(ax)) * (y - F.lit(ay)) - (x - F.lit(ax)) * (
+            F.lit(by) - F.lit(ay)
+        )
+        up = (F.lit(ay) <= y) & (F.lit(by) > y) & (il > 0.0)
+        dn = (F.lit(ay) > y) & (F.lit(by) <= y) & (il < 0.0)
+        term = F.when(up, 1).when(dn, -1).otherwise(0)
+        wn = term if wn is None else wn + term
     return F.pmod(wn, F.lit(2)) != 0
 
 
