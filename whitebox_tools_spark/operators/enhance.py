@@ -1,0 +1,225 @@
+"""Image enhancement (global-stats + cell-wise map) and image comparison
+statistics (SURVEY.md §2.6 enhancement block, §2.7 agreement block).
+
+Parity contracts:
+- MinMaxContrastStretch (image_analysis/min_max_contrast_stretch.rs:
+  335-345): z_out = floor((z - min_val)/range * num_tones) clamped to
+  [0, num_tones-1]; min/max are user clip values.
+- GammaCorrection (gamma_correction.rs:261): z_out = z^gamma.
+- SigmoidalContrastStretch (sigmoidal_contrast_stretch.rs:318-372):
+  x = (z - min)/range; a = 1/(1+exp(gain*cutoff));
+  b = 1/(1+exp(gain*(cutoff-1))) - a;
+  z_out = floor(clamp((1/(1+exp(gain*(cutoff-x))) - a)/b, 0, 1) * tones).
+  min/max default to the raster extremes (one agg pass, broadcast back).
+- OlympicFilter (olympic_filter.rs:318-345): window mean excluding ONE
+  min and ONE max occurrence: (sum - min - max)/(n - 2).
+- PercentileFilter (percentile_filter.rs:339-371): percentile of the
+  CENTER among window values (we compute the direct definition
+  n_less/n*100; the reference bins values first — Huang et al. 1979 —
+  which quantizes ties; engine-status, pytest-verified).
+- MajorityFilter: modal window value; reference tie order follows a
+  HashMap iteration (nondeterministic) — we break ties to the SMALLEST
+  value (documented deviation).
+- ImageCorrelation (math_stat_analysis/image_correlation.rs): Pearson r
+  over co-valid cells of two rasters.
+- RootMeanSquareError (root_mean_square_error.rs): sqrt(mean((a-b)^2)).
+- KappaIndex (kappa_index.rs): Cohen's kappa + overall accuracy from the
+  class contingency table.
+- Resample nearest-neighbour (image_analysis/resample.rs): target cell
+  center -> source (row, col) via the source transforms -> value.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from whitebox_tools_spark.operators.filters import _window_reduce
+from whitebox_tools_spark.operators.focal import focal_apply
+from whitebox_tools_spark.operators.gridding import GridConfig
+
+
+def _minmax(raster: DataFrame) -> tuple[float, float]:
+    r = raster.agg(F.min("value"), F.max("value")).collect()[0]
+    return float(r[0]), float(r[1])
+
+
+def min_max_contrast_stretch(
+    raster: DataFrame, min_val: float, max_val: float, num_tones: int = 256
+) -> DataFrame:
+    rng = max_val - min_val
+    z = F.floor((F.col("value") - F.lit(min_val)) / F.lit(rng) * F.lit(float(num_tones)))
+    z = F.greatest(F.lit(0.0), F.least(z.cast("double"), F.lit(float(num_tones - 1))))
+    return raster.select("row", "col", z.alias("value"))
+
+
+def gamma_correction(raster: DataFrame, gamma: float = 0.5) -> DataFrame:
+    return raster.select(
+        "row", "col", F.pow(F.col("value"), F.lit(float(gamma))).alias("value")
+    )
+
+
+def sigmoidal_contrast_stretch(
+    raster: DataFrame,
+    cutoff: float = 0.0,
+    gain: float = 1.0,
+    num_tones: int = 256,
+    min_val: float | None = None,
+    max_val: float | None = None,
+) -> DataFrame:
+    import math
+
+    if min_val is None or max_val is None:
+        min_val, max_val = _minmax(raster)
+    rng = max_val - min_val
+    a = 1.0 / (1.0 + math.exp(gain * cutoff))
+    b = 1.0 / (1.0 + math.exp(gain * (cutoff - 1.0))) - a
+    x = (F.col("value") - F.lit(min_val)) / F.lit(rng)
+    z = (F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(gain) * (F.lit(cutoff) - x))) - F.lit(a)) / F.lit(b)
+    z = F.greatest(F.lit(0.0), F.least(z, F.lit(1.0)))
+    z = F.floor(z * F.lit(float(num_tones))).cast("double")
+    return raster.select("row", "col", z.alias("value"))
+
+
+# ------------------------------------------------------- window variants
+
+
+def olympic_filter(
+    raster: DataFrame, cfg: GridConfig, filter_x: int = 3, filter_y: int = 3,
+    tile_size: int = 128,
+) -> DataFrame:
+    def fn(w):
+        s = np.nansum(w, axis=-1)
+        mn = np.nanmin(w, axis=-1)
+        mx = np.nanmax(w, axis=-1)
+        n = np.sum(~np.isnan(w), axis=-1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = (s - mn - mx) / (n - 2)
+        # windows with < 3 valid cells are undefined (the reference's
+        # deque math degenerates there); suppressed on both sides
+        return np.where(n > 2, out, np.nan)
+
+    def stencil(block, valid, base_r, base_c, cfg_):
+        return _window_reduce(block, valid, filter_y, filter_x, fn)
+
+    halo = max(filter_x // 2, filter_y // 2)
+    return focal_apply(raster, cfg, stencil, halo, tile_size)
+
+
+def percentile_filter(
+    raster: DataFrame, cfg: GridConfig, filter_x: int = 3, filter_y: int = 3,
+    tile_size: int = 128,
+) -> DataFrame:
+    def stencil(block, valid, base_r, base_c, cfg_):
+        mid_y, mid_x = filter_y // 2, filter_x // 2
+        pb = np.pad(block, ((mid_y, mid_y), (mid_x, mid_x)), constant_values=np.nan)
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        win = sliding_window_view(pb, (filter_y, filter_x)).reshape(
+            block.shape[0], block.shape[1], -1
+        )
+        with np.errstate(invalid="ignore"):
+            n = np.sum(~np.isnan(win), axis=-1)
+            n_less = np.sum(win < block[..., None], axis=-1)
+            out = n_less / n * 100.0
+        return np.where(valid, out, np.nan)
+
+    halo = max(filter_x // 2, filter_y // 2)
+    return focal_apply(raster, cfg, stencil, halo, tile_size)
+
+
+def majority_filter(
+    raster: DataFrame, cfg: GridConfig, filter_x: int = 3, filter_y: int = 3,
+    tile_size: int = 128,
+) -> DataFrame:
+    def fn(w):
+        s = np.sort(w, axis=-1)  # NaNs last; ties -> smallest value wins
+        best_val = s[..., 0].copy()
+        best_run = np.zeros(s.shape[:-1], dtype=np.int64)
+        run = np.ones(s.shape[:-1], dtype=np.int64)
+        cur = s[..., 0].copy()
+        best_run = np.where(~np.isnan(cur), 1, 0)
+        best_val = cur
+        for i in range(1, s.shape[-1]):
+            v = s[..., i]
+            same = ~np.isnan(v) & (v == cur)
+            run = np.where(same, run + 1, 1)
+            cur = np.where(np.isnan(v), cur, v)
+            better = ~np.isnan(v) & (run > best_run)
+            best_run = np.where(better, run, best_run)
+            best_val = np.where(better, v, best_val)
+        return np.where(best_run > 0, best_val, np.nan)
+
+    def stencil(block, valid, base_r, base_c, cfg_):
+        return _window_reduce(block, valid, filter_y, filter_x, fn)
+
+    halo = max(filter_x // 2, filter_y // 2)
+    return focal_apply(raster, cfg, stencil, halo, tile_size)
+
+
+# --------------------------------------------------- comparison statistics
+
+
+def image_correlation(a: DataFrame, b: DataFrame) -> DataFrame:
+    j = a.select("row", "col", F.col("value").alias("_a")).join(
+        b.select("row", "col", F.col("value").alias("_b")), ["row", "col"], "inner"
+    )
+    return j.agg(F.corr("_a", "_b").alias("r"), F.count(F.lit(1)).alias("n"))
+
+
+def rmse(a: DataFrame, b: DataFrame) -> DataFrame:
+    j = a.select("row", "col", F.col("value").alias("_a")).join(
+        b.select("row", "col", F.col("value").alias("_b")), ["row", "col"], "inner"
+    )
+    d = F.col("_a") - F.col("_b")
+    return j.agg(
+        F.sqrt(F.avg(d * d)).alias("rmse"),
+        F.avg(d).alias("mean_error"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def kappa_index(classes_a: DataFrame, classes_b: DataFrame) -> DataFrame:
+    """Cohen's kappa over co-located integer class rasters."""
+    j = (
+        classes_a.select("row", "col", F.round("value").cast("long").alias("ca"))
+        .join(
+            classes_b.select("row", "col", F.round("value").cast("long").alias("cb")),
+            ["row", "col"],
+            "inner",
+        )
+    )
+    n = j.count()
+    tab = j.groupBy("ca", "cb").agg(F.count(F.lit(1)).alias("cnt"))
+    agree = tab.where(F.col("ca") == F.col("cb")).agg(F.sum("cnt")).collect()[0][0] or 0
+    row_m = tab.groupBy("ca").agg(F.sum("cnt").alias("ra"))
+    col_m = tab.groupBy("cb").agg(F.sum("cnt").alias("cb_n"))
+    exp = (
+        row_m.join(col_m, row_m.ca == col_m.cb, "inner")
+        .agg(F.sum(F.col("ra") * F.col("cb_n")))
+        .collect()[0][0]
+        or 0
+    )
+    po = agree / n
+    pe = exp / (n * n)
+    kappa = (po - pe) / (1.0 - pe)
+    spark = classes_a.sparkSession
+    return spark.createDataFrame(
+        [(float(kappa), float(po), int(n))], "kappa double, overall_accuracy double, n long"
+    )
+
+
+def resample_nn(src: DataFrame, src_cfg: GridConfig, dst_cfg: GridConfig) -> DataFrame:
+    """Nearest-neighbour resample into the destination grid: target cell
+    center -> source (row, col) via the source transforms -> equi-join."""
+    from whitebox_tools_spark.operators.gridding import cell_centers
+    from whitebox_tools_spark.operators.raster import rowcol_cols
+
+    dst = cell_centers(src.sparkSession, dst_cfg)
+    srow, scol = rowcol_cols(src_cfg)
+    d = dst.withColumn("_sr", srow).withColumn("_sc", scol)
+    s = src.select(
+        F.col("row").alias("_sr"), F.col("col").alias("_sc"), F.col("value")
+    )
+    return d.join(s, ["_sr", "_sc"], "left").select("row", "col", "value")
