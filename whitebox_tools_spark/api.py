@@ -150,6 +150,7 @@ from whitebox_tools_spark import catalog_local as _cat_local  # noqa: E402
 from whitebox_tools_spark import catalog_iter as _cat_iter  # noqa: E402
 from whitebox_tools_spark import catalog_enhance as _cat_enh  # noqa: E402
 from whitebox_tools_spark import catalog_trend as _cat_trend  # noqa: E402
+from whitebox_tools_spark import catalog_cluster as _cat_cluster  # noqa: E402
 
 QUERIES.update(_cat_grid.QUERIES)
 QUERIES.update(_cat_focal.QUERIES)
@@ -160,6 +161,7 @@ QUERIES.update(_cat_local.QUERIES)
 QUERIES.update(_cat_iter.QUERIES)
 QUERIES.update(_cat_enh.QUERIES)
 QUERIES.update(_cat_trend.QUERIES)
+QUERIES.update(_cat_cluster.QUERIES)
 
 
 # ------------------------------------------------------------- oracle SQL
@@ -253,6 +255,7 @@ ORACLE_SQL.update(_cat_local.ORACLE_SQL)
 ORACLE_SQL.update(_cat_iter.ORACLE_SQL)
 ORACLE_SQL.update(_cat_enh.ORACLE_SQL)
 ORACLE_SQL.update(_cat_trend.ORACLE_SQL)
+ORACLE_SQL.update(_cat_cluster.ORACLE_SQL)
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
