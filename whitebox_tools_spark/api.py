@@ -151,6 +151,7 @@ from whitebox_tools_spark import catalog_iter as _cat_iter  # noqa: E402
 from whitebox_tools_spark import catalog_enhance as _cat_enh  # noqa: E402
 from whitebox_tools_spark import catalog_trend as _cat_trend  # noqa: E402
 from whitebox_tools_spark import catalog_cluster as _cat_cluster  # noqa: E402
+from whitebox_tools_spark import catalog_terrain as _cat_terr  # noqa: E402
 
 QUERIES.update(_cat_grid.QUERIES)
 QUERIES.update(_cat_focal.QUERIES)
@@ -162,6 +163,7 @@ QUERIES.update(_cat_iter.QUERIES)
 QUERIES.update(_cat_enh.QUERIES)
 QUERIES.update(_cat_trend.QUERIES)
 QUERIES.update(_cat_cluster.QUERIES)
+QUERIES.update(_cat_terr.QUERIES)
 
 
 # ------------------------------------------------------------- oracle SQL
@@ -256,6 +258,7 @@ ORACLE_SQL.update(_cat_iter.ORACLE_SQL)
 ORACLE_SQL.update(_cat_enh.ORACLE_SQL)
 ORACLE_SQL.update(_cat_trend.ORACLE_SQL)
 ORACLE_SQL.update(_cat_cluster.ORACLE_SQL)
+ORACLE_SQL.update(_cat_terr.ORACLE_SQL)
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
