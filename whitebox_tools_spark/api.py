@@ -152,6 +152,8 @@ from whitebox_tools_spark import catalog_enhance as _cat_enh  # noqa: E402
 from whitebox_tools_spark import catalog_trend as _cat_trend  # noqa: E402
 from whitebox_tools_spark import catalog_cluster as _cat_cluster  # noqa: E402
 from whitebox_tools_spark import catalog_terrain as _cat_terr  # noqa: E402
+from whitebox_tools_spark import catalog_filters2 as _cat_f2  # noqa: E402
+from whitebox_tools_spark import catalog_streams as _cat_str  # noqa: E402
 
 QUERIES.update(_cat_grid.QUERIES)
 QUERIES.update(_cat_focal.QUERIES)
@@ -164,6 +166,8 @@ QUERIES.update(_cat_enh.QUERIES)
 QUERIES.update(_cat_trend.QUERIES)
 QUERIES.update(_cat_cluster.QUERIES)
 QUERIES.update(_cat_terr.QUERIES)
+QUERIES.update(_cat_f2.QUERIES)
+QUERIES.update(_cat_str.QUERIES)
 
 
 # ------------------------------------------------------------- oracle SQL
@@ -259,6 +263,8 @@ ORACLE_SQL.update(_cat_enh.ORACLE_SQL)
 ORACLE_SQL.update(_cat_trend.ORACLE_SQL)
 ORACLE_SQL.update(_cat_cluster.ORACLE_SQL)
 ORACLE_SQL.update(_cat_terr.ORACLE_SQL)
+ORACLE_SQL.update(_cat_f2.ORACLE_SQL)
+ORACLE_SQL.update(_cat_str.ORACLE_SQL)
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
