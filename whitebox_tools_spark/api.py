@@ -155,6 +155,7 @@ from whitebox_tools_spark import catalog_terrain as _cat_terr  # noqa: E402
 from whitebox_tools_spark import catalog_filters2 as _cat_f2  # noqa: E402
 from whitebox_tools_spark import catalog_streams as _cat_str  # noqa: E402
 from whitebox_tools_spark import catalog_stats as _cat_stats  # noqa: E402
+from whitebox_tools_spark import catalog_hydro2 as _cat_h2  # noqa: E402
 
 QUERIES.update(_cat_grid.QUERIES)
 QUERIES.update(_cat_focal.QUERIES)
@@ -170,6 +171,7 @@ QUERIES.update(_cat_terr.QUERIES)
 QUERIES.update(_cat_f2.QUERIES)
 QUERIES.update(_cat_str.QUERIES)
 QUERIES.update(_cat_stats.QUERIES)
+QUERIES.update(_cat_h2.QUERIES)
 
 
 # ------------------------------------------------------------- oracle SQL
@@ -268,6 +270,7 @@ ORACLE_SQL.update(_cat_terr.ORACLE_SQL)
 ORACLE_SQL.update(_cat_f2.ORACLE_SQL)
 ORACLE_SQL.update(_cat_str.ORACLE_SQL)
 ORACLE_SQL.update(_cat_stats.ORACLE_SQL)
+ORACLE_SQL.update(_cat_h2.ORACLE_SQL)
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
