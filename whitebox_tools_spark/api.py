@@ -156,6 +156,11 @@ from whitebox_tools_spark import catalog_filters2 as _cat_f2  # noqa: E402
 from whitebox_tools_spark import catalog_streams as _cat_str  # noqa: E402
 from whitebox_tools_spark import catalog_stats as _cat_stats  # noqa: E402
 from whitebox_tools_spark import catalog_hydro2 as _cat_h2  # noqa: E402
+from whitebox_tools_spark import catalog_tin as _cat_tin  # noqa: E402
+from whitebox_tools_spark import catalog_shapes2 as _cat_sh2  # noqa: E402
+from whitebox_tools_spark import catalog_lidar as _cat_lidar  # noqa: E402
+from whitebox_tools_spark import catalog_terrain2 as _cat_t2  # noqa: E402
+from whitebox_tools_spark import catalog_color as _cat_col  # noqa: E402
 
 QUERIES.update(_cat_grid.QUERIES)
 QUERIES.update(_cat_focal.QUERIES)
@@ -172,6 +177,11 @@ QUERIES.update(_cat_f2.QUERIES)
 QUERIES.update(_cat_str.QUERIES)
 QUERIES.update(_cat_stats.QUERIES)
 QUERIES.update(_cat_h2.QUERIES)
+QUERIES.update(_cat_tin.QUERIES)
+QUERIES.update(_cat_sh2.QUERIES)
+QUERIES.update(_cat_lidar.QUERIES)
+QUERIES.update(_cat_t2.QUERIES)
+QUERIES.update(_cat_col.QUERIES)
 
 
 # ------------------------------------------------------------- oracle SQL
@@ -271,6 +281,11 @@ ORACLE_SQL.update(_cat_f2.ORACLE_SQL)
 ORACLE_SQL.update(_cat_str.ORACLE_SQL)
 ORACLE_SQL.update(_cat_stats.ORACLE_SQL)
 ORACLE_SQL.update(_cat_h2.ORACLE_SQL)
+ORACLE_SQL.update(_cat_tin.ORACLE_SQL)
+ORACLE_SQL.update(_cat_sh2.ORACLE_SQL)
+ORACLE_SQL.update(_cat_lidar.ORACLE_SQL)
+ORACLE_SQL.update(_cat_t2.ORACLE_SQL)
+ORACLE_SQL.update(_cat_col.ORACLE_SQL)
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
