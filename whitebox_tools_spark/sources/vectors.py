@@ -154,3 +154,70 @@ def layer_to_rows(layer: list[PolygonFeature]) -> list[dict]:
                 )
             )
     return rows
+
+
+# ------------------------------------------------------------ line fixture
+
+# Two deterministic polyline layers over the [0,1000)^2 domain for the
+# line-ops family (LineIntersections etc.): (seg_id, x1, y1, x2, y2).
+LINE_SPECS_1 = [
+    (1, 50.0, 50.0, 950.0, 900.0),
+    (2, 100.0, 800.0, 900.0, 100.0),
+    (3, 0.0, 500.0, 1000.0, 500.0),
+    (4, 480.0, 0.0, 520.0, 1000.0),
+]
+LINE_SPECS_2 = [
+    (1, 0.0, 0.0, 1000.0, 1000.0),
+    (2, 0.0, 1000.0, 1000.0, 0.0),
+    (3, 250.0, 100.0, 250.0, 950.0),
+    (4, 100.0, 250.0, 950.0, 250.0),
+]
+
+
+def line_layer_rows(specs) -> list[dict]:
+    return [
+        dict(seg_id=i, x1=x1, y1=y1, x2=x2, y2=y2) for i, x1, y1, x2, y2 in specs
+    ]
+
+
+def line_specs_sql(specs, name: str) -> str:
+    vals = ", ".join(
+        f"({i}, {x1!r}, {y1!r}, {x2!r}, {y2!r})" for i, x1, y1, x2, y2 in specs
+    )
+    return f"{name}(seg_id, x1, y1, x2, y2) AS (VALUES {vals})"
+
+
+# Overlay partner layer: rects offset against RECT_SPECS so pairs overlap
+# partially (clip windows are convex; disjoint within the layer).
+RECT_SPECS_B = [
+    (1, 200.0, 50.0, 550.0, 300.0, None),
+    (2, 350.0, 500.0, 700.0, 800.0, None),
+    (3, 100.0, 700.0, 260.0, 1000.0, None),
+]
+
+
+def rect_layer_b() -> list[PolygonFeature]:
+    return [
+        rect_feature(fid, xmin, ymin, xmax, ymax, hole=hole, zone=fid)
+        for fid, xmin, ymin, xmax, ymax, hole in RECT_SPECS_B
+    ]
+
+
+# Multi-vertex polyline paths for the line-editing family.
+LINE_PATHS = [
+    dict(seg_id=1, xs=[0.0, 100.0, 220.0, 300.0, 450.0],
+         ys=[0.0, 80.0, 60.0, 200.0, 180.0]),
+    dict(seg_id=2, xs=[500.0, 600.0, 640.0, 800.0],
+         ys=[900.0, 820.0, 700.0, 650.0]),
+]
+
+
+# Endpoint-sharing segments for MergeLineSegments: chains {1,2,3}, {4,5}, {6}.
+MERGE_SEGS = [
+    (1, 0.0, 0.0, 100.0, 50.0),
+    (2, 100.0, 50.0, 200.0, 80.0),
+    (3, 200.0, 80.0, 300.0, 90.0),
+    (4, 500.0, 500.0, 600.0, 510.0),
+    (5, 600.0, 510.0, 700.0, 530.0),
+    (6, 50.0, 900.0, 120.0, 950.0),
+]
