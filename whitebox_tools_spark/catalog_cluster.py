@@ -45,7 +45,8 @@ def _geo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _z_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return rop.points_to_raster(_geo(spark, sf_dir), GRID, assign="last")
+    from whitebox_tools_spark import catalog_cache as _cc
+    return _cc.z_last(spark, sf_dir)
 
 
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,11 +59,11 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_strahler(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = _z_raster(spark, sf_dir)
-    accum = hydro.d8_flow_accumulation(z, GRID, tile_size=TILE_SIZE)
+    from whitebox_tools_spark import catalog_cache as _cc2
+    accum = _cc2.accum(spark, sf_dir, TILE_SIZE)
     streams = trend.extract_streams(accum, ST_THRESHOLD)
-    dirs = focal_apply(z, GRID, _d8_dir_stencil(GRID, as_index=True), 1, TILE_SIZE).select(
-        "row", "col", F.col("value").cast("int").alias("dir")
-    )
+    from whitebox_tools_spark import catalog_cache as _cc3
+    dirs = _cc3.dirs(spark, sf_dir, TILE_SIZE)
     return strahler_order(streams, dirs, GRID, max_rounds=ST_ROUNDS).select(
         F.col("row").alias("cell_row"), F.col("col").alias("cell_col"), "value"
     )

@@ -31,7 +31,8 @@ def _geo(spark, sf_dir):
 
 
 def _z(spark, sf_dir):
-    return rop.points_to_raster(_geo(spark, sf_dir), GRID, assign="last")
+    from whitebox_tools_spark import catalog_cache as _cc
+    return _cc.z_last(spark, sf_dir)
 
 
 def _cost_inputs(spark, sf_dir):
@@ -64,9 +65,8 @@ def q_mass_flux(spark, sf_dir):
     absorb = rop.points_to_raster(geo, GRID, assign="first").select(
         "row", "col", (F.col("value") * 0.1).alias("value")
     )
-    dirs = focal_apply(z, GRID, _d8_dir_stencil(GRID, as_index=True), 1, TILE_SIZE).select(
-        "row", "col", F.col("value").cast("int").alias("dir")
-    )
+    from whitebox_tools_spark import catalog_cache as _cc3
+    dirs = _cc3.dirs(spark, sf_dir, TILE_SIZE)
     out = cop.d8_mass_flux(loading, eff, absorb, dirs, GRID, FLUX_ROUNDS)
     return out.select(
         F.col("row").alias("cell_row"), F.col("col").alias("cell_col"),
@@ -76,11 +76,11 @@ def q_mass_flux(spark, sf_dir):
 
 def _stream_graph(spark, sf_dir):
     z = _z(spark, sf_dir)
-    accum = hydro.d8_flow_accumulation(z, GRID, tile_size=TILE_SIZE)
+    from whitebox_tools_spark import catalog_cache as _cc2
+    accum = _cc2.accum(spark, sf_dir, TILE_SIZE)
     st = trend.extract_streams(accum, ST_THRESHOLD)
-    dirs = focal_apply(z, GRID, _d8_dir_stencil(GRID, as_index=True), 1, TILE_SIZE).select(
-        "row", "col", F.col("value").cast("int").alias("dir")
-    )
+    from whitebox_tools_spark import catalog_cache as _cc3
+    dirs = _cc3.dirs(spark, sf_dir, TILE_SIZE)
     return z, st, dirs
 
 

@@ -28,7 +28,8 @@ def _geo(spark, sf_dir):
 
 
 def _z(spark, sf_dir):
-    return rop.points_to_raster(_geo(spark, sf_dir), GRID, assign="last")
+    from whitebox_tools_spark import catalog_cache as _cc
+    return _cc.z_last(spark, sf_dir)
 
 
 def _cls(spark, sf_dir, assign):

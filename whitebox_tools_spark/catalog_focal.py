@@ -38,7 +38,8 @@ def _docs_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _raster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return rop.points_to_raster(_docs_geo(spark, sf_dir), GRID, assign="last")
+    from whitebox_tools_spark import catalog_cache as _cc
+    return _cc.z_last(spark, sf_dir)
 
 
 def _aliased(df: DataFrame, round6: bool = True) -> DataFrame:

@@ -36,12 +36,14 @@ _LENS = [_DIAG, GRID.res_x, _DIAG, GRID.res_y, _DIAG, GRID.res_x, _DIAG, GRID.re
 
 def _z(spark: SparkSession, sf_dir: str) -> DataFrame:
     geo = derive.with_geometry(documents(spark, sf_dir), "doc_id")
-    return rop.points_to_raster(geo, GRID, assign="last")
+    from whitebox_tools_spark import catalog_cache as _cc
+    return _cc.z_last(spark, sf_dir)
 
 
 def _streams(spark, sf_dir):
     z = _z(spark, sf_dir)
-    accum = hydro.d8_flow_accumulation(z, GRID, tile_size=TILE_SIZE)
+    from whitebox_tools_spark import catalog_cache as _cc4
+    accum = _cc4.accum(spark, sf_dir, TILE_SIZE)
     return trend.extract_streams(accum, ST_THRESHOLD)
 
 

@@ -33,12 +33,14 @@ _LEN_ARR = "[" + ",".join(repr(v) for v in _LENS) + "]"
 
 def _z(spark, sf_dir):
     geo = derive.with_geometry(documents(spark, sf_dir), "doc_id")
-    return rop.points_to_raster(geo, GRID, assign="last")
+    from whitebox_tools_spark import catalog_cache as _cc
+    return _cc.z_last(spark, sf_dir)
 
 
 def _streams(spark, sf_dir):
     z = _z(spark, sf_dir)
-    accum = hydro.d8_flow_accumulation(z, GRID, tile_size=TILE_SIZE)
+    from whitebox_tools_spark import catalog_cache as _cc2
+    accum = _cc2.accum(spark, sf_dir, TILE_SIZE)
     return trend.extract_streams(accum, ST_THRESHOLD)
 
 

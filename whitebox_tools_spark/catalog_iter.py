@@ -25,7 +25,8 @@ def _geo(spark, sf_dir):
 
 
 def _z_raster(spark, sf_dir):
-    return rop.points_to_raster(_geo(spark, sf_dir), GRID, assign="last")
+    from whitebox_tools_spark import catalog_cache as _cc
+    return _cc.z_last(spark, sf_dir)
 
 
 def _cls_raster(spark, sf_dir):

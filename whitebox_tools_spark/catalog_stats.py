@@ -31,7 +31,8 @@ def _geo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _last(spark, sf_dir):
-    return rop.points_to_raster(_geo(spark, sf_dir), GRID, assign="last")
+    from whitebox_tools_spark import catalog_cache as _cc
+    return _cc.z_last(spark, sf_dir)
 
 
 def _first(spark, sf_dir):

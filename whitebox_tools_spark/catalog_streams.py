@@ -32,12 +32,13 @@ _LENS = [_DIAG, GRID.res_x, _DIAG, GRID.res_y, _DIAG, GRID.res_x, _DIAG, GRID.re
 
 def _graph(spark: SparkSession, sf_dir: str):
     geo = derive.with_geometry(documents(spark, sf_dir), "doc_id")
-    z = rop.points_to_raster(geo, GRID, assign="last")
-    accum = hydro.d8_flow_accumulation(z, GRID, tile_size=TILE_SIZE)
+    from whitebox_tools_spark import catalog_cache as _cc5
+    z = _cc5.z_last(spark, sf_dir)
+    from whitebox_tools_spark import catalog_cache as _cc2
+    accum = _cc2.accum(spark, sf_dir, TILE_SIZE)
     st = trend.extract_streams(accum, ST_THRESHOLD)
-    dirs = focal_apply(z, GRID, _d8_dir_stencil(GRID, as_index=True), 1, TILE_SIZE).select(
-        "row", "col", F.col("value").cast("int").alias("dir")
-    )
+    from whitebox_tools_spark import catalog_cache as _cc3
+    dirs = _cc3.dirs(spark, sf_dir, TILE_SIZE)
     return st, dirs
 
 

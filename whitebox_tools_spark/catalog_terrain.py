@@ -35,7 +35,8 @@ def _geo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _z(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return rop.points_to_raster(_geo(spark, sf_dir), GRID, assign="last")
+    from whitebox_tools_spark import catalog_cache as _cc
+    return _cc.z_last(spark, sf_dir)
 
 
 def _aliased(df: DataFrame, round6: bool = True) -> DataFrame:
@@ -105,7 +106,8 @@ def q_elev_rel_minmax(spark, sf_dir):
 
 def _sca_slope(spark, sf_dir):
     z = _z(spark, sf_dir)
-    sca = hydro.d8_flow_accumulation(z, GRID, tile_size=TILE_SIZE)
+    from whitebox_tools_spark import catalog_cache as _cc4
+    sca = _cc4.accum(spark, sf_dir, TILE_SIZE)
     sl = focal.slope(z, GRID, tile_size=TILE_SIZE)
     return sca, sl
 

@@ -26,16 +26,17 @@ HYP_BINS = 20
 
 def _z(spark: SparkSession, sf_dir: str) -> DataFrame:
     geo = derive.with_geometry(documents(spark, sf_dir), "doc_id")
-    return rop.points_to_raster(geo, GRID, assign="last")
+    from whitebox_tools_spark import catalog_cache as _cc
+    return _cc.z_last(spark, sf_dir)
 
 
 def _dirs_streams(spark, sf_dir):
     z = _z(spark, sf_dir)
-    accum = hydro.d8_flow_accumulation(z, GRID, tile_size=TILE_SIZE)
+    from whitebox_tools_spark import catalog_cache as _cc2
+    accum = _cc2.accum(spark, sf_dir, TILE_SIZE)
     st = trend.extract_streams(accum, ST_THRESHOLD)
-    dirs = focal_apply(z, GRID, _d8_dir_stencil(GRID, as_index=True), 1, TILE_SIZE).select(
-        "row", "col", F.col("value").cast("int").alias("dir")
-    )
+    from whitebox_tools_spark import catalog_cache as _cc3
+    dirs = _cc3.dirs(spark, sf_dir, TILE_SIZE)
     return dirs, st
 
 

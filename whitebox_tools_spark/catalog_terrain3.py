@@ -28,7 +28,8 @@ PI = math.pi
 
 def _z(spark, sf_dir):
     geo = derive.with_geometry(documents(spark, sf_dir), "doc_id")
-    return rop.points_to_raster(geo, GRID, assign="last")
+    from whitebox_tools_spark import catalog_cache as _cc
+    return _cc.z_last(spark, sf_dir)
 
 
 def _aliased(df: DataFrame, round6: bool = False) -> DataFrame:

@@ -43,8 +43,10 @@ def q_radius_of_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_extract_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    z = rop.points_to_raster(_geo(spark, sf_dir), GRID, assign="last")
-    accum = hydro.d8_flow_accumulation(z, GRID, tile_size=TILE_SIZE)
+    from whitebox_tools_spark import catalog_cache as _cc5
+    z = _cc5.z_last(spark, sf_dir)
+    from whitebox_tools_spark import catalog_cache as _cc4
+    accum = _cc4.accum(spark, sf_dir, TILE_SIZE)
     out = trend.extract_streams(accum, STREAM_T)
     return out.select(
         F.col("row").alias("cell_row"), F.col("col").alias("cell_col"), "value"
