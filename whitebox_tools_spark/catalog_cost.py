@@ -124,8 +124,10 @@ def q_elev_rel_watershed(spark, sf_dir):
 
 
 def q_line_intersections(spark, sf_dir):
-    l1 = spark.createDataFrame(vectors.line_layer_rows(vectors.LINE_SPECS_1))
-    l2 = spark.createDataFrame(vectors.line_layer_rows(vectors.LINE_SPECS_2))
+    # tiny fixture frames: one partition keeps the non-equi join from
+    # fanning out into hundreds of empty tasks
+    l1 = spark.createDataFrame(vectors.line_layer_rows(vectors.LINE_SPECS_1)).coalesce(1)
+    l2 = spark.createDataFrame(vectors.line_layer_rows(vectors.LINE_SPECS_2)).coalesce(1)
     return cop.line_intersections(l1, l2).select(
         "s1", "s2", F.round("x", 6).alias("x"), F.round("y", 6).alias("y")
     )

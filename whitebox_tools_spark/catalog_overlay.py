@@ -22,15 +22,15 @@ EXTEND_D = 25.0
 
 
 def _layer_a(spark):
-    return spark.createDataFrame(vectors.layer_to_rows(vectors.rect_layer()))
+    return spark.createDataFrame(vectors.layer_to_rows(vectors.rect_layer())).coalesce(1)
 
 
 def _layer_b(spark):
-    return spark.createDataFrame(vectors.layer_to_rows(vectors.rect_layer_b()))
+    return spark.createDataFrame(vectors.layer_to_rows(vectors.rect_layer_b())).coalesce(1)
 
 
 def _paths(spark):
-    return spark.createDataFrame(vectors.LINE_PATHS)
+    return spark.createDataFrame(vectors.LINE_PATHS).coalesce(1)
 
 
 def q_overlay(spark, sf_dir):
@@ -70,8 +70,8 @@ def q_merge(spark, sf_dir):
 
 
 def q_split(spark, sf_dir):
-    l1 = spark.createDataFrame(vectors.line_layer_rows(vectors.LINE_SPECS_1))
-    l2 = spark.createDataFrame(vectors.line_layer_rows(vectors.LINE_SPECS_2))
+    l1 = spark.createDataFrame(vectors.line_layer_rows(vectors.LINE_SPECS_1)).coalesce(1)
+    l2 = spark.createDataFrame(vectors.line_layer_rows(vectors.LINE_SPECS_2)).coalesce(1)
     return vo.split_with_lines(l1, l2).select(
         "s1", "piece", F.round("length", 6).alias("length")
     )
