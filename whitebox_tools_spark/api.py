@@ -167,6 +167,7 @@ from whitebox_tools_spark import catalog_terrain3 as _cat_t3  # noqa: E402
 from whitebox_tools_spark import catalog_hydro3 as _cat_h3  # noqa: E402
 from whitebox_tools_spark import catalog_overlay as _cat_ov  # noqa: E402
 from whitebox_tools_spark import catalog_misc2 as _cat_m2  # noqa: E402
+from whitebox_tools_spark import catalog_misc3 as _cat_m3  # noqa: E402
 
 QUERIES.update(_cat_grid.QUERIES)
 QUERIES.update(_cat_focal.QUERIES)
@@ -194,6 +195,7 @@ QUERIES.update(_cat_t3.QUERIES)
 QUERIES.update(_cat_h3.QUERIES)
 QUERIES.update(_cat_ov.QUERIES)
 QUERIES.update(_cat_m2.QUERIES)
+QUERIES.update(_cat_m3.QUERIES)
 
 
 # ------------------------------------------------------------- oracle SQL
@@ -304,6 +306,7 @@ ORACLE_SQL.update(_cat_t3.ORACLE_SQL)
 ORACLE_SQL.update(_cat_h3.ORACLE_SQL)
 ORACLE_SQL.update(_cat_ov.ORACLE_SQL)
 ORACLE_SQL.update(_cat_m2.ORACLE_SQL)
+ORACLE_SQL.update(_cat_m3.ORACLE_SQL)
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
