@@ -169,6 +169,7 @@ from whitebox_tools_spark import catalog_overlay as _cat_ov  # noqa: E402
 from whitebox_tools_spark import catalog_misc2 as _cat_m2  # noqa: E402
 from whitebox_tools_spark import catalog_misc3 as _cat_m3  # noqa: E402
 from whitebox_tools_spark import catalog_dinf as _cat_di  # noqa: E402
+from whitebox_tools_spark import catalog_misc4 as _cat_m4  # noqa: E402
 
 QUERIES.update(_cat_grid.QUERIES)
 QUERIES.update(_cat_focal.QUERIES)
@@ -198,6 +199,7 @@ QUERIES.update(_cat_ov.QUERIES)
 QUERIES.update(_cat_m2.QUERIES)
 QUERIES.update(_cat_m3.QUERIES)
 QUERIES.update(_cat_di.QUERIES)
+QUERIES.update(_cat_m4.QUERIES)
 
 
 # ------------------------------------------------------------- oracle SQL
@@ -310,6 +312,7 @@ ORACLE_SQL.update(_cat_ov.ORACLE_SQL)
 ORACLE_SQL.update(_cat_m2.ORACLE_SQL)
 ORACLE_SQL.update(_cat_m3.ORACLE_SQL)
 ORACLE_SQL.update(_cat_di.ORACLE_SQL)
+ORACLE_SQL.update(_cat_m4.ORACLE_SQL)
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
