@@ -59,3 +59,24 @@ class TestPlans:
         df = documents(spark, SF_DIR).where(F.col("doc_id") < 100).select("doc_id")
         plan = _plan(df)
         assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan, plan
+
+    def test_bbox_joins_are_equijoins(self, spark):
+        """The overlay / segment-intersection family must plan as hash
+        equi-joins on the grid-cell key — never BroadcastNestedLoopJoin
+        or CartesianProduct (the round-1 scale hazard)."""
+        from whitebox_tools_spark.operators import cost as cop
+        from whitebox_tools_spark.operators import vector_ops as vo
+        from whitebox_tools_spark.sources import vectors
+
+        la = spark.createDataFrame(vectors.layer_to_rows(vectors.rect_layer()))
+        lb = spark.createDataFrame(vectors.layer_to_rows(vectors.rect_layer_b()))
+        l1 = spark.createDataFrame(vectors.line_layer_rows(vectors.LINE_SPECS_1))
+        l2 = spark.createDataFrame(vectors.line_layer_rows(vectors.LINE_SPECS_2))
+        for df in (
+            vo.polygon_overlay_areas(la, lb),
+            cop.line_intersections(l1, l2),
+            vo.split_with_lines(l1, l2),
+        ):
+            plan = _plan(df)
+            assert "BroadcastNestedLoopJoin" not in plan, plan
+            assert "CartesianProduct" not in plan, plan

@@ -258,3 +258,89 @@ SELECT doc_id,
 FROM documents
 """,
 }
+
+
+EMB_NEARDUP_T = 0.2
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB ANN path (band-bucket join + exact re-rank) under the
+    SAME deterministic hyperplanes as the SQL oracle — approximate by
+    design vs brute force, exact vs its own contract."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.pmod("vec_id", F.lit(ANN_QMOD)) == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = ann.lsh_topk(emb, queries, k=ANN_K)
+    return out.select(
+        "qid", "vec_id", F.round("cos", 6).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    out = ann.embedding_near_dup_pairs(emb, threshold=EMB_NEARDUP_T)
+    return out.select("a", "b", F.round("cos", 6).alias("cos"))
+
+
+QUERIES["lsh_topk"] = q_lsh_topk
+QUERIES["embed_near_dup"] = q_embed_near_dup
+
+
+def _sig_sql(v: str) -> str:
+    """The Spark lsh_signature as SQL: same deterministic planes inlined
+    as literals, same left-fold dot, same >=0 sign rule."""
+    terms = []
+    for pnum, plane in enumerate(ann._hyperplanes()):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        d = f"list_sum(list_transform(range(1, {ann.DIM + 1}), i -> {v}[i] * {arr}[i]))"
+        terms.append(
+            f"(CASE WHEN {d} >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {pnum})"
+        )
+    return " + ".join(terms)
+
+
+_BITS_PER_BAND = ann.LSH_BITS // ann.LSH_BANDS
+_BAND_MASK = (1 << _BITS_PER_BAND) - 1
+
+_SIG_CTES = f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS nrm FROM e),
+s AS (SELECT vec_id, v, nrm, {_sig_sql('v')} AS sig FROM n),
+bands AS (SELECT vec_id, v, nrm, i,
+                 (sig >> (i * {_BITS_PER_BAND})) & {_BAND_MASK} AS bk
+          FROM s, range(0, {ann.LSH_BANDS}) t(i))"""
+
+ORACLE_SQL["lsh_topk"] = f"""
+WITH {_SIG_CTES},
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, i, bk FROM bands
+      WHERE vec_id % {ANN_QMOD} = 0),
+cand AS (SELECT DISTINCT q.qid, c.vec_id
+         FROM q JOIN bands c ON q.i = c.i AND q.bk = c.bk
+         WHERE q.qid <> c.vec_id),
+p AS (SELECT cand.qid, cand.vec_id,
+             list_sum(list_transform(range(1, {ann.DIM + 1}),
+                                     i -> qn.v[i] * cn.v[i]))
+               / (sqrt(qn.nrm) * sqrt(cn.nrm)) AS cosr
+      FROM cand JOIN n qn ON qn.vec_id = cand.qid
+                JOIN n cn ON cn.vec_id = cand.vec_id),
+r AS (SELECT qid, vec_id, cosr,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cosr DESC, vec_id)
+                  AS INT) AS rank
+      FROM p)
+SELECT qid, vec_id, round(cosr, 6) AS cos, rank FROM r WHERE rank <= {ANN_K}
+"""
+
+ORACLE_SQL["embed_near_dup"] = f"""
+WITH {_SIG_CTES},
+cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+         FROM bands l JOIN bands r ON l.i = r.i AND l.bk = r.bk
+         WHERE l.vec_id < r.vec_id),
+p AS (SELECT cand.a, cand.b,
+             list_sum(list_transform(range(1, {ann.DIM + 1}),
+                                     i -> an.v[i] * bn.v[i]))
+               / (sqrt(an.nrm) * sqrt(bn.nrm)) AS cosr
+      FROM cand JOIN n an ON an.vec_id = cand.a
+                JOIN n bn ON bn.vec_id = cand.b)
+SELECT a, b, round(cosr, 6) AS cos FROM p WHERE cosr >= {EMB_NEARDUP_T!r}
+"""

@@ -48,10 +48,11 @@ QUERIES = {
 
 
 def _fag_sql() -> str:
-    wl, wu, m = m5.fag_sizes(FAG_SIGMA)
+    wl, wu, m = m5.fag_sizes(max(FAG_SIGMA, 1.8))
     blocks = ["r0 AS MATERIALIZED (SELECT cell_row, cell_col, value FROM r)"]
     for i in range(1, 6):
-        w = wl if (i - 1) < m else wu
+        # reference pass rule: wl while iteration_num <= m (m+1 wl passes)
+        w = wl if (i - 1) <= m else wu
         mid = w // 2
         blocks.append(f"""mn{i} AS (SELECT min(value) AS m FROM r{i-1}),
 of{i} AS (SELECT a.i - {mid} AS dr, b.i - {mid} AS dc

@@ -126,7 +126,14 @@ class Pipeline:
         fps: dict[str, str] = {"source": source_fingerprint}
         last: DataFrame | None = None
         for stage in self.stages:
-            input_fps = {i: fps[i] for i in (stage.inputs or ["source"]) if i in fps}
+            missing = [i for i in (stage.inputs or ["source"]) if i not in fps]
+            if missing:
+                raise KeyError(
+                    f"stage {stage.name!r}: inputs {missing} not produced by any "
+                    "earlier stage (typo or forward reference) — refusing to "
+                    "fingerprint without them"
+                )
+            input_fps = {i: fps[i] for i in (stage.inputs or ["source"])}
             expect = self._expected_fingerprint(stage, input_fps)
             manifest = self.read_manifest(stage.name)
             if manifest and manifest["fingerprint"] == expect:

@@ -225,27 +225,34 @@ def elev_relative_to_watershed_minmax(
 # -------------------------------------------------- line intersections
 
 
-def line_intersections(l1: DataFrame, l2: DataFrame) -> DataFrame:
+def line_intersections(
+    l1: DataFrame, l2: DataFrame, cell: float | None = None
+) -> DataFrame:
     """LineIntersections (gis_analysis/line_intersections.rs): exact
     intersection points of segment pairs from two line layers
     (parametric cross-product solve; collinear overlaps excluded).
-    Inputs: (seg_id, x1, y1, x2, y2)."""
-    a = l1.select(
-        F.col("seg_id").alias("s1"),
-        F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
-        F.col("x2").alias("ax2"), F.col("y2").alias("ay2"),
+    Inputs: (seg_id, x1, y1, x2, y2). Candidate pairs via the grid-cell
+    bbox EQUI-join (operators/bbox_join.py), not a theta-join."""
+    from whitebox_tools_spark.operators.bbox_join import bbox_join, segment_bbox
+
+    a = segment_bbox(
+        l1.select(
+            F.col("seg_id").alias("s1"),
+            F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
+            F.col("x2").alias("ax2"), F.col("y2").alias("ay2"),
+        ),
+        "ax1", "ay1", "ax2", "ay2", prefix="a",
     )
-    b = l2.select(
-        F.col("seg_id").alias("s2"),
-        F.col("x1").alias("bx1"), F.col("y1").alias("by1"),
-        F.col("x2").alias("bx2"), F.col("y2").alias("by2"),
+    b = segment_bbox(
+        l2.select(
+            F.col("seg_id").alias("s2"),
+            F.col("x1").alias("bx1"), F.col("y1").alias("by1"),
+            F.col("x2").alias("bx2"), F.col("y2").alias("by2"),
+        ),
+        "bx1", "by1", "bx2", "by2", prefix="b",
     )
-    j = a.join(
-        b,
-        (F.least("ax1", "ax2") <= F.greatest("bx1", "bx2"))
-        & (F.greatest("ax1", "ax2") >= F.least("bx1", "bx2"))
-        & (F.least("ay1", "ay2") <= F.greatest("by1", "by2"))
-        & (F.greatest("ay1", "ay2") >= F.least("by1", "by2")),
+    j = bbox_join(a, b, cell=cell).drop(
+        "axmin", "aymin", "axmax", "aymax", "bxmin", "bymin", "bxmax", "bymax"
     )
     rx = F.col("ax2") - F.col("ax1")
     ry = F.col("ay2") - F.col("ay1")

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from whitebox_tools_spark.operators.gridding import GridConfig
+from whitebox_tools_spark.operators.gridding import GridConfig, _warn_nonconverged
 from whitebox_tools_spark.operators.graph import connected_components
 
 # neighbour order shared by the D8 family (d8_pointer.rs:235-236)
@@ -260,6 +260,8 @@ def d8_flow_accumulation(
         acc = new_acc
         if changed == 0:
             break
+    else:
+        _warn_nonconverged("d8_flow_accumulation", max_rounds)
     return nodes.join(acc, "id").select("row", "col", F.col("acc").alias("value"))
 
 
@@ -338,6 +340,8 @@ def watershed(
         state = new_state
         if remaining == 0:
             break
+    else:
+        _warn_nonconverged("watershed", max_rounds)
     return state.where(F.col("label").isNotNull()).select(
         "row", "col", F.col("label").alias("value")
     )

@@ -24,12 +24,12 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+import numpy as np
+
 from whitebox_tools_spark.operators.focal import focal_apply
 from whitebox_tools_spark.operators.graph import connected_components
-from whitebox_tools_spark.operators.gridding import GridConfig
+from whitebox_tools_spark.operators.gridding import GridConfig, _warn_nonconverged
 from whitebox_tools_spark.operators.hydro import D8_DX, D8_DY, _d8_dir_stencil
-
-import numpy as np
 
 
 def _lens(cfg: GridConfig):
@@ -206,6 +206,8 @@ def fill_depressions(
         w = nxt
         if changed == 0:
             break
+    else:
+        _warn_nonconverged("fill_depressions", max_rounds)
     return w.select("row", "col", F.col("w").alias("value"))
 
 
@@ -338,6 +340,8 @@ def fd8_flow_accumulation(
         acc = nxt
         if changed == 0:
             break
+    else:
+        _warn_nonconverged("fd8_flow_accumulation", max_rounds)
     return cells.join(acc, "id").select("row", "col", F.col("val").alias("value"))
 
 
@@ -365,6 +369,8 @@ def _upstream_len_fixpoint(nodes, edges, init_lit, agg_fn, max_rounds=100):
         cur = nxt
         if changed == 0:
             break
+    else:
+        _warn_nonconverged("_upstream_len_fixpoint", max_rounds)
     return cur
 
 

@@ -29,13 +29,18 @@ def fast_almost_gaussian(
 ) -> DataFrame:
     """FastAlmostGaussianFilter: n=5 successive box (mean) passes with
     the MeanFilter clamped-integral semantics; each pass recomputes its
-    own raster minimum, like chaining the reference tool."""
+    own raster minimum, like chaining the reference tool.
+
+    Pass selection matches the reference exactly
+    (fast_almost_gaussian_filter.rs:191-193 sigma clamp to >=1.8;
+    :244-253 'iteration_num <= m' -> m+1 passes of wl, rest wu)."""
     from whitebox_tools_spark.operators.focal import mean_filter
 
+    sigma = max(sigma, 1.8)
     wl, wu, m = fag_sizes(sigma)
     out = raster
     for i in range(5):
-        w = wl if i < m else wu
+        w = wl if i <= m else wu
         out = mean_filter(out, cfg, w, w, tile_size=tile_size).localCheckpoint(
             eager=True
         )

@@ -33,7 +33,9 @@ def stream_graph(streams: DataFrame, dirs: DataFrame, cfg: GridConfig):
     (grid_lengths, e.g. dist_to_outlet.rs:336)."""
     diag = math.sqrt(cfg.res_x * cfg.res_x + cfg.res_y * cfg.res_y)
     lens = [diag, cfg.res_x, diag, cfg.res_y, diag, cfg.res_x, diag, cfg.res_y]
-    s = streams.where(F.col("value") == 1.0).select("row", "col")
+    # reference stream tools treat ANY positive value as a stream cell
+    # (streams > 0.0) — stream rasters may hold link ids or orders
+    s = streams.where(F.col("value") > 0.0).select("row", "col")
     cells = s.join(dirs, ["row", "col"], "inner")
     cid = (F.col("row") * cfg.cols + F.col("col")).alias("id")
     nodes = cells.select("row", "col", cid, "dir").localCheckpoint(eager=True)

@@ -62,10 +62,17 @@ def _isect(px, py, qx, qy, ax, ay, bx, by):
     return (px + t * dx, py + t * dy)
 
 
-def polygon_overlay_areas(layer_a: DataFrame, layer_b: DataFrame) -> DataFrame:
+def polygon_overlay_areas(
+    layer_a: DataFrame, layer_b: DataFrame, cell: float | None = None
+) -> DataFrame:
     """Intersection area of every (shell_a, shell_b) part pair whose
     bboxes overlap — the Clip / Intersect area core. Inputs: the
-    relational layer form (fid, part, is_hole, xs, ys, bbox cols)."""
+    relational layer form (fid, part, is_hole, xs, ys, bbox cols).
+
+    Candidate pairs come from the grid-cell bbox EQUI-join
+    (operators/bbox_join.py) — never a nested-loop theta-join."""
+    from whitebox_tools_spark.operators.bbox_join import bbox_join
+
     a = layer_a.where(~F.col("is_hole")).select(
         F.col("fid").alias("fid_a"), F.col("xs").alias("xs_a"), F.col("ys").alias("ys_a"),
         F.col("xmin").alias("axmin"), F.col("ymin").alias("aymin"),
@@ -76,11 +83,7 @@ def polygon_overlay_areas(layer_a: DataFrame, layer_b: DataFrame) -> DataFrame:
         F.col("xmin").alias("bxmin"), F.col("ymin").alias("bymin"),
         F.col("xmax").alias("bxmax"), F.col("ymax").alias("bymax"),
     )
-    j = a.join(
-        b,
-        (F.col("axmin") <= F.col("bxmax")) & (F.col("axmax") >= F.col("bxmin"))
-        & (F.col("aymin") <= F.col("bymax")) & (F.col("aymax") >= F.col("bymin")),
-    )
+    j = bbox_join(a, b, cell=cell)
 
     schema = T.StructType(
         [
