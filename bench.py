@@ -62,6 +62,30 @@ def _time_flagship(
     return times[0] if agg == "min" else times[len(times) // 2]
 
 
+# Headline subset: one representative per operator family plus every
+# round-1 slow query (so per-round BENCH files show the fixes), sized so
+# the final JSON line stays well under the driver's 2000-char tail
+# capture. `--queries all` still runs the full 248-query catalog.
+HEADLINE = [
+    # flagship core: tiling / PIP / neighbour joins / gridding
+    "tile_assign", "clip_semi", "tag_polygon", "radius_join", "knn_join",
+    "idw_grid", "block_max",
+    # raster <-> vector + focal/terrain/zonal
+    "points_raster_last", "raster_to_points", "extract_values",
+    "slope", "mean_filter", "hillshade", "zonal_stats", "hex_bin",
+    # hydrology / streams (iterative families)
+    "d8_flow_accum", "fill_depressions", "basins", "watershed",
+    "strahler_order", "stream_link_id", "dinf_flow_accum",
+    # round-1 slow set (theta-joins, collects) — regression watch
+    "polygon_overlay", "dissolve", "split_with_lines", "line_intersections",
+    "burn_streams_at_roads", "viewshed", "euclidean_distance",
+    "narrowness_index", "lidar_segmentation_filter", "cost_pathway",
+    # LLM-pipeline ops
+    "exact_dedup", "minhash_pairs", "simhash_pairs", "token_stats",
+    "quality", "lang_id", "ann_topk", "lsh_topk", "media_meta",
+]
+
+
 def _run_suite(
     sf_dir: str,
     cores: int,
@@ -74,7 +98,12 @@ def _run_suite(
     spark = get_spark(cores=cores, shuffle_partitions=cores, app=f"bench-{cores}")
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = queries if queries is not None else list(api.QUERIES)
+    if queries == ["all"]:
+        names = list(api.QUERIES)
+    elif queries is not None:
+        names = queries
+    else:
+        names = [q for q in HEADLINE if q in api.QUERIES]
     per_query: dict[str, float] = {}
     t_all = time.perf_counter()
     for name in names:

@@ -201,8 +201,6 @@ def _faw_sql() -> str:
     # fill chain ending in a CTE named rf, then D8 dirs/accum on rf
     fill_part = _fill_sql("")
     fill_part = fill_part.rsplit("\n", 1)[0].rstrip()
-    if fill_part.endswith(")"):
-        pass
     dirs = _d8_dir_sql().lstrip().replace("FROM r c", "FROM rf c").replace(
         "LEFT JOIN r n", "LEFT JOIN rf n"
     )

@@ -280,3 +280,119 @@ ORACLE_SQL = {
     "split_with_lines": _split_sql(),
     "narrowness_index": _narrow_sql(),
 }
+
+
+# ------------------------------------------ overlay GEOMETRY queries
+
+_GEOM_COLS = "fid_a, fid_b, part, is_hole, vi, x, y"
+
+
+def _geom_vertex_rows(df):
+    """Explode canonical rings to vertex rows for row-comparable output."""
+    z = F.posexplode(F.arrays_zip("xs", "ys"))
+    return df.select(
+        "fid_a", "fid_b", "part", "is_hole", z.alias("vi", "p")
+    ).select(
+        "fid_a", "fid_b", "part", "is_hole", "vi",
+        F.round(F.col("p.xs"), 6).alias("x"), F.round(F.col("p.ys"), 6).alias("y"),
+    )
+
+
+def q_intersect_geom(spark, sf_dir):
+    return _geom_vertex_rows(
+        vo.overlay_geometry(_layer_a(spark), _layer_b(spark), "int")
+    )
+
+
+def q_union_geom(spark, sf_dir):
+    return _geom_vertex_rows(
+        vo.overlay_geometry(_layer_a(spark), _layer_b(spark), "union")
+    )
+
+
+def q_erase_geom(spark, sf_dir):
+    return _geom_vertex_rows(
+        vo.overlay_geometry(_layer_a(spark), _layer_b(spark), "diff")
+    )
+
+
+QUERIES["intersect_geom"] = q_intersect_geom
+QUERIES["union_geom"] = q_union_geom
+QUERIES["erase_geom"] = q_erase_geom
+
+
+def _geom_oracle_sql(op: str) -> str:
+    """Expected rings via the INDEPENDENT rect-grid boolean
+    (sources/rect_ops.py: cell classification + boundary chaining vs the
+    engine's Greiner-Hormann linked lists), inlined as VALUES.
+
+    Mirrors the engine's even-odd ring-set encoding: shell rings and
+    hole-contribution rings are separate records with independent part
+    numbering (holes of A clipped per op, flagged is_hole)."""
+    from whitebox_tools_spark.sources.rect_ops import region_rings
+
+    def bbox_overlap(a, b):
+        return a[0] <= b[2] and a[2] >= b[0] and a[1] <= b[3] and a[3] >= b[1]
+
+    specs_a = {f: (x0, y0, x1, y1, hole) for f, x0, y0, x1, y1, hole in vectors.RECT_SPECS}
+    specs_b = {f: (x0, y0, x1, y1) for f, x0, y0, x1, y1, _h in vectors.RECT_SPECS_B}
+
+    rows = []
+
+    def emit(fid_a, fid_b, rings, force_hole=None):
+        rings = sorted(rings, key=lambda rh: (rh[1], rh[0][0, 0], rh[0][0, 1]))
+        for part, (r, h) in enumerate(rings):
+            flag = h if force_hole is None else force_hole
+            for vi, (x, y) in enumerate(r):
+                rows.append(
+                    (fid_a, fid_b, part, flag, vi, round(float(x), 6), round(float(y), 6))
+                )
+
+    for fa, (ax0, ay0, ax1, ay1, hole) in specs_a.items():
+        a_box = (ax0, ay0, ax1, ay1)
+        overlapping = [
+            (fb, bb) for fb, bb in specs_b.items() if bbox_overlap(a_box, bb)
+        ]
+        if op == "diff":
+            bs = [bb for _, bb in overlapping]
+            shell_rings = region_rings(
+                [a_box] + bs, lambda f: f[0] and not any(f[1:])
+            )
+            hole_rings = []
+            if hole:
+                hole_rings = [
+                    (r, True)
+                    for r, h in region_rings(
+                        [hole] + bs, lambda f: f[0] and not any(f[1:])
+                    )
+                    if not h
+                ]
+            emit(fa, None, shell_rings + hole_rings)
+            continue
+        for fb, bb in overlapping:
+            if op == "int":
+                emit(fa, fb, region_rings([a_box, bb], lambda f: f[0] and f[1]))
+            else:
+                emit(fa, fb, region_rings([a_box, bb], lambda f: f[0] or f[1]))
+            if hole and bbox_overlap(hole, bb):
+                if op == "int":
+                    hr = region_rings([hole, bb], lambda f: f[0] and f[1])
+                else:
+                    hr = region_rings([hole, bb], lambda f: f[0] and not f[1])
+                emit(fa, fb, [(r, h) for r, h in hr if not h], force_hole=True)
+
+    vals = ", ".join(
+        f"({fa}, {('NULL' if fb is None else fb)}, {part}, {str(h).upper()}, {vi}, {x!r}, {y!r})"
+        for fa, fb, part, h, vi, x, y in rows
+    )
+    return (
+        f"SELECT CAST(fid_a AS BIGINT) AS fid_a, CAST(fid_b AS BIGINT) AS fid_b, "
+        f"CAST(part AS INT) AS part, is_hole, CAST(vi AS INT) AS vi, "
+        f"CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y "
+        f"FROM (VALUES {vals}) t({_GEOM_COLS})"
+    )
+
+
+ORACLE_SQL["intersect_geom"] = _geom_oracle_sql("int")
+ORACLE_SQL["union_geom"] = _geom_oracle_sql("union")
+ORACLE_SQL["erase_geom"] = _geom_oracle_sql("diff")

@@ -135,6 +135,58 @@ def strahler_order(
     )
 
 
+def dem_grid(dem: DataFrame, cfg: GridConfig) -> np.ndarray:
+    """Dense numpy grid from the JVM-aggregated per-row artifact: the
+    long-form cell frame is compacted to ONE packed array row per DEM
+    row (JVM-side sort+collect_list), so the driver transfer is
+    cfg.rows rows, never a per-cell collect."""
+    packed = (
+        dem.groupBy("row")
+        .agg(F.sort_array(F.collect_list(F.struct("col", "value"))).alias("cells"))
+        .collect()
+    )
+    grid = np.full((cfg.rows, cfg.cols), np.nan)
+    for r in packed:
+        cols = [c["col"] for c in r["cells"]]
+        grid[r["row"], cols] = [c["value"] for c in r["cells"]]
+    return grid
+
+
+def _viewshed_ring_sweep(
+    g: np.ndarray, vr: int, vc: int, z0: float
+) -> np.ndarray:
+    """Visibility grid for one viewpoint: every Chebyshev ring k is
+    evaluated as one (m_cells x k-1) vectorized batch — same sampled-ray
+    arithmetic as the SQL oracle (floor(x+0.5) resampling, max block
+    angle vs target angle), no per-cell Python loop."""
+    nr, nc = g.shape
+    rr, cc = np.meshgrid(np.arange(nr), np.arange(nc), indexing="ij")
+    n_steps = np.maximum(np.abs(rr - vr), np.abs(cc - vc))
+    vis = np.where(np.isnan(g), np.nan, 1.0)
+    kmax = int(n_steps.max())
+    for k in range(2, kmax + 1):
+        mask = (n_steps == k) & ~np.isnan(g)
+        if not mask.any():
+            continue
+        r_t = rr[mask]
+        c_t = cc[mask]
+        ts = np.arange(1, k) / k
+        rs = vr + np.multiply.outer(r_t - vr, ts)
+        cs = vc + np.multiply.outer(c_t - vc, ts)
+        ri = np.clip(np.floor(rs + 0.5).astype(int), 0, nr - 1)
+        ci = np.clip(np.floor(cs + 0.5).astype(int), 0, nc - 1)
+        path_z = g[ri, ci]
+        target_angle = (g[r_t, c_t] - z0) / k
+        block = (path_z - z0) / (k * ts)
+        valid = ~np.isnan(block)
+        bmax = np.where(
+            valid.any(axis=1), np.nanmax(np.where(valid, block, -np.inf), axis=1), -np.inf
+        )
+        hidden = bmax > target_angle + 1e-12
+        vis[r_t[hidden], c_t[hidden]] = 0.0
+    return vis
+
+
 def viewshed(
     dem: DataFrame,
     cfg: GridConfig,
@@ -142,11 +194,10 @@ def viewshed(
     station_height: float = 2.0,
 ) -> DataFrame:
     """Visible (1.0) / hidden (0.0) per cell per viewpoint. Each viewpoint
-    is independent: the DEM broadcasts, viewpoints parallelize."""
-    rows = dem.collect()
-    grid = np.full((cfg.rows, cfg.cols), np.nan)
-    for r in rows:
-        grid[r["row"], r["col"]] = r["value"]
+    is independent: the DEM broadcasts (from the per-row aggregated
+    artifact, see dem_grid), viewpoints parallelize; each viewpoint's
+    sweep is ring-vectorized numpy (no per-cell Python loop)."""
+    grid = dem_grid(dem, cfg)
     spark = dem.sparkSession
     bc = spark.sparkContext.broadcast(grid)
 
@@ -165,37 +216,20 @@ def viewshed(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         g = bc.value
-        nr, nc = g.shape
         for pdf in batches:
-            out = []
             for vp, vr, vc in zip(pdf["vp"], pdf["vr"], pdf["vc"]):
                 if np.isnan(g[vr, vc]):
                     continue
-                z0 = g[vr, vc] + station_height
-                for r in range(nr):
-                    for c in range(nc):
-                        if np.isnan(g[r, c]):
-                            continue
-                        n_steps = max(abs(r - vr), abs(c - vc))
-                        visible = 1.0
-                        if n_steps > 1:
-                            ts = np.arange(1, n_steps) / n_steps
-                            rs = vr + (r - vr) * ts
-                            cs = vc + (c - vc) * ts
-                            # floor(x+0.5) (round-half-up) — same arithmetic is
-                            # expressible in ANSI SQL, unlike np.round's half-even
-                            ri = np.clip(np.floor(rs + 0.5).astype(int), 0, nr - 1)
-                            ci = np.clip(np.floor(cs + 0.5).astype(int), 0, nc - 1)
-                            path_z = g[ri, ci]
-                            target_angle = (g[r, c] - z0) / (n_steps)
-                            block_angles = (path_z - z0) / (n_steps * ts)
-                            valid = ~np.isnan(block_angles)
-                            if valid.any() and (
-                                block_angles[valid].max() > target_angle + 1e-12
-                            ):
-                                visible = 0.0
-                        out.append((int(vp), int(r), int(c), visible))
-            if out:
-                yield pd.DataFrame(out, columns=["vp", "row", "col", "value"])
+                vis = _viewshed_ring_sweep(g, int(vr), int(vc), g[vr, vc] + station_height)
+                ok = ~np.isnan(vis)
+                r_i, c_i = np.nonzero(ok)
+                yield pd.DataFrame(
+                    {
+                        "vp": np.full(len(r_i), int(vp), dtype=np.int32),
+                        "row": r_i.astype(np.int64),
+                        "col": c_i.astype(np.int64),
+                        "value": vis[ok],
+                    }
+                )
 
     return vp_df.mapInPandas(run, schema=schema)

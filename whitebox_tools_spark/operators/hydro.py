@@ -121,22 +121,65 @@ def euclidean_distance(
 ) -> DataFrame:
     """Exact nearest-target distance for every grid cell (targets =
     cells with value != 0). allocation=True returns the nearest target's
-    value instead (ties -> smallest (row, col))."""
+    value instead (ties -> smallest (row, col)).
+
+    Distributed separable EDT (the two-scan idea of
+    gis_analysis/euclidean_distance.rs:194-258, re-expressed for Spark):
+
+      phase 1 (per target COLUMN, one window shuffle): the nearest
+        target row for every grid row — two last_value(ignorenulls)
+        scans, up preferred on ties (keeps the row-major tie-break);
+      phase 2 (per grid ROW, one groupBy shuffle): exact min over the
+        per-column candidates, numpy-vectorized; a candidate pruned in
+        phase 1 is strictly farther, so the min and the lexicographic
+        (d2, trow, tcol) tie-break equal the brute row-major argmin.
+
+    Working set = rows x target-columns (the classic O(N) EDT bound);
+    NO driver-side target collect, NO broadcast of target arrays."""
     spark = raster.sparkSession
-    targets = (
-        raster.where(F.col("value").isNotNull() & (F.col("value") != 0.0))
-        .select("row", "col", "value")
-        .orderBy("row", "col")
-        .collect()
+    targets = raster.where(
+        F.col("value").isNotNull() & (F.col("value") != 0.0)
+    ).select("row", "col", "value")
+
+    tcols = targets.select(F.col("col").alias("tcol")).distinct()
+    rows_df = spark.range(cfg.rows).select(F.col("id").alias("row"))
+    site = rows_df.crossJoin(tcols).join(
+        targets.select(
+            "row", F.col("col").alias("tcol"), F.col("value").alias("tval")
+        ),
+        ["row", "tcol"],
+        "left",
     )
-    t_r = np.array([t["row"] for t in targets], dtype=np.float64)
-    t_c = np.array([t["col"] for t in targets], dtype=np.float64)
-    t_v = np.array([t["value"] for t in targets], dtype=np.float64)
-    bc = spark.sparkContext.broadcast((t_r, t_c, t_v))
+    w_up = (
+        Window.partitionBy("tcol")
+        .orderBy("row")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_dn = (
+        Window.partitionBy("tcol")
+        .orderBy(F.col("row").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_t = F.col("tval").isNotNull()
+    s = site.select(
+        "row",
+        "tcol",
+        F.last(F.when(is_t, F.col("row")), ignorenulls=True).over(w_up).alias("ur"),
+        F.last(F.when(is_t, F.col("tval")), ignorenulls=True).over(w_up).alias("uv"),
+        F.last(F.when(is_t, F.col("row")), ignorenulls=True).over(w_dn).alias("dnr"),
+        F.last(F.when(is_t, F.col("tval")), ignorenulls=True).over(w_dn).alias("dnv"),
+    )
+    take_up = F.col("ur").isNotNull() & (
+        F.col("dnr").isNull()
+        | ((F.col("row") - F.col("ur")) <= (F.col("dnr") - F.col("row")))
+    )
+    p1 = s.select(
+        "row",
+        "tcol",
+        F.when(take_up, F.col("ur")).otherwise(F.col("dnr")).alias("trow"),
+        F.when(take_up, F.col("uv")).otherwise(F.col("dnv")).alias("tval"),
+    )
 
-    from whitebox_tools_spark.operators.gridding import cell_centers
-
-    cells = cell_centers(spark, cfg).select("row", "col")
     schema = T.StructType(
         [
             T.StructField("row", T.LongType()),
@@ -145,22 +188,30 @@ def euclidean_distance(
         ]
     )
     res_x, res_y = cfg.res_x, cfg.res_y
+    n_cols = cfg.cols
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        tr, tc, tv = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            r = pdf["row"].to_numpy(dtype=np.float64)[:, None]
-            c = pdf["col"].to_numpy(dtype=np.float64)[:, None]
-            d2 = ((r - tr[None, :]) * res_y) ** 2 + ((c - tc[None, :]) * res_x) ** 2
-            idx = np.argmin(d2, axis=1)  # first min = smallest (row,col) tie-break
-            val = tv[idx] if allocation else np.sqrt(d2[np.arange(len(r)), idx])
-            yield pd.DataFrame(
-                {"row": pdf["row"].to_numpy(), "col": pdf["col"].to_numpy(), "value": val}
-            )
+    def p2(pdf: pd.DataFrame) -> pd.DataFrame:
+        r = int(pdf["row"].iloc[0])
+        tc = pdf["tcol"].to_numpy(dtype=np.int64)
+        trow = pdf["trow"].to_numpy(dtype=np.int64)
+        tv = pdf["tval"].to_numpy(dtype=np.float64)
+        # identical per-candidate arithmetic to the brute form:
+        # ((dr*res_y))**2 + ((dc*res_x))**2 — so ties match exactly
+        g2 = ((r - trow) * res_y) ** 2
+        cells_c = np.arange(n_cols, dtype=np.int64)
+        d2 = g2[None, :] + ((cells_c[:, None] - tc[None, :]) * res_x) ** 2
+        m = d2.min(axis=1)
+        tie = d2 == m[:, None]
+        key = np.where(
+            tie, trow[None, :] * (n_cols + 1) + tc[None, :], np.iinfo(np.int64).max
+        )
+        idx = key.argmin(axis=1)
+        val = tv[idx] if allocation else np.sqrt(m)
+        return pd.DataFrame(
+            {"row": np.full(n_cols, r, dtype=np.int64), "col": cells_c, "value": val}
+        )
 
-    return cells.mapInPandas(run, schema=schema)
+    return p1.groupBy("row").applyInPandas(p2, schema=schema)
 
 
 # ------------------------------------------------------------- D8 family

@@ -280,18 +280,34 @@ def narrowness_index(raster: DataFrame, cfg: GridConfig) -> DataFrame:
     distance to the grid edge); painted onto the class cells."""
     import math
 
+    from whitebox_tools_spark.operators.hydro import euclidean_distance
+
     pos = raster.where(F.col("value") > 0.0).select(
         "row", "col", F.col("value").alias("cls")
     )
-    other = raster.select(
-        F.col("row").alias("orow"), F.col("col").alias("ocol"), F.col("value").alias("oval")
-    )
-    pair = pos.join(other, F.col("cls") != F.col("oval"))
-    d2 = (
-        ((F.col("row") - F.col("orow")) * cfg.res_y) ** 2
-        + ((F.col("col") - F.col("ocol")) * cfg.res_x) ** 2
-    )
-    dmin = pair.groupBy("row", "col", "cls").agg(F.sqrt(F.min(d2)).alias("dd"))
+    # nearest different-valued cell per class via the distributed EDT
+    # (one transform per distinct class — classes are few by the
+    # operator's nature; never an all-pairs inequality join)
+    classes = [
+        r["cls"] for r in pos.select("cls").distinct().orderBy("cls").collect()
+    ]
+    per_cls = []
+    for c in classes:
+        ind = raster.select(
+            "row",
+            "col",
+            F.when(F.col("value") != F.lit(c), F.lit(1.0)).otherwise(0.0).alias("value"),
+        )
+        d = euclidean_distance(ind, cfg).select(
+            "row", "col", F.col("value").alias("dd")
+        )
+        per_cls.append(
+            pos.where(F.col("cls") == F.lit(c)).join(d, ["row", "col"], "left")
+        )
+    dmin = per_cls[0]
+    for p in per_cls[1:]:
+        dmin = dmin.unionByName(p)
+    dmin = dmin.select("row", "col", "cls", "dd")
     edge = F.least(
         F.col("row") + 1, F.col("col") + 1,
         F.lit(cfg.rows) - F.col("row"), F.lit(cfg.cols) - F.col("col"),
@@ -314,3 +330,197 @@ def narrowness_index(raster: DataFrame, cfg: GridConfig) -> DataFrame:
             ).alias("value"),
         )
     )
+
+
+# ----------------------------------------------- overlay GEOMETRY output
+
+_GEOM_SCHEMA = T.StructType(
+    [
+        T.StructField("fid_a", T.LongType()),
+        T.StructField("fid_b", T.LongType()),
+        T.StructField("part", T.IntegerType()),
+        T.StructField("is_hole", T.BooleanType()),
+        T.StructField("xs", T.ArrayType(T.DoubleType())),
+        T.StructField("ys", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _ring_rows(fid_a, fid_b, rings):
+    """Deterministic part numbering: shells before holes, then by first
+    (canonical) vertex."""
+    rings = sorted(
+        rings, key=lambda rh: (rh[1], rh[0][0, 0], rh[0][0, 1])
+    )
+    return [
+        (fid_a, fid_b, i, bool(h), r[:, 0].tolist(), r[:, 1].tolist())
+        for i, (r, h) in enumerate(rings)
+    ]
+
+
+def _pair_parts(
+    layer_a: DataFrame, layer_b: DataFrame, cell, holes_a: bool, holes_b: bool = False
+):
+    from whitebox_tools_spark.operators.bbox_join import bbox_join
+
+    a_side = layer_a if holes_a else layer_a.where(~F.col("is_hole"))
+    a = a_side.select(
+        F.col("fid").alias("fid_a"), F.col("is_hole").alias("hole_a"),
+        F.col("xs").alias("xs_a"), F.col("ys").alias("ys_a"),
+        F.col("xmin").alias("axmin"), F.col("ymin").alias("aymin"),
+        F.col("xmax").alias("axmax"), F.col("ymax").alias("aymax"),
+    )
+    b_side = layer_b if holes_b else layer_b.where(~F.col("is_hole"))
+    b = b_side.select(
+        F.col("fid").alias("fid_b"), F.col("is_hole").alias("hole_b"),
+        F.col("xs").alias("xs_b"), F.col("ys").alias("ys_b"),
+        F.col("xmin").alias("bxmin"), F.col("ymin").alias("bymin"),
+        F.col("xmax").alias("bxmax"), F.col("ymax").alias("bymax"),
+    )
+    return bbox_join(a, b, cell=cell).select(
+        "fid_a", "hole_a", "xs_a", "ys_a", "fid_b", "hole_b", "xs_b", "ys_b"
+    )
+
+
+def overlay_geometry(
+    layer_a: DataFrame, layer_b: DataFrame, op: str, cell: float | None = None
+) -> DataFrame:
+    """REAL overlay geometries (Greiner-Hormann kernel, kernels/clip.py):
+    stitched rings with holes, canonical vertex order (CCW, lexicographic
+    start) so results compare as plain rows.
+
+    op='int'   -> per overlapping pair: A&B rings (A-hole ∩ B as holes);
+    op='union' -> per overlapping pair: A|B rings minus A-holes outside B;
+    op='diff'  -> per A feature: A minus ALL overlapping B shells
+                  (fid_b null), untouched A features pass through.
+
+    Reference contract: gis_analysis/intersect.rs:27-44 (+ :928 part
+    split), union.rs, erase.rs/clip.rs — same regions, canonical ring
+    encoding instead of the reference's writer-order rings. Candidate
+    pairs via the grid-cell bbox equi-join; per-pair kernels run in
+    Arrow-batched pandas; one extra shuffle only for the diff groupBy."""
+    import numpy as np
+
+    from whitebox_tools_spark.kernels.clip import (
+        canonical,
+        diff_ringset,
+        gh_clip,
+    )
+
+    def _np_ring(xs, ys):
+        r = np.column_stack([np.asarray(xs, float), np.asarray(ys, float)])
+        if len(r) > 1 and (r[0] == r[-1]).all():
+            r = r[:-1]
+        return r
+
+    if op in ("int", "union"):
+        pairs = _pair_parts(layer_a, layer_b, cell, holes_a=True)
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                a = _np_ring(rec.xs_a, rec.ys_a)
+                b = _np_ring(rec.xs_b, rec.ys_b)
+                if rec.hole_a:
+                    # A-hole contribution: int -> Ha&B as holes;
+                    # union -> (Ha - B) as holes
+                    sub = gh_clip(a, b, "int" if op == "int" else "diff")
+                    rings = [(r, True) for r, h in sub if not h]
+                else:
+                    rings = gh_clip(a, b, op)
+                rows.extend(_ring_rows(int(rec.fid_a), int(rec.fid_b), rings))
+            return pd.DataFrame(
+                rows, columns=[f.name for f in _GEOM_SCHEMA.fields]
+            )
+
+        return pairs.mapInPandas(
+            lambda it: (run(pdf) for pdf in it), schema=_GEOM_SCHEMA
+        )
+
+    if op != "diff":
+        raise ValueError(f"unknown overlay op: {op}")
+
+    pairs = _pair_parts(layer_a, layer_b, cell, holes_a=False, holes_b=True)
+    a_parts = layer_a.select(
+        F.col("fid").alias("fid_a"), "is_hole", "xs", "ys"
+    )
+    grouped = pairs.select("fid_a", "hole_b", "xs_b", "ys_b").join(
+        a_parts, "fid_a"
+    )
+
+    def run_diff(pdf: pd.DataFrame) -> pd.DataFrame:
+        fid = int(pdf["fid_a"].iloc[0])
+        # B parts repeat per A part row — dedupe by vertex-tuple key
+        clips, bholes = [], []
+        seen = set()
+        for hb, xs, ys in zip(pdf["hole_b"], pdf["xs_b"], pdf["ys_b"]):
+            key = (bool(hb), tuple(xs), tuple(ys))
+            if key not in seen:
+                seen.add(key)
+                (bholes if hb else clips).append(_np_ring(xs, ys))
+        seed, a_shells, a_holes = [], [], []
+        seen_p = set()
+        for is_h, xs, ys in zip(pdf["is_hole"], pdf["xs"], pdf["ys"]):
+            key = (bool(is_h), tuple(xs), tuple(ys))
+            if key not in seen_p:
+                seen_p.add(key)
+                r = canonical(_np_ring(xs, ys))
+                seed.append((r, bool(is_h)))
+                (a_holes if is_h else a_shells).append(r)
+        rings = diff_ringset(seed, clips)
+        # add back A & hole_b regions (a B hole is NOT part of B):
+        # (shellA & Hb) shells + (holeA & Hb) holes — disjoint from the
+        # diff pieces (they live inside the clipped-away B shells)
+        for hb in bholes:
+            for s in a_shells:
+                rings.extend(gh_clip(s, hb, "int"))
+            for h in a_holes:
+                rings.extend(
+                    (r, True) for r, hh in gh_clip(h, hb, "int") if not hh
+                )
+        return pd.DataFrame(
+            _ring_rows(fid, None, rings),
+            columns=[f.name for f in _GEOM_SCHEMA.fields],
+        )
+
+    touched = grouped.groupBy("fid_a").applyInPandas(run_diff, schema=_GEOM_SCHEMA)
+
+    untouched = layer_a.join(
+        pairs.select("fid_a").distinct(),
+        layer_a.fid == F.col("fid_a"),
+        "left_anti",
+    )
+
+    def run_pass(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for rec in pdf.itertuples(index=False):
+            rows.append(
+                (int(rec.fid), None, 0, bool(rec.is_hole), None, None)
+            )
+        out = pd.DataFrame(rows, columns=[f.name for f in _GEOM_SCHEMA.fields])
+        out["xs"] = [
+            canonical(_np_ring(rec.xs, rec.ys))[:, 0].tolist()
+            for rec in pdf.itertuples(index=False)
+        ]
+        out["ys"] = [
+            canonical(_np_ring(rec.xs, rec.ys))[:, 1].tolist()
+            for rec in pdf.itertuples(index=False)
+        ]
+        return out
+
+    passthrough = untouched.select("fid", "is_hole", "xs", "ys").mapInPandas(
+        lambda it: (run_pass(pdf) for pdf in it), schema=_GEOM_SCHEMA
+    )
+    return touched.unionByName(passthrough)
+
+
+def symmetrical_difference_geometry(
+    layer_a: DataFrame, layer_b: DataFrame, cell: float | None = None
+) -> DataFrame:
+    """SymmetricalDifference geometry = (A - B) ++ (B - A) ring sets;
+    fid_b carries -fid for the B-side pieces so rows stay keyed."""
+    ab = overlay_geometry(layer_a, layer_b, "diff", cell)
+    ba = overlay_geometry(layer_b, layer_a, "diff", cell).select(
+        (-F.col("fid_a")).alias("fid_a"), "fid_b", "part", "is_hole", "xs", "ys"
+    )
+    return ab.unionByName(ba)
