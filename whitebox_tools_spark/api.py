@@ -172,6 +172,7 @@ from whitebox_tools_spark import catalog_dinf as _cat_di  # noqa: E402
 from whitebox_tools_spark import catalog_misc4 as _cat_m4  # noqa: E402
 from whitebox_tools_spark import catalog_misc5 as _cat_m5  # noqa: E402
 from whitebox_tools_spark import catalog_misc6 as _cat_m6  # noqa: E402
+from whitebox_tools_spark import catalog_morpho as _cat_mor  # noqa: E402
 
 QUERIES.update(_cat_grid.QUERIES)
 QUERIES.update(_cat_focal.QUERIES)
@@ -204,6 +205,7 @@ QUERIES.update(_cat_di.QUERIES)
 QUERIES.update(_cat_m4.QUERIES)
 QUERIES.update(_cat_m5.QUERIES)
 QUERIES.update(_cat_m6.QUERIES)
+QUERIES.update(_cat_mor.QUERIES)
 
 
 # ------------------------------------------------------------- oracle SQL
@@ -319,6 +321,7 @@ ORACLE_SQL.update(_cat_di.ORACLE_SQL)
 ORACLE_SQL.update(_cat_m4.ORACLE_SQL)
 ORACLE_SQL.update(_cat_m5.ORACLE_SQL)
 ORACLE_SQL.update(_cat_m6.ORACLE_SQL)
+ORACLE_SQL.update(_cat_mor.ORACLE_SQL)
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

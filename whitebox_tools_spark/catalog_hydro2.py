@@ -117,12 +117,13 @@ border AS MATERIALIZED (
      OR NOT EXISTS (SELECT 1 FROM cells n WHERE n.cell_row = p.nr AND n.cell_col = p.nc))"""
 
 
-def _fill_sql(select: str) -> str:
+def _fill_sql(select: str, epsilon: float = 0.0) -> str:
     blocks = [
         """w0 AS MATERIALIZED (SELECT c.id, c.z,
         CASE WHEN b.id IS NOT NULL THEN c.z ELSE CAST('inf' AS DOUBLE) END AS w
         FROM cells c LEFT JOIN border b ON b.id = c.id)"""
     ]
+    eps_add = f" + {epsilon!r}" if epsilon else ""
     for i in range(1, FILL_ROUNDS + 1):
         blocks.append(
             f"m{i} AS (SELECT p.a, min(w.w) AS mn FROM pairs p "
@@ -130,7 +131,7 @@ def _fill_sql(select: str) -> str:
         )
         blocks.append(
             f"w{i} AS MATERIALIZED (SELECT w.id, w.z, "
-            f"greatest(w.z, least(w.w, coalesce(m.mn, w.w))) AS w "
+            f"greatest(w.z, least(w.w, coalesce(m.mn{eps_add}, w.w))) AS w "
             f"FROM w{i-1} w LEFT JOIN m{i} m ON m.a = w.id)"
         )
     joined = ",\n".join(blocks)

@@ -235,3 +235,120 @@ ORACLE_SQL = {
     "fill_burn": _fill_burn_sql(),
     "flow_accum_full_workflow": _faw_full_sql(),
 }
+
+
+# ---------------------------------------------------- breach depressions
+
+BREACH_EPS = 1e-05
+
+
+def q_breach_depressions(spark, sf_dir):
+    from whitebox_tools_spark import catalog_cache as _cc
+    from whitebox_tools_spark.operators import hydro2
+
+    out = hydro2.breach_depressions(
+        _cc.z_last(spark, sf_dir), GRID, epsilon=BREACH_EPS,
+        tile_size=TILE_SIZE, max_rounds=FILL_ROUNDS,
+    )
+    return out.select(
+        F.col("row").alias("cell_row"), F.col("col").alias("cell_col"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+QUERIES["breach_depressions"] = q_breach_depressions
+
+
+def _breach_sql() -> str:
+    # eps-fill chain -> rf -> D8 dirs on rf -> upstream-min of ORIGINAL z
+    fill_part = _fill_sql("", epsilon=BREACH_EPS)
+    fill_part = fill_part.rsplit("\n", 1)[0].rstrip()
+    dirs = _d8_dir_sql().lstrip().replace("FROM r c", "FROM rf c").replace(
+        "LEFT JOIN r n", "LEFT JOIN rf n"
+    )
+    return f"""{fill_part.rstrip()},
+rf AS MATERIALIZED (SELECT CAST(id // {GRID.cols} AS BIGINT) AS cell_row,
+       CAST(id % {GRID.cols} AS BIGINT) AS cell_col, w AS value FROM w{FILL_ROUNDS}),
+{dirs},
+nodes AS (SELECT cell_row, cell_col, cell_row * {GRID.cols} + cell_col AS id, dir FROM dirs),
+down AS MATERIALIZED (SELECT id AS a,
+                (cell_row + [{_DYS}][dir + 1]) * {GRID.cols}
+                  + (cell_col + [{_DXS}][dir + 1]) AS b
+         FROM nodes WHERE dir >= 0),
+walk0 AS (SELECT id AS src, id AS cur FROM nodes
+          UNION ALL
+          SELECT w.src, d.b FROM walk0 w JOIN down d ON d.a = w.cur)
+SELECT n_.cell_row, n_.cell_col, round(min(wz.z), 6) AS value
+FROM walk0 w JOIN nodes n_ ON n_.id = w.cur
+JOIN w{FILL_ROUNDS} wz ON wz.id = w.src
+GROUP BY n_.cell_row, n_.cell_col""".replace("WITH pts", "WITH RECURSIVE pts", 1)
+
+
+ORACLE_SQL["breach_depressions"] = _breach_sql()
+
+
+# ---------------------------------------------------- max branch length
+
+
+def q_max_branch_length(spark, sf_dir):
+    from whitebox_tools_spark import catalog_cache as _cc
+    from whitebox_tools_spark.operators.branch import max_branch_length
+
+    out = max_branch_length(_cc.z_last(spark, sf_dir), GRID, tile_size=TILE_SIZE)
+    return out.select(
+        F.col("row").alias("cell_row"), F.col("col").alias("cell_col"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+QUERIES["max_branch_length"] = q_max_branch_length
+
+
+def _mbl_sql() -> str:
+    diag = math.sqrt(GRID.res_x * GRID.res_x + GRID.res_y * GRID.res_y)
+    lens = [diag, GRID.res_x, diag, GRID.res_y, diag, GRID.res_x, diag, GRID.res_y]
+    len_arr = "[" + ",".join(repr(v) for v in lens) + "]"
+    dirs = _d8_dir_sql().lstrip()
+    return f"""WITH RECURSIVE {_PTS_CTE},
+{_Z_CTE},
+{dirs},
+nodes AS (SELECT cell_row, cell_col, cell_row * {GRID.cols} + cell_col AS id, dir FROM dirs),
+down AS MATERIALIZED (SELECT id AS a,
+                (cell_row + [{_DYS}][dir + 1]) * {GRID.cols}
+                  + (cell_col + [{_DXS}][dir + 1]) AS b,
+                {len_arr}[dir + 1] AS len
+         FROM nodes WHERE dir >= 0),
+walk AS (SELECT id AS src, id AS cur, CAST(0.0 AS DOUBLE) AS d FROM nodes
+         UNION ALL
+         SELECT w.src, dn.b, w.d + dn.len FROM walk w JOIN down dn ON dn.a = w.cur),
+flows AS (SELECT id, cell_row, cell_col FROM nodes WHERE dir >= 0),
+prs AS MATERIALIZED (
+  SELECT u.id AS ua, v.id AS vb FROM flows u JOIN flows v
+    ON v.cell_row = u.cell_row AND v.cell_col = u.cell_col + 1
+  UNION ALL
+  SELECT u.id, v.id FROM flows u JOIN flows v
+    ON v.cell_row = u.cell_row + 1 AND v.cell_col = u.cell_col),
+met AS MATERIALIZED (
+  SELECT p.ua, p.vb, min(w1.d) AS du
+  FROM prs p JOIN walk w1 ON w1.src = p.ua
+             JOIN walk w2 ON w2.src = p.vb AND w2.cur = w1.cur
+  GROUP BY p.ua, p.vb),
+metv AS (SELECT m.ua, m.vb, m.du, w2.d AS dv
+  FROM met m JOIN walk w1 ON w1.src = m.ua AND w1.d = m.du
+             JOIN walk w2 ON w2.src = m.vb AND w2.cur = w1.cur),
+term AS MATERIALIZED (SELECT src, max(d) AS dterm FROM walk GROUP BY src),
+unmet AS (SELECT p.ua, p.vb, tu.dterm AS du, tv.dterm AS dv
+  FROM prs p
+  LEFT JOIN met m ON m.ua = p.ua AND m.vb = p.vb
+  JOIN term tu ON tu.src = p.ua JOIN term tv ON tv.src = p.vb
+  WHERE m.ua IS NULL),
+contrib AS (SELECT ua AS id, du AS dist FROM metv
+  UNION ALL SELECT vb, dv FROM metv
+  UNION ALL SELECT ua, du FROM unmet
+  UNION ALL SELECT vb, dv FROM unmet),
+per AS (SELECT id, max(dist) AS bmax FROM contrib GROUP BY id)
+SELECT n.cell_row, n.cell_col, round(coalesce(per.bmax, 0.0), 6) AS value
+FROM nodes n LEFT JOIN per ON per.id = n.id"""
+
+
+ORACLE_SQL["max_branch_length"] = _mbl_sql()

@@ -186,3 +186,35 @@ SELECT cell_row, cell_col,
        CASE WHEN is_edge = 1.0 THEN value ELSE 0.0 END AS value
 FROM e""",
 }
+
+
+def q_sci_raster(spark, sf_dir):
+    return sh.shape_complexity_index_raster(_cls(spark, sf_dir)).select(
+        F.col("row").alias("cell_row"), F.col("col").alias("cell_col"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+QUERIES["shape_complexity_raster"] = q_sci_raster
+
+ORACLE_SQL["shape_complexity_raster"] = f"""WITH {_PTS_CTE},
+{_CLS_CTE},
+mn AS (SELECT min(value) AS m FROM r),
+pos AS (SELECT r.cell_row, r.cell_col, r.value,
+               CAST(floor(r.value - mn.m) AS BIGINT) AS bin
+        FROM r CROSS JOIN mn WHERE r.value > 0.0),
+mk AS (SELECT p.cell_row, p.cell_col, p.bin,
+              CASE WHEN l.value IS NULL OR l.value <> p.value THEN 1 ELSE 0 END AS eh,
+              CASE WHEN u.value IS NULL OR u.value <> p.value THEN 1 ELSE 0 END AS ev
+       FROM pos p
+       LEFT JOIN r l ON l.cell_row = p.cell_row AND l.cell_col = p.cell_col - 1
+       LEFT JOIN r u ON u.cell_row = p.cell_row - 1 AND u.cell_col = p.cell_col),
+per AS (SELECT bin,
+               CAST(sum(eh) + sum(ev) AS DOUBLE)
+                 / CAST(max(cell_row) - min(cell_row) + 1
+                        + max(cell_col) - min(cell_col) + 1 AS DOUBLE) AS idx
+        FROM mk GROUP BY bin)
+SELECT p.cell_row, p.cell_col, round(per.idx, 6) AS value
+FROM pos p JOIN per ON per.bin = p.bin
+UNION ALL
+SELECT cell_row, cell_col, 0.0 AS value FROM r WHERE NOT (value > 0.0)"""

@@ -122,12 +122,18 @@ def find_no_flow_cells(
 
 
 def fill_depressions(
-    raster: DataFrame, cfg: GridConfig, max_rounds: int = 200, tile_size: int = 128
+    raster: DataFrame,
+    cfg: GridConfig,
+    max_rounds: int = 200,
+    tile_size: int = 128,
+    epsilon: float = 0.0,
 ) -> DataFrame:
     """FillDepressions via the Planchon & Darboux fixpoint (see module
     doc): W seeded to z on the raster border (grid edge or next to a
     missing cell), +inf inside; W <- max(z, min over valid 8-neighbours
-    of W) until stable."""
+    of W (+ epsilon)) until stable. epsilon > 0 is the reference's
+    --flat_increment: filled areas gain a strict gradient toward their
+    outlet, so a D8 pointer on W is defined everywhere off the border."""
     cells = raster.select(
         "row", "col", "value", (F.col("row") * cfg.cols + F.col("col")).alias("id")
     ).localCheckpoint(eager=True)
@@ -191,7 +197,11 @@ def fill_depressions(
                 "col",
                 "value",
                 F.greatest(
-                    F.col("value"), F.least(F.col("w"), F.coalesce("mn", F.col("w")))
+                    F.col("value"),
+                    F.least(
+                        F.col("w"),
+                        F.coalesce(F.col("mn") + F.lit(epsilon), F.col("w")),
+                    ),
                 ).alias("w"),
             )
             .localCheckpoint(eager=True)
@@ -584,3 +594,57 @@ def trace_downslope_flowpaths(
     return nodes.join(reached, "id", "left_semi").select(
         "row", "col", F.lit(1.0).alias("value")
     )
+
+
+def breach_depressions(
+    raster: DataFrame,
+    cfg: GridConfig,
+    epsilon: float = 1e-5,
+    tile_size: int = 128,
+    max_rounds: int = 400,
+) -> DataFrame:
+    """BreachDepressions (hydro_analysis/breach_depressions.rs, Lindsay
+    2016 contract) — engine form: COMPLETE CARVING (Soille, Vogt &
+    Colombo 2003), the breach-everything limit of the reference tool:
+
+      1. W = fill_depressions with the reference's flat-increment
+         (epsilon), giving a strict drainage gradient everywhere;
+      2. D8 pointer on W — every cell drains to the border;
+      3. carve: z' = min over the W-drainage upstream tree of original
+         z — spill ridges are LOWERED to their deepest upstream pit
+         instead of depressions being raised.
+
+    Deviating from the reference's depth/length-constrained selective
+    breaching (documented in the registry); output is depression-free
+    by construction. Distributed shape: one fill fixpoint + one
+    upstream-min fixpoint, all equi-joins."""
+    w = fill_depressions(
+        raster, cfg, max_rounds=max_rounds, tile_size=tile_size, epsilon=epsilon
+    )
+    nodes, edges = d8_graph(w, cfg, tile_size)
+    z = raster.select(
+        (F.col("row") * cfg.cols + F.col("col")).alias("id"),
+        "row", "col", F.col("value").alias("z"),
+    ).localCheckpoint(eager=True)
+    m = z.select("id", F.col("z").alias("val")).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        up = (
+            edges.join(m, edges.a == m.id)
+            .groupBy("b")
+            .agg(F.min("val").alias("mn"))
+        )
+        nxt = (
+            m.join(up.withColumnRenamed("b", "id"), "id", "left")
+            .select("id", F.least(F.col("val"), F.coalesce("mn", "val")).alias("val"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.alias("n").join(m.alias("o"), "id")
+            .where(F.col("n.val") != F.col("o.val")).limit(1).count()
+        )
+        m = nxt
+        if changed == 0:
+            break
+    else:
+        _warn_nonconverged("breach_depressions", max_rounds)
+    return z.join(m, "id").select("row", "col", F.col("val").alias("value"))

@@ -220,3 +220,44 @@ def find_patch_edge_cells(
         )
 
     return focal_apply(raster, cfg, stencil, 1, tile_size)
+
+
+def shape_complexity_index_raster(raster: DataFrame) -> DataFrame:
+    """ShapeComplexityIndexRaster (gis_analysis/shape_complexity_raster.rs
+    :230-295, exact): per object bin (floor(value - raster min)), the
+    number of horizontal + vertical transect entries (cells whose left /
+    upper neighbour differs, missing neighbour counts as an entry)
+    divided by (bbox height + bbox width); painted onto object cells,
+    0.0 elsewhere. Pure joins + one per-bin aggregate."""
+    mn = raster.agg(F.min("value").alias("m"))
+    pos = raster.join(F.broadcast(mn), F.lit(True)).select(
+        "row", "col", "value", F.floor(F.col("value") - F.col("m")).alias("bin")
+    ).where(F.col("value") > 0.0)
+    left = raster.select(
+        F.col("row").alias("row"), (F.col("col") + 1).alias("col"),
+        F.col("value").alias("lv"),
+    )
+    up = raster.select(
+        (F.col("row") + 1).alias("row"), F.col("col").alias("col"),
+        F.col("value").alias("uv"),
+    )
+    marked = (
+        pos.join(left, ["row", "col"], "left")
+        .join(up, ["row", "col"], "left")
+        .select(
+            "row", "col", "bin",
+            (F.col("lv").isNull() | (F.col("lv") != F.col("value"))).cast("int").alias("eh"),
+            (F.col("uv").isNull() | (F.col("uv") != F.col("value"))).cast("int").alias("ev"),
+        )
+    )
+    per = marked.groupBy("bin").agg(
+        (F.sum("eh") + F.sum("ev")).alias("freq"),
+        (F.max("row") - F.min("row") + 1 + F.max("col") - F.min("col") + 1).alias("extent"),
+    ).select("bin", (F.col("freq") / F.col("extent")).alias("idx"))
+    out_pos = pos.join(F.broadcast(per), "bin").select(
+        "row", "col", F.col("idx").alias("value")
+    )
+    bg = raster.where(~(F.col("value") > 0.0)).select(
+        "row", "col", F.lit(0.0).alias("value")
+    )
+    return out_pos.unionByName(bg)
