@@ -112,3 +112,99 @@ SELECT cell_row, cell_col, round(value, 6) AS value FROM z{NUM_ITER}"""
 
 
 ORACLE_SQL = {"feature_preserving_smoothing": _fps_sql()}
+
+
+# ------------------------------------------- remove off-terrain objects
+
+ROTO_FILTER = 5
+ROTO_SLOPE = 20.0
+
+
+def q_remove_off_terrain(spark, sf_dir):
+    from whitebox_tools_spark import catalog_cache as _cc
+    from whitebox_tools_spark.operators.roto import remove_off_terrain_objects
+
+    out = remove_off_terrain_objects(
+        _cc.z_last(spark, sf_dir), GRID,
+        filter_size=ROTO_FILTER, slope_threshold=ROTO_SLOPE, tile_size=8,
+    )
+    return out.select(
+        F.col("row").alias("cell_row"), F.col("col").alias("cell_col"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+QUERIES["remove_off_terrain"] = q_remove_off_terrain
+
+
+def _roto_sql() -> str:
+    mid = ROTO_FILTER // 2
+    slope = math.tan(math.radians(ROTO_SLOPE))
+    diag = math.sqrt(GRID.res_x * GRID.res_x + GRID.res_y * GRID.res_y)
+    lens = [diag, GRID.res_x, diag, GRID.res_y, diag, GRID.res_x, diag, GRID.res_y]
+    rdx = [1, 1, 1, 0, -1, -1, -1, 0]
+    rdy = [-1, 0, 1, 1, 1, 0, -1, -1]
+    nthr = ", ".join(
+        f"({rdy[i]}, {rdx[i]}, {slope * lens[i]!r})" for i in range(8)
+    )
+    r2 = (ROTO_FILTER / 1.5) ** 2
+    return f"""WITH RECURSIVE {_PTS_CTE},
+{_PTS_RASTER_LAST_CTE},
+offs AS (SELECT a.i - {mid} AS dr, b.i - {mid} AS dc
+         FROM range(0, {ROTO_FILTER}) a(i), range(0, {ROTO_FILTER}) b(i)),
+ero AS MATERIALIZED (SELECT c.cell_row, c.cell_col, min(n.value) AS value
+      FROM r c CROSS JOIN offs o
+      JOIN r n ON n.cell_row = c.cell_row + o.dr AND n.cell_col = c.cell_col + o.dc
+      GROUP BY c.cell_row, c.cell_col),
+op AS MATERIALIZED (SELECT c.cell_row, c.cell_col, max(n.value) AS value
+      FROM ero c CROSS JOIN offs o
+      JOIN ero n ON n.cell_row = c.cell_row + o.dr AND n.cell_col = c.cell_col + o.dc
+      GROUP BY c.cell_row, c.cell_col),
+th AS MATERIALIZED (SELECT r.cell_row, r.cell_col, op.value AS o,
+             r.value - op.value AS t
+      FROM r JOIN op ON op.cell_row = r.cell_row AND op.cell_col = r.cell_col),
+nthr AS (SELECT * FROM (VALUES {nthr}) v(dy, dx, thr)),
+reach AS (SELECT cell_row, cell_col FROM th WHERE t <= {slope * GRID.res_x!r}
+          UNION
+          SELECT n.cell_row, n.cell_col
+          FROM reach g
+          JOIN th c ON c.cell_row = g.cell_row AND c.cell_col = g.cell_col
+          CROSS JOIN nthr o
+          JOIN th n ON n.cell_row = c.cell_row + o.dy
+                   AND n.cell_col = c.cell_col + o.dx
+          WHERE n.t - c.t < o.thr),
+ground AS MATERIALIZED (SELECT DISTINCT cell_row, cell_col FROM reach),
+non_ground AS MATERIALIZED (
+  SELECT th.cell_row, th.cell_col FROM th
+  LEFT JOIN ground g ON g.cell_row = th.cell_row AND g.cell_col = th.cell_col
+  WHERE g.cell_row IS NULL),
+boundary AS MATERIALIZED (
+  SELECT DISTINCT th.cell_row, th.cell_col, th.o + th.t AS src_z
+  FROM th
+  JOIN ground g ON g.cell_row = th.cell_row AND g.cell_col = th.cell_col
+  CROSS JOIN nthr o
+  JOIN non_ground n ON n.cell_row = th.cell_row + o.dy
+                   AND n.cell_col = th.cell_col + o.dx),
+fill AS (
+  SELECT q.cell_row, q.cell_col,
+         sum(b.src_z * (1.0 / (CAST(q.cell_row - b.cell_row AS DOUBLE)
+                               * CAST(q.cell_row - b.cell_row AS DOUBLE)
+                             + CAST(q.cell_col - b.cell_col AS DOUBLE)
+                               * CAST(q.cell_col - b.cell_col AS DOUBLE))))
+         / sum(1.0 / (CAST(q.cell_row - b.cell_row AS DOUBLE)
+                      * CAST(q.cell_row - b.cell_row AS DOUBLE)
+                    + CAST(q.cell_col - b.cell_col AS DOUBLE)
+                      * CAST(q.cell_col - b.cell_col AS DOUBLE))) AS value
+  FROM non_ground q
+  JOIN boundary b
+    ON (CAST(q.cell_row - b.cell_row AS DOUBLE) * CAST(q.cell_row - b.cell_row AS DOUBLE)
+      + CAST(q.cell_col - b.cell_col AS DOUBLE) * CAST(q.cell_col - b.cell_col AS DOUBLE))
+       <= {r2!r}
+  GROUP BY q.cell_row, q.cell_col)
+SELECT th.cell_row, th.cell_col, round(th.o + th.t, 6) AS value
+FROM th JOIN ground g ON g.cell_row = th.cell_row AND g.cell_col = th.cell_col
+UNION ALL
+SELECT cell_row, cell_col, round(value, 6) AS value FROM fill"""
+
+
+ORACLE_SQL["remove_off_terrain"] = _roto_sql()

@@ -130,17 +130,123 @@ FROM accum
 
 
 def q_shape_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-class hull/MBB/circle stats. No SQL oracle (hull algorithms are
-    not SQL-expressible); the driver records a rows-only check and
-    tests/test_shapes.py carries the property/parity coverage."""
+    """Per-class hull/MBB/circle stats. Rounded to 4 decimals: the SQL
+    oracle recomputes hull/calipers/MEC with different (but equally
+    accurate) summation orders, so agreement is ~1e-9 absolute, not
+    bit-identical; 4 decimals makes the gate deterministic."""
     from whitebox_tools_spark.operators.shapes import group_shape_stats
 
     out = group_shape_stats(_geo(spark, sf_dir), "cls")
     cols = [
-        F.round(c, 6).alias(c) if t == "double" else F.col(c)
+        F.round(c, 4).alias(c) if t == "double" else F.col(c)
         for c, t in out.dtypes
     ]
     return out.select(*cols)
 
 
 QUERIES["shape_stats"] = q_shape_stats
+
+
+def _shape_stats_sql() -> str:
+    """Hull via the edge characterization (directed pair (a,b) is a CCW
+    hull edge iff every other point of the group lies strictly left),
+    ring order by following the unique next-pointers from the Graham
+    pivot (lowest y, rightmost on ties) — identical to the kernel's
+    Graham output for point sets with no exact duplicates/collinear
+    triples (the derived fixture coordinates). MBB = rotating calipers
+    over ring edges 0..h-2 (the kernel's range), MEC = min-radius
+    pair/triple circle containing every hull vertex (the optimum is
+    unique; kernels/hull.py smallest_enclosing_circle)."""
+    return f"""WITH RECURSIVE {_PTS_CTE},
+p AS (SELECT cls AS g, x, y FROM pts),
+st AS (SELECT g, count(*) AS n FROM p GROUP BY g),
+e0 AS MATERIALIZED (
+  SELECT a.g, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+  FROM p a JOIN p b ON a.g = b.g AND (a.x <> b.x OR a.y <> b.y)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM p k
+    WHERE k.g = a.g AND (k.x <> a.x OR k.y <> a.y)
+      AND (k.x <> b.x OR k.y <> b.y)
+      AND ((b.x - a.x) * (k.y - a.y) - (k.x - a.x) * (b.y - a.y) < 0.0
+        OR ((b.x - a.x) * (k.y - a.y) - (k.x - a.x) * (b.y - a.y) = 0.0
+            -- collinear: only points strictly between a and b are allowed
+            -- (Graham's Ahead-replaces-top drops them from the hull)
+            AND NOT ((k.x - a.x) * (b.x - a.x) + (k.y - a.y) * (b.y - a.y) > 0.0
+                 AND (k.x - a.x) * (b.x - a.x) + (k.y - a.y) * (b.y - a.y)
+                     < (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)))))),
+pv AS (SELECT g, x AS px, y AS py FROM p
+       QUALIFY row_number() OVER (PARTITION BY g ORDER BY y ASC, x DESC) = 1),
+ring AS (SELECT g, px AS x, py AS y, 0 AS i FROM pv
+  UNION ALL
+  SELECT r.g, e.bx, e.by, r.i + 1
+  FROM ring r
+  JOIN e0 e ON e.g = r.g AND e.ax = r.x AND e.ay = r.y
+  JOIN pv ON pv.g = r.g
+  WHERE e.bx <> pv.px OR e.by <> pv.py),
+nh AS (SELECT g, count(*) AS h FROM ring GROUP BY g),
+ringn AS MATERIALIZED (SELECT r.g, r.x, r.y, r.i, nh.h FROM ring r JOIN nh ON nh.g = r.g),
+cyc AS (SELECT a.g, a.x, a.y, b.x AS x2, b.y AS y2
+        FROM ringn a JOIN ringn b ON b.g = a.g AND b.i = (a.i + 1) % a.h),
+ap AS (SELECT g, abs(sum(x * y2 - x2 * y)) / 2.0 AS hull_area,
+              sum(sqrt((x2 - x) * (x2 - x) + (y2 - y) * (y2 - y))) AS hull_perimeter
+       FROM cyc GROUP BY g),
+mid AS (SELECT g, min(x) + (max(x) - min(x)) / 2.0 AS midx,
+               min(y) + (max(y) - min(y)) / 2.0 AS midy
+        FROM ringn GROUP BY g),
+hedges AS (SELECT a.g, a.i AS m, -atan2(b.y - a.y, b.x - a.x) AS psi
+           FROM ringn a JOIN ringn b ON b.g = a.g AND b.i = a.i + 1),
+rot AS (SELECT ed.g, ed.m, ed.psi,
+        abs(max((r.x - mid.midx) * cos(ed.psi) - (r.y - mid.midy) * sin(ed.psi))
+          - min((r.x - mid.midx) * cos(ed.psi) - (r.y - mid.midy) * sin(ed.psi))) AS new_x,
+        abs(max((r.x - mid.midx) * sin(ed.psi) + (r.y - mid.midy) * cos(ed.psi))
+          - min((r.x - mid.midx) * sin(ed.psi) + (r.y - mid.midy) * cos(ed.psi))) AS new_y
+        FROM hedges ed
+        JOIN mid ON mid.g = ed.g
+        JOIN ringn r ON r.g = ed.g
+        GROUP BY ed.g, ed.m, ed.psi),
+mbb AS (SELECT g, greatest(new_x, new_y) AS long_ax, least(new_x, new_y) AS short_ax,
+               CASE WHEN new_x > new_y THEN -psi ELSE -(pi() / 2.0 + psi) END AS slope
+        FROM rot
+        QUALIFY row_number() OVER (PARTITION BY g ORDER BY new_x * new_y ASC, m ASC) = 1),
+c2 AS (SELECT a.g, (a.x + b.x) / 2.0 AS cx, (a.y + b.y) / 2.0 AS cy,
+              sqrt((a.x - (a.x + b.x) / 2.0) * (a.x - (a.x + b.x) / 2.0)
+                 + (a.y - (a.y + b.y) / 2.0) * (a.y - (a.y + b.y) / 2.0)) AS r
+       FROM ringn a JOIN ringn b ON a.g = b.g AND a.i < b.i),
+c3 AS (SELECT g, ux AS cx, uy AS cy,
+              sqrt((ax - ux) * (ax - ux) + (ay - uy) * (ay - uy)) AS r
+       FROM (SELECT t.g, t.ax, t.ay,
+                    ((t.ax * t.ax + t.ay * t.ay) * (t.by - t.cy)
+                   + (t.bx * t.bx + t.by * t.by) * (t.cy - t.ay)
+                   + (t.cx * t.cx + t.cy * t.cy) * (t.ay - t.by)) / t.d AS ux,
+                    ((t.ax * t.ax + t.ay * t.ay) * (t.cx - t.bx)
+                   + (t.bx * t.bx + t.by * t.by) * (t.ax - t.cx)
+                   + (t.cx * t.cx + t.cy * t.cy) * (t.bx - t.ax)) / t.d AS uy
+             FROM (SELECT a.g, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by,
+                          c.x AS cx, c.y AS cy,
+                          2.0 * (a.x * (b.y - c.y) + b.x * (c.y - a.y)
+                               + c.x * (a.y - b.y)) AS d
+                   FROM ringn a
+                   JOIN ringn b ON a.g = b.g AND a.i < b.i
+                   JOIN ringn c ON a.g = c.g AND b.i < c.i) t
+             WHERE t.d <> 0.0)),
+cands AS (SELECT * FROM c2 UNION ALL SELECT * FROM c3),
+mec AS (SELECT cd.g, cd.cx, cd.cy, cd.r FROM cands cd
+        WHERE NOT EXISTS (
+          SELECT 1 FROM ringn v WHERE v.g = cd.g
+            AND sqrt((v.x - cd.cx) * (v.x - cd.cx)
+                   + (v.y - cd.cy) * (v.y - cd.cy)) > cd.r + 1e-10)
+        QUALIFY row_number() OVER (PARTITION BY cd.g ORDER BY cd.r, cd.cx, cd.cy) = 1)
+SELECT st.g AS cls, st.n AS n_points, nh.h AS hull_vertices,
+       round(ap.hull_area, 4) AS hull_area,
+       round(ap.hull_perimeter, 4) AS hull_perimeter,
+       round(mbb.long_ax, 4) AS mbb_long_axis,
+       round(mbb.short_ax, 4) AS mbb_short_axis,
+       round(1.0 - mbb.short_ax / mbb.long_ax, 4) AS elongation,
+       round(degrees(mbb.slope), 4) AS orientation_deg,
+       round(mec.cx, 4) AS circle_x, round(mec.cy, 4) AS circle_y,
+       round(mec.r, 4) AS circle_radius
+FROM st JOIN nh ON nh.g = st.g JOIN ap ON ap.g = st.g
+JOIN mbb ON mbb.g = st.g JOIN mec ON mec.g = st.g"""
+
+
+ORACLE_SQL["shape_stats"] = _shape_stats_sql()
