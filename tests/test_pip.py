@@ -126,3 +126,72 @@ def test_expr_and_arrow_strategies_agree(spark):
                 ).collect()
             }
             assert te == ta
+
+
+def test_cells_strategy_agrees(spark):
+    """The cell-join (no-broadcast) path matches the arrow path exactly —
+    both layers, both part modes, clip and tag."""
+    n = 800
+    docs = derive.with_geometry(synth_docs(spark, n), "doc_num").select(
+        "doc_num", (F.col("x") / 6.0).alias("x"), (F.col("y") / 6.0).alias("y")
+    )
+    for layer in (rect_layer(), exotic_layer()):
+        for part_mode in ("last_wins", "shell_then_hole"):
+            a = {
+                r["doc_num"]
+                for r in clip_points(
+                    docs, layer, "semi", part_mode, strategy="arrow"
+                ).select("doc_num").collect()
+            }
+            c = {
+                r["doc_num"]
+                for r in clip_points(
+                    docs, layer, "semi", part_mode, strategy="cells"
+                ).select("doc_num").collect()
+            }
+            assert a == c, (part_mode, len(a), len(c))
+            ta = {
+                (r["doc_num"], r["poly_fid"])
+                for r in tag_polygon(docs, layer, part_mode, strategy="arrow").select(
+                    "doc_num", "poly_fid"
+                ).collect()
+            }
+            tc = {
+                (r["doc_num"], r["poly_fid"])
+                for r in tag_polygon(docs, layer, part_mode, strategy="cells").select(
+                    "doc_num", "poly_fid"
+                ).collect()
+            }
+            assert ta == tc, part_mode
+
+
+def test_big_layer_auto_avoids_codegen_ceiling(spark):
+    """A layer beyond EXPR_MAX_VERTICES must auto-route to the arrow path
+    (no janino 64 KB hazard) and agree with the cells path."""
+    import math as _m
+
+    from whitebox_tools_spark.operators.pip import EXPR_MAX_VERTICES, _layer_vertices
+    from whitebox_tools_spark.sources.vectors import PolygonFeature
+
+    rng = np.random.RandomState(11)
+    feats = []
+    for f in range(8):
+        cx, cy = rng.uniform(150, 850, 2)
+        ang = np.linspace(0, 2 * _m.pi, 256, endpoint=False)
+        r = 60 + 40 * np.cos(5 * ang)
+        ring = np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=1)
+        ring = np.vstack([ring, ring[:1]])
+        feats.append(PolygonFeature(fid=f, rings=[ring], holes=[False]))
+    assert _layer_vertices(feats) > EXPR_MAX_VERTICES
+
+    docs = derive.with_geometry(synth_docs(spark, 1500), "doc_num")
+    auto = {
+        r["doc_num"]
+        for r in clip_points(docs, feats).select("doc_num").collect()
+    }
+    cells = {
+        r["doc_num"]
+        for r in clip_points(docs, feats, strategy="cells").select("doc_num").collect()
+    }
+    assert auto == cells
+    assert 0 < len(auto) < 1500

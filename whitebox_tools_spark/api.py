@@ -103,6 +103,15 @@ def q_clip_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clip_semi_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clip as clip_semi, forced onto the no-broadcast cell-join
+    strategy (operators/pip_cells.py) so the huge-layer path has its own
+    oracle row."""
+    return clip_points(
+        _docs_geo(spark, sf_dir), vectors.rect_layer(), "semi", strategy="cells"
+    ).select("doc_id", "x", "y")
+
+
 def q_clip_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clip_points(_docs_geo(spark, sf_dir), vectors.rect_layer(), "anti").select(
         "doc_id", "x", "y"
@@ -134,6 +143,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_filter": q_tile_filter,
     "tile_counts": q_tile_counts,
     "clip_semi": q_clip_semi,
+    "clip_semi_cells": q_clip_semi_cells,
     "clip_anti": q_clip_anti,
     "tag_polygon": q_tag_polygon,
     "radius_join": q_radius_join,
@@ -281,6 +291,10 @@ t AS (SELECT doc_id, tile_row * n_cols + tile_col AS tile FROM tiles)
 SELECT tile, count(*) AS n_points FROM t GROUP BY tile
 """,
     "clip_semi": f"""
+WITH {_PTS_CTE}
+SELECT doc_id, x, y FROM pts WHERE {vectors.rect_layer_sql_predicate()}
+""",
+    "clip_semi_cells": f"""
 WITH {_PTS_CTE}
 SELECT doc_id, x, y FROM pts WHERE {vectors.rect_layer_sql_predicate()}
 """,

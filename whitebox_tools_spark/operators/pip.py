@@ -24,9 +24,10 @@ Scale design — two physical strategies, same semantics:
 Both replicate the reference's per-feature bbox pre-test
 (``is_point_in_box``) before the exact winding evaluation.
 
-For huge polygon layers a cell-join path would be required; that variant
-shares the cell machinery in operators/cells.py (future work, not needed
-for reference parity).
+- 'cells' (operators/pip_cells.py): the huge-layer path — the layer is
+  never broadcast; membership is two hash equi-joins (bbox cells, then
+  banded winding edges) with a bit-identical integer winding sum. Pick it
+  explicitly when the layer will not fit in executor memory.
 """
 
 from __future__ import annotations
@@ -45,9 +46,18 @@ from whitebox_tools_spark.sources.vectors import PolygonFeature
 Mode = Literal["semi", "anti"]
 PartMode = Literal["last_wins", "shell_then_hole"]
 
-# layers up to this many total vertices inline into the plan ('expr');
-# beyond it the unrolled codegen method would exceed JIT-friendly size
-EXPR_MAX_VERTICES = 512
+# layers up to this many total vertices inline into the plan ('expr').
+# Measured on local[8], 200k points: at 256 vertices the generated
+# whole-stage method still compiles (janino hard-fails with "Code grows
+# beyond 64 KB" near ~2048, and above ~512 compile time and interpreted
+# fallbacks erase the codegen win); the arrow path is flat ~0.5s at any
+# layer size because the layer is broadcast once and evaluated in
+# vectorized numpy.  Chunking the fold into intermediate projected
+# columns does NOT help: CollapseProject re-inlines single-use aliases,
+# so the generated method is just as large (measured 17.6s warm at 2048
+# vertices chunked vs 0.49s arrow).  'expr' still wins on rows with
+# heavy untouched columns (no Arrow round-trip), hence the split.
+EXPR_MAX_VERTICES = 256
 
 
 # --------------------------------------------------- JVM expression path
@@ -200,6 +210,10 @@ def clip_points(
     """Spatial semi/anti join of a point table against a broadcast layer."""
     if strategy == "auto":
         strategy = "expr" if _layer_vertices(layer) <= EXPR_MAX_VERTICES else "arrow"
+    if strategy == "cells":
+        from whitebox_tools_spark.operators.pip_cells import clip_points_cells
+
+        return clip_points_cells(points, layer, mode, part_mode, x, y)
     if strategy == "expr":
         m = membership_col(layer, F.col(x), F.col(y), part_mode)
         return points.where(m if mode == "semi" else ~m)
@@ -237,6 +251,10 @@ def tag_polygon(
     """
     if strategy == "auto":
         strategy = "expr" if _layer_vertices(layer) <= EXPR_MAX_VERTICES else "arrow"
+    if strategy == "cells":
+        from whitebox_tools_spark.operators.pip_cells import tag_polygon_cells
+
+        return tag_polygon_cells(points, layer, part_mode, x, y, out)
     if strategy == "expr":
         return points.withColumn(out, fid_col(layer, F.col(x), F.col(y), part_mode))
     spark = points.sparkSession
