@@ -177,10 +177,11 @@ b AS (SELECT doc_id, i AS band, mh[i] AS key
 cand AS (SELECT l.doc_id AS a, r.doc_id AS b
          FROM b l JOIN b r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
          GROUP BY 1, 2),
+hset AS (SELECT doc_id, list_distinct(h) AS th FROM hs),
 j AS (SELECT c.a, c.b,
-             CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE) AS inter,
-             CAST(len(ta.tk) + len(tb.tk) AS DOUBLE) AS tot
-      FROM cand c JOIN toks ta ON c.a = ta.doc_id JOIN toks tb ON c.b = tb.doc_id)
+             CAST(len(list_intersect(ta.th, tb.th)) AS DOUBLE) AS inter,
+             CAST(len(ta.th) + len(tb.th) AS DOUBLE) AS tot
+      FROM cand c JOIN hset ta ON c.a = ta.doc_id JOIN hset tb ON c.b = tb.doc_id)
 SELECT a, b, round(inter / (tot - inter), 6) AS jaccard
 FROM j WHERE inter / (tot - inter) >= {JACCARD_T!r}
 """,

@@ -153,8 +153,18 @@ def jaccard_pairs(
     record: str = "doc_id",
     text: str = "text",
 ) -> DataFrame:
-    """Exact distinct-token Jaccard for candidate pairs; keep >= threshold."""
-    toks = docs.select(F.col(record), distinct_tokens(F.col(text)).alias("toks"))
+    """Distinct-token Jaccard for candidate pairs; keep >= threshold.
+
+    Tokens are compared as their 60-bit hashes (deduped after hashing),
+    not as strings: long-array intersection is several times cheaper than
+    string-array intersection on the verify join (the hot path — LSH
+    candidate volume), and the hash is the same deterministic md5-based
+    function on both engines, so the DuckDB oracle sees identical values.
+    A cross-token collision inside one pair's union (~|U|^2 / 2^31,
+    ~5e-6 at 100 tokens) shifts that pair's Jaccard by one token."""
+    toks = docs.select(
+        F.col(record), F.array_distinct(token_hashes(F.col(text))).alias("toks")
+    )
     j = (
         pairs.join(toks.select(F.col(record).alias("a"), F.col("toks").alias("ta")), "a")
         .join(toks.select(F.col(record).alias("b"), F.col("toks").alias("tb")), "b")
