@@ -141,3 +141,93 @@ ranked AS (SELECT comp, CAST(row_number() OVER (ORDER BY comp) AS DOUBLE) AS seg
 SELECT c.node AS doc_id, r.seg AS segment
 FROM comp c JOIN ranked r ON r.comp = c.comp""",
 }
+
+
+# ---------------------------------------------------- lidar ransac planes
+
+RS_RADIUS = 100.0
+RS_ITER = 8
+RS_SAMPLES = 5
+RS_THRESHOLD = 5.0
+RS_MODEL = 10
+
+
+def q_lidar_ransac_planes(spark, sf_dir):
+    from whitebox_tools_spark.operators.ransac import lidar_ransac_planes
+
+    return lidar_ransac_planes(
+        _geo(spark, sf_dir), RS_RADIUS, RS_ITER, RS_SAMPLES, RS_THRESHOLD, RS_MODEL
+    ).select("doc_id", "planar")
+
+
+QUERIES["lidar_ransac_planes"] = q_lidar_ransac_planes
+
+
+def _ransac_sql() -> str:
+    r2 = RS_RADIUS * RS_RADIUS
+    res0 = "(e.zp - (-(p0.d + p0.a * e.xp + p0.b * e.yp) / p0.c))"
+    resr = "(i.zp - (-(r.rd + r.ra * i.xp + r.rb * i.yp) / r.rc))"
+    fit = """{src} AS (SELECT doc_id, t,
+       CASE WHEN det_max = det_x THEN 1.0
+            WHEN det_max = det_y THEN (yz * xz - xy * zz) / det_y
+            ELSE (yz * xy - xz * yy) / det_z END AS {p}a,
+       CASE WHEN det_max = det_x THEN (xz * yz - xy * zz) / det_x
+            WHEN det_max = det_y THEN 1.0
+            ELSE (xz * xy - yz * xx) / det_z END AS {p}b,
+       CASE WHEN det_max = det_x THEN (xy * yz - xz * yy) / det_x
+            WHEN det_max = det_y THEN (xy * xz - yz * xx) / det_y
+            ELSE 1.0 END AS {p}c,
+       cx, cy, cz
+  FROM (SELECT *, greatest(det_x, det_y, det_z) AS det_max
+        FROM (SELECT doc_id, t, sx / n AS cx, sy / n AS cy, sz / n AS cz,
+                     yy * zz - yz * yz AS det_x, xx * zz - xz * xz AS det_y,
+                     xx * yy - xy * xy AS det_z, xx, xy, xz, yy, yz, zz
+              FROM (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS n,
+                           sum(xp) AS sx, sum(yp) AS sy, sum(zp) AS sz,
+                           sum(xp * xp) AS sxx, sum(xp * yp) AS sxy,
+                           sum(xp * zp) AS sxz, sum(yp * yp) AS syy,
+                           sum(yp * zp) AS syz, sum(zp * zp) AS szz
+                    FROM {rows} GROUP BY doc_id, t {having}) m0
+              CROSS JOIN LATERAL (SELECT sxx - sx * sx / n AS xx,
+                     sxy - sx * sy / n AS xy, sxz - sx * sz / n AS xz,
+                     syy - sy * sy / n AS yy, syz - sy * sz / n AS yz,
+                     szz - sz * sz / n AS zz) cvx) dts) fx)"""
+    fit0 = fit.format(src="fitx0", p="", rows="samples", having="")
+    fitr = fit.format(src="fitxr", p="r", rows="inl i", having=f"HAVING count(*) >= {RS_MODEL}")
+    return f"""WITH {_PTS_CTE},
+pr AS MATERIALIZED (
+  SELECT q.doc_id, q.x, q.y, q.z, p.doc_id AS pid, p.x AS xp, p.y AS yp, p.z AS zp,
+         (q.x - p.x) * (q.x - p.x) + (q.y - p.y) * (q.y - p.y) AS d2
+  FROM pts q JOIN pts p
+    ON (q.x - p.x) * (q.x - p.x) + (q.y - p.y) * (q.y - p.y) <= {r2!r}),
+p3 AS MATERIALIZED (SELECT * FROM pr WHERE d2 + (z - zp) * (z - zp) <= {r2!r}),
+cnt AS (SELECT doc_id, count(*) AS nn FROM p3 GROUP BY doc_id),
+el AS MATERIALIZED (SELECT p3.* FROM p3
+  JOIN cnt ON cnt.doc_id = p3.doc_id WHERE cnt.nn > {RS_SAMPLES}),
+ex AS (SELECT e.*, t.t,
+       CAST(('0x' || substr(md5(e.doc_id || ':' || e.pid || ':' || t.t), 1, 15)) AS BIGINT) AS h
+  FROM el e CROSS JOIN range(0, {RS_ITER}) t(t)),
+samples AS (SELECT * FROM ex
+  QUALIFY row_number() OVER (PARTITION BY doc_id, t ORDER BY h, pid) <= {RS_SAMPLES}),
+{fit0},
+plane0 AS (SELECT doc_id, t, a, b, c, -a * cx + -b * cy + -c * cz AS d FROM fitx0),
+inl AS MATERIALIZED (SELECT e.doc_id, p0.t, e.xp, e.yp, e.zp
+  FROM el e JOIN plane0 p0 ON p0.doc_id = e.doc_id
+  WHERE abs({res0}) <= {RS_THRESHOLD!r}),
+{fitr},
+refit AS (SELECT doc_id, t, ra, rb, rc, -ra * cx + -rb * cy + -rc * cz AS rd FROM fitxr),
+rms AS (SELECT i.doc_id, i.t, r.ra, r.rb, r.rc, r.rd,
+       sqrt(sum({resr} * {resr}) / count(*)) AS rmse
+  FROM inl i JOIN refit r ON r.doc_id = i.doc_id AND r.t = i.t
+  GROUP BY i.doc_id, i.t, r.ra, r.rb, r.rc, r.rd),
+best AS (SELECT doc_id, ra, rb, rc, rd, rmse FROM rms
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY rmse, t) = 1)
+SELECT p.doc_id,
+       CASE WHEN b.ra IS NOT NULL AND NOT isnan(b.rmse)
+                 AND (p.z - (-(b.rd + b.ra * p.x + b.rb * p.y) / b.rc))
+                     <= {RS_THRESHOLD!r}
+            THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS planar
+FROM pts p LEFT JOIN best b ON b.doc_id = p.doc_id"""
+
+
+ORACLE_SQL["lidar_ransac_planes"] = _ransac_sql()
