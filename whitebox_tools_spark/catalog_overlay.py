@@ -396,3 +396,135 @@ def _geom_oracle_sql(op: str) -> str:
 ORACLE_SQL["intersect_geom"] = _geom_oracle_sql("int")
 ORACLE_SQL["union_geom"] = _geom_oracle_sql("union")
 ORACLE_SQL["erase_geom"] = _geom_oracle_sql("diff")
+
+
+# ------------------------------------------------------- polygonize
+
+# merged fixture: both line layers form one richly-crossing arrangement
+POLY_LINE_SPECS = vectors.LINE_SPECS_1 + [
+    (i + len(vectors.LINE_SPECS_1), x1, y1, x2, y2)
+    for i, x1, y1, x2, y2 in vectors.LINE_SPECS_2
+]
+
+
+def q_polygonize(spark, sf_dir):
+    from whitebox_tools_spark.operators.polygonize import polygonize
+
+    lines = spark.createDataFrame(
+        vectors.line_layer_rows(POLY_LINE_SPECS)
+    ).coalesce(1)
+    return polygonize(lines).select(
+        "fid", "vi", F.round("x", 6).alias("x"), F.round("y", 6).alias("y")
+    )
+
+
+def _polygonize_oracle_rows():
+    """Independent single-threaded polygonize: brute-force O(n^2) pairwise
+    splits + visited-set max-angle ring walk (the reference's own tracing
+    style, polygonize.rs:180-1100), vs the engine's grid-join / CC /
+    per-face walk. Same rotation rule, different construction."""
+
+    def inter(p, q):
+        (x1, y1, x2, y2), (x3, y3, x4, y4) = p, q
+        rx, ry = x2 - x1, y2 - y1
+        sx, sy = x4 - x3, y4 - y3
+        den = rx * sy - ry * sx
+        if den == 0.0:
+            return None
+        t = ((x3 - x1) * sy - (y3 - y1) * sx) / den
+        u = ((x3 - x1) * ry - (y3 - y1) * rx) / den
+        if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
+            return t
+        return None
+
+    segs = [(x1, y1, x2, y2) for _, x1, y1, x2, y2 in POLY_LINE_SPECS]
+    pieces = set()
+    for i, s in enumerate(segs):
+        ts = {0.0, 1.0}
+        for k, o in enumerate(segs):
+            if k == i:
+                continue
+            t = inter(s, o)
+            if t is not None:
+                ts.add(t)
+        x1, y1, x2, y2 = s
+        pts = [
+            (round(x1 + t * (x2 - x1), 6), round(y1 + t * (y2 - y1), 6))
+            for t in sorted(ts)
+        ]
+        for a, b in zip(pts, pts[1:]):
+            if a != b:
+                pieces.add((min(a, b), max(a, b)))
+
+    # 2-core peel
+    while True:
+        deg = {}
+        for a, b in pieces:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        drop = {p for p, d in deg.items() if d <= 1}
+        if not drop:
+            break
+        pieces = {(a, b) for a, b in pieces if a not in drop and b not in drop}
+
+    import math
+
+    # half-edges + DCEL rotation successor (clockwise-next from reverse)
+    out_edges = {}
+    half = []
+    for a, b in sorted(pieces):
+        half.append((a, b))
+        half.append((b, a))
+    for u, v in half:
+        out_edges.setdefault(u, []).append((u, v))
+    nxt = {}
+    for u, v in half:
+        rangle = math.atan2(u[1] - v[1], u[0] - v[0])
+        cands = [
+            (1 if math.atan2(w[1] - v[1], w[0] - v[0]) < rangle else 0,
+             math.atan2(w[1] - v[1], w[0] - v[0]), (v, w))
+            for (_, w) in out_edges[v]
+            if (v, w) != (v, u)
+        ]
+        nxt[(u, v)] = max(cands)[2] if cands else (v, u)
+
+    rings, seen = [], set()
+    for h0 in half:
+        if h0 in seen:
+            continue
+        ring, h = [], h0
+        while h not in seen:
+            seen.add(h)
+            ring.append(h[0])
+            h = nxt[h]
+        n = len(ring)
+        a2 = sum(
+            ring[i][0] * ring[(i + 1) % n][1] - ring[(i + 1) % n][0] * ring[i][1]
+            for i in range(n)
+        )
+        if a2 <= 0.0 or n < 3:
+            continue
+        rot = min(range(n), key=lambda i: ring[i])
+        rings.append(ring[rot:] + ring[:rot])
+
+    rings.sort(key=lambda r: (r[0][0], r[0][1], len(r), r))
+    rows = []
+    for fid, r in enumerate(rings, start=1):
+        for vi, (x, y) in enumerate(r):
+            rows.append((fid, vi, x, y))
+    return rows
+
+
+def _polygonize_sql() -> str:
+    vals = ", ".join(
+        f"({fid}, {vi}, {x!r}, {y!r})" for fid, vi, x, y in _polygonize_oracle_rows()
+    )
+    return (
+        "SELECT CAST(fid AS INT) AS fid, CAST(vi AS INT) AS vi, "
+        "CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y "
+        f"FROM (VALUES {vals}) t(fid, vi, x, y)"
+    )
+
+
+QUERIES["polygonize"] = q_polygonize
+ORACLE_SQL["polygonize"] = _polygonize_sql()
