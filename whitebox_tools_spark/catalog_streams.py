@@ -115,7 +115,9 @@ ew AS (SELECT e.a AS src, e.b AS cur, e.len FROM sedges e
        UNION ALL
        SELECT w.src, e.b, w.len FROM ew w JOIN sedges e ON e.a = w.cur)
 SELECT s.cell_row, s.cell_col,
-       round(CAST(coalesce(t.s, 0.0) AS DOUBLE), 6) AS value
+       round(CAST(coalesce(t.s, 0.0)
+                  + (CASE WHEN s.dir >= 0 THEN {_LEN_ARR}[s.dir + 1]
+                          ELSE 0.0 END) AS DOUBLE), 6) AS value
 FROM snodes s LEFT JOIN (SELECT cur, sum(len) AS s FROM ew GROUP BY cur) t
   ON t.cur = s.id"""),
     "farthest_channel_head": _scaffold(f"""

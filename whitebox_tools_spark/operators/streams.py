@@ -106,10 +106,11 @@ def shreve_magnitude(streams, dirs, cfg: GridConfig, max_rounds: int = 100) -> D
 def length_of_upstream_channels(
     streams, dirs, cfg: GridConfig, max_rounds: int = 100
 ) -> DataFrame:
-    """LengthOfUpstreamChannels (total_length_channels.rs:370-385): total
-    grid length of all stream links strictly upstream of the cell.
-    Deviation: the reference also adds the cell's own outflowing link
-    length into its value; we report strictly-upstream length."""
+    """LengthOfUpstreamChannels (total_length_channels.rs:368-390): total
+    grid length of all stream links strictly upstream of the cell PLUS
+    the cell's own outflowing link length (the reference increments the
+    cell by grid_lengths[dir] before propagating, :377, for any valid
+    pointer — even when the downstream cell is not a stream cell)."""
     nodes, edges = stream_graph(streams, dirs, cfg)
 
     def update(prev):
@@ -126,7 +127,20 @@ def length_of_upstream_channels(
             .select("id", F.coalesce("s", F.lit(0.0)).alias("val"))
         )
 
-    return _as_raster(nodes, _fixpoint(nodes, update, max_rounds))
+    upstream = _fixpoint(nodes, update, max_rounds)
+    diag = math.sqrt(cfg.res_x * cfg.res_x + cfg.res_y * cfg.res_y)
+    lens = [diag, cfg.res_x, diag, cfg.res_y, diag, cfg.res_x, diag, cfg.res_y]
+    ln = F.array(*[F.lit(v) for v in lens])
+    own = nodes.select(
+        "id",
+        F.when(F.col("dir") >= 0, F.element_at(ln, F.col("dir") + 1))
+        .otherwise(F.lit(0.0))
+        .alias("own_len"),
+    )
+    total = upstream.join(own, "id").select(
+        "id", (F.col("val") + F.col("own_len")).alias("val")
+    )
+    return _as_raster(nodes, total)
 
 
 def farthest_channel_head(
