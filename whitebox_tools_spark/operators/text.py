@@ -135,14 +135,36 @@ def minhash_candidates(
             for i in range(n_bands)
         ]
     )
-    b = sig.select(record, F.posexplode(bands).alias("band", "key"))
-    l = b.select(F.col(record).alias("a"), "band", "key")
-    r = b.select(F.col(record).alias("b"), "band", "key")
+    b = sig.select(record, "minhash", F.posexplode(bands).alias("band", "key"))
+    l = b.select(F.col(record).alias("a"), F.col("minhash").alias("sa"), "band", "key")
+    r = b.select(F.col(record).alias("b"), F.col("minhash").alias("sb"), "band", "key")
+
+    # Exactly-once emission: keep a pair only in its FIRST matching band.
+    # Near-identical docs match in every band, so the naive join emits
+    # each hot pair n_bands times and then pays a wide distinct; checking
+    # "no earlier band matched" against the signatures already on both
+    # sides of the join removes that shuffle entirely.
+    def _band_eq(j: int) -> Column:
+        cols = [
+            F.element_at("sa", j * rows_per_band + k + 1)
+            == F.element_at("sb", j * rows_per_band + k + 1)
+            for k in range(rows_per_band)
+        ]
+        out = cols[0]
+        for c in cols[1:]:
+            out = out & c
+        return out
+
+    # Statically unrolled "no earlier band matched" — a flat boolean over
+    # n_bands terms stays inside whole-stage codegen (an array-HOF here
+    # costs more than the distinct it replaces).
+    first_match = F.lit(True)
+    for j in range(n_bands - 1):
+        first_match = first_match & ((F.col("band") <= j) | ~_band_eq(j))
     return (
         l.join(r, ["band", "key"], "inner")
-        .where(F.col("a") < F.col("b"))
+        .where((F.col("a") < F.col("b")) & first_match)
         .select("a", "b")
-        .distinct()
     )
 
 
@@ -171,11 +193,14 @@ def jaccard_pairs(
     )
     inter = F.size(F.array_intersect("ta", "tb")).cast("double")
     union = (F.size("ta") + F.size("tb")).cast("double") - inter
-    return (
-        j.withColumn("jaccard", inter / union)
-        .where(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
-    )
+    # Filter in multiply form (inter appears once, no division):
+    # inter/(tot-inter) >= T  <=>  inter*(1+T) >= T*tot.  The projection
+    # still needs inter for the jaccard column, so the intersect runs
+    # twice per candidate instead of three times (filter pushed into the
+    # join condition + numerator + denominator).
+    tot = (F.size("ta") + F.size("tb")).cast("double")
+    keep = inter * F.lit(1.0 + threshold) >= F.lit(float(threshold)) * tot
+    return j.where(keep).select("a", "b", (inter / union).alias("jaccard"))
 
 
 def minhash_dedup_pairs(
@@ -233,13 +258,24 @@ def simhash_pairs(
             for i in range(4)
         ]
     )
-    b = sig.select(record, "simhash", F.explode(bands).alias("key"))
-    l = b.select(F.col(record).alias("a"), F.col("simhash").alias("ha"), "key")
-    r = b.select(F.col(record).alias("b"), F.col("simhash").alias("hb"), "key")
+    b = sig.select(record, "simhash", F.posexplode(bands).alias("band", "key"))
+    l = b.select(F.col(record).alias("a"), F.col("simhash").alias("ha"), "band", "key")
+    r = b.select(F.col(record).alias("b"), F.col("simhash").alias("hb"), "band", "key")
+    # Exactly-once emission (see minhash_candidates): keep the pair only
+    # in its first matching byte block, judged from ha/hb post-join —
+    # replaces the wide distinct over band-duplicated pairs.
+    xor = F.col("ha").bitwiseXOR(F.col("hb"))
+    first_match = F.lit(True)
+    for j in range(3):
+        first_match = first_match & (
+            (F.col("band") <= j) | (F.shiftright(xor, j * 8).bitwiseAND(F.lit(255)) != 0)
+        )
     cand = (
-        l.join(r, "key").where(F.col("a") < F.col("b")).select("a", "b", "ha", "hb").distinct()
+        l.join(r, ["band", "key"])
+        .where((F.col("a") < F.col("b")) & first_match)
+        .select("a", "b", "ha", "hb")
     )
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    ham = F.bit_count(xor)
     return cand.withColumn("hamming", ham).where(F.col("hamming") <= max_hamming).select(
         "a", "b", "hamming"
     )
