@@ -12,6 +12,7 @@ def test_full_tool_count():
 def test_statuses_valid():
     assert set(v["status"] for v in TOOLS.values()) <= {
         "exact",
+        "deviating",
         "engine",
         "expr",
         "deferred",

@@ -17,6 +17,7 @@ from whitebox_tools_spark.operators import attributes as at
 from whitebox_tools_spark.operators import measures as ms
 from whitebox_tools_spark.sources import vectors
 from whitebox_tools_spark.sources.tables import documents, load
+from whitebox_tools_spark.localrel import local_df
 
 _GEO_SQL = derive.sql_geometry_select("doc_id")
 _PTS_CTE = f"pts AS (SELECT doc_id, {_GEO_SQL} FROM documents)"
@@ -64,7 +65,7 @@ def q_remove_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_polygon_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    layer = spark.createDataFrame(vectors.layer_to_rows(vectors.rect_layer()))
+    layer = local_df(spark, vectors.layer_to_rows(vectors.rect_layer()))
     out = ms.with_part_measures(layer)
     return out.select(
         "fid",
@@ -75,7 +76,7 @@ def q_polygon_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_compactness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    layer = spark.createDataFrame(vectors.layer_to_rows(vectors.rect_layer()))
+    layer = local_df(spark, vectors.layer_to_rows(vectors.rect_layer()))
     out = ms.compactness_ratio(layer)
     return out.select(
         "fid",

@@ -18,6 +18,7 @@ from whitebox_tools_spark.operators.focal import focal_apply
 from whitebox_tools_spark.operators.hydro import _d8_dir_stencil
 from whitebox_tools_spark.sources import vectors
 from whitebox_tools_spark.sources.tables import documents
+from whitebox_tools_spark.localrel import local_df
 
 TILE_SIZE = 8
 COST_ROUNDS = 64
@@ -126,8 +127,8 @@ def q_elev_rel_watershed(spark, sf_dir):
 def q_line_intersections(spark, sf_dir):
     # tiny fixture frames: one partition keeps the non-equi join from
     # fanning out into hundreds of empty tasks
-    l1 = spark.createDataFrame(vectors.line_layer_rows(vectors.LINE_SPECS_1)).coalesce(1)
-    l2 = spark.createDataFrame(vectors.line_layer_rows(vectors.LINE_SPECS_2)).coalesce(1)
+    l1 = local_df(spark, vectors.line_layer_rows(vectors.LINE_SPECS_1))
+    l2 = local_df(spark, vectors.line_layer_rows(vectors.LINE_SPECS_2))
     return cop.line_intersections(l1, l2).select(
         "s1", "s2", F.round("x", 6).alias("x"), F.round("y", 6).alias("y")
     )

@@ -19,6 +19,7 @@ from whitebox_tools_spark.operators.focal import focal_apply
 from whitebox_tools_spark.operators.hydro import _d8_dir_stencil
 from whitebox_tools_spark.sources import vectors
 from whitebox_tools_spark.sources.tables import documents
+from whitebox_tools_spark.localrel import local_df
 
 TILE_SIZE = 8
 ST_THRESHOLD = 2.0
@@ -65,7 +66,7 @@ QUERIES = {
         hydro3.fill_burn(
             _z(s, d),
             s2.rasterize_streams(
-                s.createDataFrame(vectors.line_layer_rows(vectors.LINE_SPECS_1)), GRID
+                local_df(s, vectors.line_layer_rows(vectors.LINE_SPECS_1)), GRID
             ),
             GRID, BURN, FILL_ROUNDS)),
     "flow_accum_full_workflow": lambda s, d: _aliased(

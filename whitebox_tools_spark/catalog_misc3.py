@@ -14,6 +14,7 @@ from whitebox_tools_spark.catalog_iter import _Z_CTE, _d8_dir_sql
 from whitebox_tools_spark.operators import hydro, misc3 as m3
 from whitebox_tools_spark.sources import vectors
 from whitebox_tools_spark.sources.tables import documents
+from whitebox_tools_spark.localrel import local_df
 
 TILE_SIZE = 8
 WALL_H = 100.0
@@ -31,7 +32,7 @@ def _rects(spark):
         dict(fid=fid, xmin=xmin, ymin=ymin, xmax=xmax, ymax=ymax)
         for fid, xmin, ymin, xmax, ymax, _h in vectors.RECT_SPECS
     ]
-    return spark.createDataFrame(rows).coalesce(1)
+    return local_df(spark, rows)
 
 
 def _wall_segments(spark):
@@ -44,7 +45,7 @@ def _wall_segments(spark):
         ]:
             i += 1
             segs.append(dict(seg_id=i, x1=x1, y1=y1, x2=x2, y2=y2))
-    return spark.createDataFrame(segs).coalesce(1)
+    return local_df(spark, segs)
 
 
 def _aliased(df: DataFrame, round6: bool = False) -> DataFrame:
@@ -64,8 +65,8 @@ QUERIES = {
     "burn_streams_at_roads": lambda s, d: _aliased(
         m3.burn_streams_at_roads(
             _z(s, d),
-            s.createDataFrame(vectors.line_layer_rows(vectors.LINE_SPECS_1)).coalesce(1),
-            s.createDataFrame(vectors.line_layer_rows(vectors.LINE_SPECS_2)).coalesce(1),
+            local_df(s, vectors.line_layer_rows(vectors.LINE_SPECS_1)),
+            local_df(s, vectors.line_layer_rows(vectors.LINE_SPECS_2)),
             GRID, BURN)),
     "turning_bands": lambda s, d: _aliased(
         m3.turning_bands(s, GRID, TB_BANDS, TB_WL), round6=True),

@@ -15,6 +15,7 @@ from whitebox_tools_spark.catalog_lidar import _NORMAL_CTES, RADIUS, SEG_ANGLE, 
 from whitebox_tools_spark.operators import hydro, misc6 as m6
 from whitebox_tools_spark.sources import vectors
 from whitebox_tools_spark.sources.tables import documents
+from whitebox_tools_spark.localrel import local_df
 
 TILE_SIZE = 8
 POUR_MOD = 37
@@ -66,7 +67,7 @@ def q_seg_filter(spark, sf_dir):
 
 
 def q_buffer_vector(spark, sf_dir):
-    layer = spark.createDataFrame(vectors.layer_to_rows(vectors.rect_layer())).coalesce(1)
+    layer = local_df(spark, vectors.layer_to_rows(vectors.rect_layer()))
     return m6.buffer_vector_convex_area(layer, BUF_D).select(
         "fid", F.round("buffered_area", 6).alias("buffered_area")
     )

@@ -17,20 +17,21 @@ from whitebox_tools_spark.operators import raster as rop
 from whitebox_tools_spark.operators import vector_ops as vo
 from whitebox_tools_spark.sources import vectors
 from whitebox_tools_spark.sources.tables import documents
+from whitebox_tools_spark.localrel import local_df
 
 EXTEND_D = 25.0
 
 
 def _layer_a(spark):
-    return spark.createDataFrame(vectors.layer_to_rows(vectors.rect_layer())).coalesce(1)
+    return local_df(spark, vectors.layer_to_rows(vectors.rect_layer()))
 
 
 def _layer_b(spark):
-    return spark.createDataFrame(vectors.layer_to_rows(vectors.rect_layer_b())).coalesce(1)
+    return local_df(spark, vectors.layer_to_rows(vectors.rect_layer_b()))
 
 
 def _paths(spark):
-    return spark.createDataFrame(vectors.LINE_PATHS).coalesce(1)
+    return local_df(spark, vectors.LINE_PATHS)
 
 
 def q_overlay(spark, sf_dir):
@@ -63,15 +64,16 @@ def q_extend(spark, sf_dir):
 
 
 def q_merge(spark, sf_dir):
-    segs = spark.createDataFrame(
-        [dict(seg_id=i, x1=a, y1=b, x2=c, y2=d) for i, a, b, c, d in vectors.MERGE_SEGS]
+    segs = local_df(
+        spark,
+        [dict(seg_id=i, x1=a, y1=b, x2=c, y2=d) for i, a, b, c, d in vectors.MERGE_SEGS],
     )
     return vo.merge_line_segments(segs).select("seg_id", "chain")
 
 
 def q_split(spark, sf_dir):
-    l1 = spark.createDataFrame(vectors.line_layer_rows(vectors.LINE_SPECS_1)).coalesce(1)
-    l2 = spark.createDataFrame(vectors.line_layer_rows(vectors.LINE_SPECS_2)).coalesce(1)
+    l1 = local_df(spark, vectors.line_layer_rows(vectors.LINE_SPECS_1))
+    l2 = local_df(spark, vectors.line_layer_rows(vectors.LINE_SPECS_2))
     return vo.split_with_lines(l1, l2).select(
         "s1", "piece", F.round("length", 6).alias("length")
     )
@@ -410,9 +412,7 @@ POLY_LINE_SPECS = vectors.LINE_SPECS_1 + [
 def q_polygonize(spark, sf_dir):
     from whitebox_tools_spark.operators.polygonize import polygonize
 
-    lines = spark.createDataFrame(
-        vectors.line_layer_rows(POLY_LINE_SPECS)
-    ).coalesce(1)
+    lines = local_df(spark, vectors.line_layer_rows(POLY_LINE_SPECS))
     return polygonize(lines).select(
         "fid", "vi", F.round("x", 6).alias("x"), F.round("y", 6).alias("y")
     )

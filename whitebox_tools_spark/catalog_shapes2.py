@@ -18,12 +18,13 @@ from whitebox_tools_spark.operators import raster as rop
 from whitebox_tools_spark.operators import shapes2 as sh
 from whitebox_tools_spark.sources import vectors
 from whitebox_tools_spark.sources.tables import documents
+from whitebox_tools_spark.localrel import local_df
 
 TILE_SIZE = 8
 
 
 def _layer(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(vectors.layer_to_rows(vectors.rect_layer()))
+    return local_df(spark, vectors.layer_to_rows(vectors.rect_layer()))
 
 
 def _layer_closed(spark: SparkSession) -> DataFrame:
@@ -33,7 +34,7 @@ def _layer_closed(spark: SparkSession) -> DataFrame:
              xs_c=r["xs"], ys_c=r["ys"])
         for r in vectors.layer_to_rows(vectors.rect_layer())
     ]
-    return spark.createDataFrame(rows)
+    return local_df(spark, rows)
 
 
 def _cls(spark, sf_dir):

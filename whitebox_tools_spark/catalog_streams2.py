@@ -15,6 +15,7 @@ from whitebox_tools_spark.operators.focal import focal_apply
 from whitebox_tools_spark.operators.hydro import _d8_dir_stencil
 from whitebox_tools_spark.sources import vectors
 from whitebox_tools_spark.sources.tables import documents
+from whitebox_tools_spark.localrel import local_df
 
 TILE_SIZE = 8
 LQ_R = 2
@@ -58,7 +59,7 @@ def q_extract_valleys(spark, sf_dir):
 
 
 def q_rasterize_streams(spark, sf_dir):
-    segs = spark.createDataFrame(vectors.line_layer_rows(vectors.LINE_SPECS_1))
+    segs = local_df(spark, vectors.line_layer_rows(vectors.LINE_SPECS_1))
     return _aliased(s2.rasterize_streams(segs, GRID))
 
 

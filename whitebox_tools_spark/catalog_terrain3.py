@@ -17,6 +17,7 @@ from whitebox_tools_spark.operators import terrain3 as t3
 from whitebox_tools_spark.operators import raster as rop
 from whitebox_tools_spark.sources import vectors
 from whitebox_tools_spark.sources.tables import documents
+from whitebox_tools_spark.localrel import local_df
 
 TILE_SIZE = 8
 WIN_R = 2
@@ -55,7 +56,7 @@ QUERIES = {
     "visibility_index": lambda s, d: _aliased(
         t3.visibility_index(_z(s, d), GRID, VIEWPOINTS, STATION_H), round6=True),
     "profile": lambda s, d: t3.profile(
-        s.createDataFrame(vectors.line_layer_rows(vectors.LINE_SPECS_2)),
+        local_df(s, vectors.line_layer_rows(vectors.LINE_SPECS_2)),
         _z(s, d), GRID).select("seg_id", "k", F.round("dist", 6).alias("dist"), "z"),
     "edge_density": lambda s, d: _aliased(
         t3.edge_density(_z(s, d), GRID, WIN_R, WIN_R, ED_T, TILE_SIZE), round6=True),

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from whitebox_tools_spark.operators.gridding import GridConfig
+from whitebox_tools_spark.localrel import local_df
 
 
 def kmeans(
@@ -201,10 +202,11 @@ def viewshed(
     spark = dem.sparkSession
     bc = spark.sparkContext.broadcast(grid)
 
-    vp_df = spark.createDataFrame(
+    vp_df = local_df(
+        spark,
         [(i, int(r), int(c)) for i, (r, c) in enumerate(viewpoints)],
-        "vp int, vr long, vc long",
-    )
+        columns=["vp", "vr", "vc"],
+    ).selectExpr("CAST(vp AS INT) AS vp", "vr", "vc")
     schema = T.StructType(
         [
             T.StructField("vp", T.IntegerType()),

@@ -75,27 +75,39 @@ def cost_distance(
         F.when(F.col("src") > 0.0, 0.0).otherwise(float("inf")).alias("acc"),
         F.when(F.col("src") > 0.0, F.col("src")).otherwise(float("inf")).alias("alloc"),
     ).localCheckpoint(eager=True)
-    for _ in range(max_rounds):
+    def relax(state: DataFrame) -> DataFrame:
         cand = (
-            pairs.join(cur, pairs.a == cur.id)
+            pairs.join(state, pairs.a == state.id)
             .select(
                 F.col("b").alias("id"),
                 (F.col("acc") + F.col("step")).alias("acc"),
                 "alloc",
             )
-            .unionByName(cur)
+            .unionByName(state)
         )
-        w = Window.partitionBy("id").orderBy(F.col("acc").asc(), F.col("alloc").asc())
-        nxt = (
-            cand.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("id", "acc", "alloc")
-            .localCheckpoint(eager=True)
+        # lattice min of (acc, alloc) via struct-min: map-side combinable,
+        # no per-round sort window
+        return (
+            cand.groupBy("id")
+            .agg(F.min(F.struct("acc", "alloc")).alias("m"))
+            .select("id", F.col("m.acc").alias("acc"), F.col("m.alloc").alias("alloc"))
         )
+
+    # Batch BATCH relaxations lazily between checkpoints: one materialize
+    # + one convergence-check action per batch instead of two actions per
+    # round. Each batched round is still one shuffle stage at execution;
+    # only the driver-side job count shrinks.
+    batch = 2
+    for _ in range(max(1, (max_rounds + batch - 1) // batch)):
+        nxt = cur
+        for _ in range(batch):
+            nxt = relax(nxt)
+        nxt = nxt.localCheckpoint(eager=True)
         changed = (
             nxt.alias("n").join(cur.alias("o"), "id")
             .where(
-                (F.col("n.acc") != F.col("o.acc")) | (F.col("n.alloc") != F.col("o.alloc"))
+                (F.col("n.acc") != F.col("o.acc"))
+                | (F.col("n.alloc") != F.col("o.alloc"))
             )
             .limit(1).count()
         )

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from whitebox_tools_spark.operators.filters import _window_reduce
 from whitebox_tools_spark.operators.focal import focal_apply
 from whitebox_tools_spark.operators.gridding import GridConfig
+from whitebox_tools_spark.localrel import local_df
 
 
 def _minmax(raster: DataFrame) -> tuple[float, float]:
@@ -205,8 +206,10 @@ def kappa_index(classes_a: DataFrame, classes_b: DataFrame) -> DataFrame:
     pe = exp / (n * n)
     kappa = (po - pe) / (1.0 - pe)
     spark = classes_a.sparkSession
-    return spark.createDataFrame(
-        [(float(kappa), float(po), int(n))], "kappa double, overall_accuracy double, n long"
+    return local_df(
+        spark,
+        [(float(kappa), float(po), int(n))],
+        columns=["kappa", "overall_accuracy", "n"],
     )
 
 

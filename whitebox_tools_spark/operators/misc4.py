@@ -42,24 +42,43 @@ def cost_pathway(
     dest_ids = destinations.select(
         (F.col("row") * cfg.cols + F.col("col")).alias("id")
     )
-    accmap = cells.select(F.col("id").alias("cid"), "acc")
-    on = dest_ids.localCheckpoint(eager=True)
-    frontier = on
-    for _ in range(max_steps):
-        # stop stepping out of cells that already reached a source
-        frontier_live = frontier.join(accmap, frontier.id == accmap.cid).where(
-            F.col("acc") > 0.0
-        ).select("id")
-        step = (
-            nxt.join(frontier_live, "id")
-            .select(F.col("nxt").alias("id"))
-            .join(on.withColumnRenamed("id", "k"), F.col("id") == F.col("k"), "left_anti")
-            .distinct()
+    # Pointer-doubling reachability over the functional successor graph:
+    # source cells (acc = 0) become self-loops, every other cell has
+    # exactly one downhill successor, so the visited set R and the jump
+    # table J (2^k-step successor) close the walk in ceil(log2(max_steps))
+    # rounds — no O(path length) driver loop.
+    succ = (
+        cells.select("id", "acc")
+        .join(nxt, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("acc") <= 0.0, F.col("id"))
+            .otherwise(F.coalesce("nxt", F.col("id")))
+            .alias("nxt"),
         )
-        if step.limit(1).count() == 0:
-            break
-        on = on.unionByName(step).localCheckpoint(eager=True)
-        frontier = step.localCheckpoint(eager=True)
+        .localCheckpoint(eager=True)
+    )
+    on = dest_ids.distinct().localCheckpoint(eager=True)
+    jump = succ
+    rounds = max(1, math.ceil(math.log2(max_steps)))
+    prev_n = on.count()
+    for k in range(rounds):
+        stepped = (
+            on.join(jump, "id").select(F.col("nxt").alias("id"))
+        )
+        on = on.unionByName(stepped).distinct().localCheckpoint(eager=True)
+        n = on.count()
+        if n == prev_n:
+            break  # all walks have reached their source self-loops
+        prev_n = n
+        if k < rounds - 1:
+            jx = jump.select(F.col("id").alias("jid"), F.col("nxt").alias("mid"))
+            jy = jump.select(F.col("id").alias("mid"), F.col("nxt").alias("jnxt"))
+            jump = (
+                jx.join(jy, "mid")
+                .select(F.col("jid").alias("id"), F.col("jnxt").alias("nxt"))
+                .localCheckpoint(eager=True)
+            )
     return cells.join(on, "id", "left_semi").select(
         "row", "col", F.lit(1.0).alias("value")
     )

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from whitebox_tools_spark.operators.cells import pack_cell
 from whitebox_tools_spark.sources.vectors import PolygonFeature
+from whitebox_tools_spark.localrel import local_df
 
 _PID = "_pip_pid"
 
@@ -69,11 +70,8 @@ def _layer_tables(spark, layer: list[PolygonFeature]):
                 cc_rows.append(
                     ((ci << 32) | (cj & 0xFFFFFFFF), o, feat.fid, xmin, ymin_f, xmax, ymax_f)
                 )
-    cand = spark.createDataFrame(
-        pd.DataFrame(
-            cc_rows,
-            columns=["cell_key", "o", "fid", "xmin", "ymin", "xmax", "ymax"],
-        ).astype({"cell_key": "int64", "o": "int64", "fid": "int64"})
+    cand = local_df(
+        spark, cc_rows, columns=["cell_key", "o", "fid", "xmin", "ymin", "xmax", "ymax"]
     )
 
     e_rows = []
@@ -86,11 +84,8 @@ def _layer_tables(spark, layer: list[PolygonFeature]):
                 hi = int(math.floor((max(ay, by) - ymin) / band_h))
                 for b in range(lo, hi + 1):
                     e_rows.append((o, feat.fid, ri, bool(hole), b, ax, ay, bx, by))
-    edges = spark.createDataFrame(
-        pd.DataFrame(
-            e_rows,
-            columns=["o", "fid", "ring_idx", "hole", "band", "ax", "ay", "bx", "by"],
-        ).astype({"o": "int64", "fid": "int64", "ring_idx": "int64", "band": "int64"})
+    edges = local_df(
+        spark, e_rows, columns=["o", "fid", "ring_idx", "hole", "band", "ax", "ay", "bx", "by"]
     )
     return cand, edges, cell, band_h, ymin
 
