@@ -29,14 +29,14 @@ def connected_components(
     labels = nodes.select(F.col(node).alias("node"), F.col(node).alias("comp"))
     labels = labels.localCheckpoint(eager=True)
 
-    for _ in range(max_rounds):
+    def step(lab: DataFrame) -> DataFrame:
         nbr_min = (
-            sym.join(labels, sym.b == labels.node)
+            sym.join(lab, sym.b == lab.node)
             .groupBy("a")
             .agg(F.min("comp").alias("nbr_comp"))
         )
         prop = (
-            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            lab.join(nbr_min, lab.node == nbr_min.a, "left")
             .select(
                 "node",
                 F.least(
@@ -46,7 +46,7 @@ def connected_components(
         )
         # pointer jumping: comp <- comp(comp)
         parent = prop.select(F.col("node").alias("p_node"), F.col("comp").alias("p_comp"))
-        jumped = (
+        return (
             prop.join(parent, prop.comp == parent.p_node, "left")
             .select(
                 "node",
@@ -54,8 +54,16 @@ def connected_components(
                     "comp"
                 ),
             )
-            .localCheckpoint(eager=True)
         )
+
+    # two propagate+jump rounds per checkpoint/convergence-check: halves
+    # the driver-side action count (a converged extra round is idempotent)
+    batch = 2
+    for _ in range(max(1, (max_rounds + batch - 1) // batch)):
+        jumped = labels
+        for _ in range(batch):
+            jumped = step(jumped)
+        jumped = jumped.localCheckpoint(eager=True)
         changed = (
             jumped.alias("n")
             .join(labels.alias("o"), "node")

@@ -165,15 +165,18 @@ def classify_overlap_points(geo: DataFrame, resolution: float = 250.0) -> DataFr
 
 
 def lidar_segmentation(
-    geo: DataFrame, radius: float = 100.0, max_angle_deg: float = 15.0
+    geo: DataFrame, radius: float = 100.0, max_angle_deg: float = 15.0,
+    nv: DataFrame | None = None,
 ) -> DataFrame:
     """LidarSegmentation (lidar_segmentation.rs, region growing):
     segments = connected components over 3-D radius-neighbour pairs whose
     plane normals agree within max_angle (|dot| >= cos(max_angle));
-    segment id = dense rank of the segment's min point id (canonical)."""
+    segment id = dense rank of the segment's min point id (canonical).
+    Pass ``nv`` (a normal_vectors frame) to reuse precomputed normals."""
     import math
 
-    nv = normal_vectors(geo, radius)
+    if nv is None:
+        nv = normal_vectors(geo, radius)
     pts = geo.join(nv, "doc_id")
     p = pts.select(
         F.col("doc_id").alias("pid"), "x", "y", "z", "nx", "ny", "nz"

@@ -131,8 +131,11 @@ def lidar_segmentation_based_filter(
     (near-horizontal surface), else off-ground (1)."""
     from whitebox_tools_spark.operators.lidar import lidar_segmentation, normal_vectors
 
-    seg = lidar_segmentation(geo, radius, max_angle_deg)
-    nv = normal_vectors(geo, radius)
+    # one normals pass shared by the segmentation and the per-segment
+    # mean-|nz| classification (it is a radius join + eigen solve — the
+    # dominant cost; checkpoint so both consumers reuse the result)
+    nv = normal_vectors(geo, radius).localCheckpoint(eager=True)
+    seg = lidar_segmentation(geo, radius, max_angle_deg, nv=nv)
     per = (
         seg.join(nv, "doc_id")
         .groupBy("segment")
