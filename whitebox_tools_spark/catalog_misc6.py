@@ -246,3 +246,72 @@ ORACLE_SQL = {
     "lidar_segmentation_filter": _seg_filter_sql(),
     "buffer_vector_area": _buffer_sql(),
 }
+
+
+# ------------------------------------------------ buffer outline geometry
+
+BUF_ARC_K = 4
+
+
+def q_buffer_vector_geom(spark, sf_dir):
+    layer = local_df(spark, vectors.layer_to_rows(vectors.rect_layer()))
+    out = m6.buffer_vector_geometry(layer, BUF_D, BUF_ARC_K)
+    return out.select(
+        "fid", "part", "vi",
+        F.round("x", 6).alias("x"), F.round("y", 6).alias("y"),
+    )
+
+
+QUERIES["buffer_vector_geom"] = q_buffer_vector_geom
+
+
+def _buffer_geom_oracle_sql() -> str:
+    """Expected buffered ring vertices from an INDEPENDENT plain-Python
+    offset walk (math module only; same Minkowski contract as the engine
+    HOFs but a separate implementation), inlined as VALUES."""
+    rows = []
+    for feat in vectors.rect_layer():
+        for part, (ring, hole) in enumerate(zip(feat.rings, feat.holes)):
+            if hole:
+                continue
+            p = [(float(x), float(y)) for x, y in ring[:-1]]
+            s = sum(
+                p[i][0] * p[(i + 1) % len(p)][1] - p[(i + 1) % len(p)][0] * p[i][1]
+                for i in range(len(p))
+            )
+            if s < 0:
+                p = p[::-1]
+            n = len(p)
+
+            def na(i):
+                dx = p[(i + 1) % n][0] - p[i % n][0]
+                dy = p[(i + 1) % n][1] - p[i % n][1]
+                return math.atan2(dy, dx) - math.pi / 2.0
+
+            vi = 0
+            for i in range(n):
+                a_in, a_out = na(i - 1), na(i)
+                delta = math.fmod(a_out - a_in, 2.0 * math.pi)
+                if delta < 0:
+                    delta += 2.0 * math.pi
+                for j in range(BUF_ARC_K + 1):
+                    a = a_in + delta * j / float(BUF_ARC_K)
+                    rows.append(
+                        (
+                            feat.fid, part, vi,
+                            round(p[i][0] + BUF_D * math.cos(a), 6),
+                            round(p[i][1] + BUF_D * math.sin(a), 6),
+                        )
+                    )
+                    vi += 1
+    vals = ", ".join(
+        f"({fid}, {part}, {vi}, {x!r}, {y!r})" for fid, part, vi, x, y in rows
+    )
+    return (
+        "SELECT CAST(fid AS BIGINT) AS fid, CAST(part AS BIGINT) AS part, "
+        "CAST(vi AS INT) AS vi, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y "
+        f"FROM (VALUES {vals}) AS t(fid, part, vi, x, y)"
+    )
+
+
+ORACLE_SQL["buffer_vector_geom"] = _buffer_geom_oracle_sql()

@@ -528,3 +528,48 @@ def _polygonize_sql() -> str:
 
 QUERIES["polygonize"] = q_polygonize
 ORACLE_SQL["polygonize"] = _polygonize_sql()
+
+
+# ------------------------------------------------- dissolve merged boundary
+
+
+def q_dissolve_geom(spark, sf_dir):
+    layer = local_df(spark, vectors.touch_layer_rows())
+    return vo.dissolve_geometry(layer, "val").select(
+        "key", "x1", "y1", "x2", "y2"
+    )
+
+
+QUERIES["dissolve_geom"] = q_dissolve_geom
+
+
+def _dissolve_geom_oracle_sql() -> str:
+    """Expected surviving edges via an INDEPENDENT edge-multiset
+    cancellation (collections.Counter over the fixture rings, no Spark
+    involved), inlined as VALUES."""
+    from collections import Counter
+
+    per_key: dict[int, Counter] = {}
+    for fid, xmin, ymin, xmax, ymax, val in vectors.TOUCH_RECT_SPECS:
+        ring = vectors.rect_ring(xmin, ymin, xmax, ymax)
+        c = per_key.setdefault(val, Counter())
+        for i in range(len(ring) - 1):
+            a = (float(ring[i, 0]), float(ring[i, 1]))
+            b = (float(ring[i + 1, 0]), float(ring[i + 1, 1]))
+            c[(a, b) if a <= b else (b, a)] += 1
+    rows = []
+    for val, c in per_key.items():
+        for (a, b), n in c.items():
+            if n == 1:
+                rows.append((val, a[0], a[1], b[0], b[1]))
+    vals = ", ".join(
+        f"({k}, {x1!r}, {y1!r}, {x2!r}, {y2!r})" for k, x1, y1, x2, y2 in sorted(rows)
+    )
+    return (
+        "SELECT CAST(key AS BIGINT) AS key, CAST(x1 AS DOUBLE) AS x1, "
+        "CAST(y1 AS DOUBLE) AS y1, CAST(x2 AS DOUBLE) AS x2, CAST(y2 AS DOUBLE) AS y2 "
+        f"FROM (VALUES {vals}) AS t(key, x1, y1, x2, y2)"
+    )
+
+
+ORACLE_SQL["dissolve_geom"] = _dissolve_geom_oracle_sql()

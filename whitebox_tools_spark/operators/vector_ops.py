@@ -137,11 +137,9 @@ def overlay_measures(layer_a: DataFrame, layer_b: DataFrame) -> DataFrame:
 
 
 def dissolve(layer: DataFrame, attr: str) -> DataFrame:
-    """Dissolve (gis_analysis/dissolve.rs, disjoint-feature form): group
-    features by an attribute; area = sum(shells) - sum(holes), parts
-    counted. Shared-boundary merging is a no-op for disjoint features
-    (the fixture case); adjacent features would additionally drop the
-    shared edges in the reference."""
+    """Dissolve (gis_analysis/dissolve.rs) measures: group features by an
+    attribute; area = sum(shells) - sum(holes), parts counted. The merged
+    boundary itself comes from dissolve_geometry below."""
     from whitebox_tools_spark.operators.measures import part_area
 
     m = layer.select(
@@ -270,6 +268,54 @@ def split_with_lines(l1: DataFrame, l2: DataFrame) -> DataFrame:
     )
     return pieces.select(
         "s1", "piece", ((F.col("t2") - F.col("t")) * F.col("len")).alias("length")
+    )
+
+
+def dissolve_geometry(layer: DataFrame, attr: str) -> DataFrame:
+    """Dissolve (gis_analysis/dissolve.rs) merged-boundary form: features
+    sharing ``attr`` merge by deleting the boundaries interior to the
+    group — an undirected ring edge survives iff it appears exactly once
+    within its group (a boundary shared by two snapped features appears
+    twice and cancels). Exact whenever adjacent features share complete
+    edges (the shapefile dissolve precondition of coincident vertices).
+    One Generate + one groupBy on (group, canonical edge) — a single
+    shuffle, no geometry kernels, scale-safe.
+
+    Output: (key, x1, y1, x2, y2) canonical surviving edges.
+    """
+    n = F.size("xs") - 1  # closed rings
+    edges = (
+        layer.select(F.col(attr).alias("key"), "xs", "ys")
+        .select(
+            "key",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n),
+                    lambda i: F.struct(
+                        F.element_at("xs", i.cast("int")).alias("ax"),
+                        F.element_at("ys", i.cast("int")).alias("ay"),
+                        F.element_at("xs", (i + 1).cast("int")).alias("bx"),
+                        F.element_at("ys", (i + 1).cast("int")).alias("by"),
+                    ),
+                )
+            ).alias("e"),
+        )
+    )
+    fwd = (F.col("e.ax") < F.col("e.bx")) | (
+        (F.col("e.ax") == F.col("e.bx")) & (F.col("e.ay") <= F.col("e.by"))
+    )
+    canon = edges.select(
+        "key",
+        F.when(fwd, F.col("e.ax")).otherwise(F.col("e.bx")).alias("x1"),
+        F.when(fwd, F.col("e.ay")).otherwise(F.col("e.by")).alias("y1"),
+        F.when(fwd, F.col("e.bx")).otherwise(F.col("e.ax")).alias("x2"),
+        F.when(fwd, F.col("e.by")).otherwise(F.col("e.ay")).alias("y2"),
+    )
+    return (
+        canon.groupBy("key", "x1", "y1", "x2", "y2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") == 1)
+        .select("key", "x1", "y1", "x2", "y2")
     )
 
 

@@ -221,3 +221,31 @@ MERGE_SEGS = [
     (5, 600.0, 510.0, 700.0, 530.0),
     (6, 50.0, 900.0, 120.0, 950.0),
 ]
+
+
+# Touching rects for Dissolve's shared-boundary merge: fids 1|2 share the
+# full edge x=100, fids 2|3 share y=100 over x in [100,200]; group 2's
+# pair shares x=400. val is the dissolve attribute.
+TOUCH_RECT_SPECS = [
+    # fid, xmin, ymin, xmax, ymax, val
+    (1, 0.0, 0.0, 100.0, 100.0, 1),
+    (2, 100.0, 0.0, 200.0, 100.0, 1),
+    (3, 100.0, 100.0, 200.0, 200.0, 1),
+    (4, 300.0, 300.0, 400.0, 400.0, 2),
+    (5, 400.0, 300.0, 500.0, 400.0, 2),
+]
+
+
+def touch_layer_rows() -> list[dict]:
+    rows = []
+    for fid, xmin, ymin, xmax, ymax, val in TOUCH_RECT_SPECS:
+        ring = rect_ring(xmin, ymin, xmax, ymax)
+        rows.append(
+            dict(
+                fid=fid, part=0, is_hole=False,
+                xs=[float(v) for v in ring[:, 0]],
+                ys=[float(v) for v in ring[:, 1]],
+                val=val,
+            )
+        )
+    return rows
