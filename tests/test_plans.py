@@ -80,3 +80,45 @@ class TestPlans:
             plan = _plan(df)
             assert "BroadcastNestedLoopJoin" not in plan, plan
             assert "CartesianProduct" not in plan, plan
+
+
+class TestRound2Plans:
+    def test_fixture_queries_scan_local_relations(self, spark):
+        """Catalog fixture layers must plan as LocalTableScan (VALUES
+        LocalRelation) — never a Python-RDD scan (applySchemaToPythonRDD:
+        unknown stats, forced sort-merge joins, a Python worker per
+        re-scan)."""
+        from whitebox_tools_spark import catalog_overlay as co
+
+        for name in ("polygon_overlay", "split_with_lines", "dissolve",
+                     "dissolve_geom"):
+            df = co.QUERIES[name](spark, "/root/testdata/sf0.001")
+            plan = _plan(df)
+            assert "applySchemaToPythonRDD" not in plan, (name, plan)
+            assert "LocalTableScan" in plan, (name, plan)
+
+    def test_lsh_pair_join_has_no_distinct_aggregate(self, spark):
+        """minhash candidate pairs are emitted exactly once via the
+        first-matching-band filter — the plan must contain exactly the
+        band equi-join and no pair-dedup HashAggregate above it."""
+        from whitebox_tools_spark.operators import text as tx
+        from whitebox_tools_spark.sources.tables import documents
+
+        docs = documents(spark, "/root/testdata/sf0.001")
+        plan = _plan(tx.minhash_candidates(docs))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        # no aggregate at all: candidates flow straight out of the join
+        assert "HashAggregate" not in plan, plan
+
+    def test_buffer_geometry_is_generate_only(self, spark):
+        """Buffer outline: one Generate over per-part HOFs — no joins,
+        no shuffle exchange."""
+        from whitebox_tools_spark.localrel import local_df
+        from whitebox_tools_spark.operators.misc6 import buffer_vector_geometry
+        from whitebox_tools_spark.sources import vectors
+
+        layer = local_df(spark, vectors.layer_to_rows(vectors.rect_layer()))
+        plan = _plan(buffer_vector_geometry(layer, 30.0))
+        assert "Join" not in plan, plan
+        assert "Exchange" not in plan, plan

@@ -141,6 +141,7 @@ def knn_join(
     y: str = "y",
     squared: bool = False,
     strategy: str = "stats",
+    max_hist_cells: int = 4_000_000,
 ) -> DataFrame:
     """Approximate kNN join with the reference's shell-stop semantics.
 
@@ -153,6 +154,15 @@ def knn_join(
         return _knn_join_loop(points, queries, k, radius, query_id, x, y, squared)
 
     spark = points.sparkSession
+    # size-guard the driver-side histogram: one row per OCCUPIED cell; if
+    # the occupancy itself is too large to broadcast comfortably, fall
+    # back to the distributed loop strategy instead of OOMing the driver
+    occupied = (
+        with_cell(points, radius, x, y, prefix="c")
+        .select("c_key").distinct().count()
+    )
+    if occupied > max_hist_cells:
+        return _knn_join_loop(points, queries, k, radius, query_id, x, y, squared)
     hist = _cell_histogram(points, radius, x, y)
     bc = spark.sparkContext.broadcast(hist)
     inv_r = 1.0 / (radius * 0.5)
