@@ -100,8 +100,7 @@ def strahler_order(
     ids = nodes.select(F.col("id").alias("b"))
     down = down_all.join(ids, "b", "left_semi").localCheckpoint(eager=True)
 
-    order = nodes.select("id", F.lit(1).alias("ord"))
-    for _ in range(max_rounds):
+    def step(order):
         up = down.join(order, down.a == order.id).select("b", "ord")
         agg = up.groupBy("b", "ord").agg(F.count(F.lit(1)).alias("cnt"))
         # per junction: order at the max upstream link, +1 on a tie —
@@ -115,12 +114,19 @@ def strahler_order(
             .otherwise(F.col("m.ord"))
             .alias("in_ord"),
         )
-        new_order = (
+        return (
             nodes.select("id")
             .join(new_ord_in, "id", "left")
             .select("id", F.coalesce(F.col("in_ord"), F.lit(1)).alias("ord"))
-            .localCheckpoint(eager=True)
         )
+
+    order = nodes.select("id", F.lit(1).alias("ord"))
+    batch = 2  # two lazy rounds per checkpoint + convergence check
+    for _ in range(max(1, (max_rounds + batch - 1) // batch)):
+        new_order = order
+        for _ in range(batch):
+            new_order = step(new_order)
+        new_order = new_order.localCheckpoint(eager=True)
         changed = (
             new_order.alias("n")
             .join(order.alias("o"), "id")

@@ -83,19 +83,25 @@ def dinf_flow_accumulation(
     cells = dirs.select(
         "row", "col", (F.col("row") * cfg.cols + F.col("col")).alias("id")
     ).localCheckpoint(eager=True)
-    cur = cells.select("id", F.lit(1.0).alias("val")).localCheckpoint(eager=True)
-    for _ in range(max_rounds):
+    def step(cur):
         up = (
             edges.join(cur, edges.a == cur.id)
             .groupBy("b")
             .agg(F.sum(F.col("w") * F.col("val")).alias("s"))
         )
-        nxt = (
+        return (
             cells.select("id")
             .join(up.withColumnRenamed("b", "id"), "id", "left")
             .select("id", (F.lit(1.0) + F.coalesce("s", F.lit(0.0))).alias("val"))
-            .localCheckpoint(eager=True)
         )
+
+    cur = cells.select("id", F.lit(1.0).alias("val")).localCheckpoint(eager=True)
+    batch = 2  # two lazy rounds per checkpoint + convergence check
+    for _ in range(max(1, (max_rounds + batch - 1) // batch)):
+        nxt = cur
+        for _ in range(batch):
+            nxt = step(nxt)
+        nxt = nxt.localCheckpoint(eager=True)
         changed = (
             nxt.alias("n").join(cur.alias("o"), "id")
             .where(F.col("n.val") != F.col("o.val")).limit(1).count()

@@ -55,12 +55,18 @@ def stream_graph(streams: DataFrame, dirs: DataFrame, cfg: GridConfig):
     return nodes, edges
 
 
-def _fixpoint(nodes, update, max_rounds: int = 100):
+def _fixpoint(nodes, update, max_rounds: int = 100, batch: int = 2):
     """Iterate val(id) <- update(prev) until unchanged. ``update`` takes a
-    DataFrame (id, val) and returns the next (id, val)."""
+    DataFrame (id, val) and returns the next (id, val). ``batch`` update
+    rounds run lazily between each checkpoint + convergence check —
+    halves the driver-side action count (a converged extra round is
+    idempotent, so correctness is unaffected)."""
     cur = update(None).localCheckpoint(eager=True)
-    for _ in range(max_rounds):
-        nxt = update(cur).localCheckpoint(eager=True)
+    for _ in range(max(1, (max_rounds + batch - 1) // batch)):
+        nxt = cur
+        for _ in range(batch):
+            nxt = update(nxt)
+        nxt = nxt.localCheckpoint(eager=True)
         changed = (
             nxt.alias("n")
             .join(cur.alias("o"), "id")
