@@ -81,7 +81,7 @@ nxtm AS MATERIALIZED (
   SELECT a AS id, b AS nxt FROM (
     SELECT p.a, p.b,
            row_number() OVER (PARTITION BY p.a
-             ORDER BY ab.acc ASC, p.b ASC) AS rn
+             ORDER BY ab.acc + p.step ASC, p.b ASC) AS rn
     FROM prs p JOIN accf ab ON ab.id = p.b) t
   WHERE rn = 1),
 dests AS (SELECT id FROM cells WHERE id % {DEST_MOD} = 0),

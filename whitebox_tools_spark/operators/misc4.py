@@ -22,17 +22,34 @@ def cost_pathway(
     from whitebox_tools_spark.operators.cost import cost_distance, _pairs
 
     acc = cost_distance(source, cost, cfg, max_rounds=cost_rounds)
-    cells = acc.select(
-        "row", "col", (F.col("row") * cfg.cols + F.col("col")).alias("id"),
-        F.col("value").alias("acc"),
-    ).localCheckpoint(eager=True)
+    cells = (
+        acc.join(cost.select("row", "col", F.col("value").alias("c")), ["row", "col"])
+        .select(
+            "row", "col", (F.col("row") * cfg.cols + F.col("col")).alias("id"),
+            F.col("value").alias("acc"), "c",
+        )
+        .localCheckpoint(eager=True)
+    )
     pairs = _pairs(cells, cfg)
+    # backlink parity (cost_pathway.rs): the next cell is the neighbour
+    # the accumulated cost came FROM — argmin of acc(b) + step(a, b)
+    # (equal to acc(a) at the optimum), not argmin of acc(b) alone;
+    # ties to the smallest neighbour id (the reference's tie falls to
+    # Dijkstra pop order, which a set-based engine cannot reproduce)
+    step = (F.col("ca") + F.col("cb")) / 2.0 * F.col("dist")
     nxt = (
-        pairs.join(cells.select(F.col("id").alias("b"), F.col("acc").alias("bacc")), "b")
+        pairs.join(cells.select(F.col("id").alias("a"), F.col("c").alias("ca")), "a")
+        .join(
+            cells.select(
+                F.col("id").alias("b"), F.col("acc").alias("bacc"), F.col("c").alias("cb")
+            ),
+            "b",
+        )
+        .withColumn("walk_key", F.col("bacc") + step)
         .withColumn(
             "rn",
             F.row_number().over(
-                Window.partitionBy("a").orderBy(F.col("bacc").asc(), F.col("b").asc())
+                Window.partitionBy("a").orderBy(F.col("walk_key").asc(), F.col("b").asc())
             ),
         )
         .where(F.col("rn") == 1)
