@@ -288,19 +288,26 @@ def d8_flow_accumulation(
     down = down.localCheckpoint(eager=True)
 
     nodes = dirs.select("row", "col", _cell_id(cfg))
-    acc = nodes.select("id", F.lit(1.0).alias("acc"))
-    for _ in range(max_rounds):
+    def _step(acc):
         contrib = (
             down.join(acc, down.a == acc.id)
             .groupBy("b")
             .agg(F.sum("acc").alias("inflow"))
         )
-        new_acc = (
+        return (
             nodes.select("id")
             .join(contrib, nodes.id == contrib.b, "left")
             .select("id", (F.lit(1.0) + F.coalesce(F.col("inflow"), F.lit(0.0))).alias("acc"))
-            .localCheckpoint(eager=True)
         )
+
+    acc = nodes.select("id", F.lit(1.0).alias("acc"))
+    batch = 2  # two lazy rounds per checkpoint + convergence check
+    converged = False
+    for _ in range(max(1, (max_rounds + batch - 1) // batch)):
+        new_acc = acc
+        for _ in range(batch):
+            new_acc = _step(new_acc)
+        new_acc = new_acc.localCheckpoint(eager=True)
         changed = (
             new_acc.alias("n")
             .join(acc.alias("o"), "id")
@@ -310,8 +317,9 @@ def d8_flow_accumulation(
         )
         acc = new_acc
         if changed == 0:
+            converged = True
             break
-    else:
+    if not converged:
         _warn_nonconverged("d8_flow_accumulation", max_rounds)
     return nodes.join(acc, "id").select("row", "col", F.col("acc").alias("value"))
 
@@ -366,32 +374,37 @@ def watershed(
         )
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_rounds):
+    def _jump(state):
         target = state.select(
             F.col("id").alias("t_id"),
             F.col("label").alias("t_label"),
             F.col("ptr").alias("t_ptr"),
         )
-        new_state = (
-            state.join(target, state.ptr == target.t_id, "left")
-            .select(
-                "row",
-                "col",
-                "id",
-                F.coalesce(F.col("label"), F.col("t_label")).alias("label"),
-                F.when(
-                    F.col("label").isNull() & F.col("t_label").isNull(), F.col("t_ptr")
-                ).alias("ptr"),
-            )
-            .localCheckpoint(eager=True)
+        return state.join(target, state.ptr == target.t_id, "left").select(
+            "row",
+            "col",
+            "id",
+            F.coalesce(F.col("label"), F.col("t_label")).alias("label"),
+            F.when(
+                F.col("label").isNull() & F.col("t_label").isNull(), F.col("t_ptr")
+            ).alias("ptr"),
         )
+
+    batch = 2  # two lazy pointer jumps per checkpoint + check
+    converged = False
+    for _ in range(max(1, (max_rounds + batch - 1) // batch)):
+        new_state = state
+        for _ in range(batch):
+            new_state = _jump(new_state)
+        new_state = new_state.localCheckpoint(eager=True)
         remaining = new_state.where(
             F.col("label").isNull() & F.col("ptr").isNotNull()
         ).limit(1).count()
         state = new_state
         if remaining == 0:
+            converged = True
             break
-    else:
+    if not converged:
         _warn_nonconverged("watershed", max_rounds)
     return state.where(F.col("label").isNotNull()).select(
         "row", "col", F.col("label").alias("value")

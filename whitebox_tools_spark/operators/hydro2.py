@@ -183,29 +183,33 @@ def fill_depressions(
             "w"
         ),
     ).localCheckpoint(eager=True)
-    for _ in range(max_rounds):
+    def _lower(w):
         nbr_min = (
             pairs.join(w.select(F.col("id").alias("b"), F.col("w").alias("wn")), "b")
             .groupBy("a")
             .agg(F.min("wn").alias("mn"))
         )
-        nxt = (
-            w.join(nbr_min.withColumnRenamed("a", "id"), "id", "left")
-            .select(
-                "id",
-                "row",
-                "col",
-                "value",
-                F.greatest(
-                    F.col("value"),
-                    F.least(
-                        F.col("w"),
-                        F.coalesce(F.col("mn") + F.lit(epsilon), F.col("w")),
-                    ),
-                ).alias("w"),
-            )
-            .localCheckpoint(eager=True)
+        return w.join(nbr_min.withColumnRenamed("a", "id"), "id", "left").select(
+            "id",
+            "row",
+            "col",
+            "value",
+            F.greatest(
+                F.col("value"),
+                F.least(
+                    F.col("w"),
+                    F.coalesce(F.col("mn") + F.lit(epsilon), F.col("w")),
+                ),
+            ).alias("w"),
         )
+
+    batch = 2  # two lazy Planchon-Darboux lowerings per checkpoint + check
+    converged = False
+    for _ in range(max(1, (max_rounds + batch - 1) // batch)):
+        nxt = w
+        for _ in range(batch):
+            nxt = _lower(nxt)
+        nxt = nxt.localCheckpoint(eager=True)
         changed = (
             nxt.alias("n")
             .join(w.alias("o"), "id")
@@ -215,8 +219,9 @@ def fill_depressions(
         )
         w = nxt
         if changed == 0:
+            converged = True
             break
-    else:
+    if not converged:
         _warn_nonconverged("fill_depressions", max_rounds)
     return w.select("row", "col", F.col("w").alias("value"))
 
