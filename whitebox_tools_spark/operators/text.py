@@ -245,8 +245,13 @@ def simhash_pairs(
     docs: DataFrame, max_hamming: int = 3, record: str = "doc_id", text: str = "text"
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance: band join on 4 byte
-    blocks (any equal block -> candidate; exact for hamming <= 3 over 4
-    bands by pigeonhole), then bit_count verify."""
+    blocks (any equal block -> candidate), then bit_count verify.
+    EXACT for max_hamming <= 3 (pigeonhole over 4 bands guarantees a
+    shared block); for larger thresholds — including the catalog's
+    default of 6 — recall is approximate-by-design: a pair with 4+
+    differing bits spread across all 4 blocks is never a candidate.
+    The DuckDB oracle transcribes the same banding, so the gate checks
+    the banded semantics, not exhaustive hamming."""
     sig = simhash(docs, record, text)
     bands = F.array(
         *[
