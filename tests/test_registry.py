@@ -22,7 +22,7 @@ def test_statuses_valid():
 def test_exact_tools_have_live_queries():
     for name, meta in TOOLS.items():
         if meta["status"] == "exact":
-            for q in meta["queries"].split(","):
+            for q in (q.strip() for q in meta["queries"].split(",")):
                 assert q in api.QUERIES, f"{name}: query {q} not in catalog"
                 assert q in api.ORACLE_SQL, f"{name}: query {q} has no oracle"
 
