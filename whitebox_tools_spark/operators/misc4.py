@@ -110,20 +110,24 @@ def mosaic_with_feathering(
     missing in-grid cell (or the grid edge, whichever is nearer);
     single-coverage cells pass through."""
     def dist_to_edge(r: DataFrame, tag: str) -> DataFrame:
+        # distance to the raster's own nearest missing cell via the
+        # distributed separable EDT (hydro.euclidean_distance) — never a
+        # cells x missing-cells cartesian
+        from whitebox_tools_spark.operators.hydro import euclidean_distance
+
         spark = r.sparkSession
-        rows = spark.range(cfg.rows).select(F.col("id").alias("mr"))
-        cols = spark.range(cfg.cols).select(F.col("id").alias("mc"))
+        rows = spark.range(cfg.rows).select(F.col("id").alias("row"))
+        cols = spark.range(cfg.cols).select(F.col("id").alias("col"))
         grid = rows.crossJoin(cols)
-        missing = grid.join(
-            r.select(F.col("row").alias("mr"), F.col("col").alias("mc")),
-            ["mr", "mc"], "left_anti",
+        ind = grid.join(
+            r.select("row", "col", F.lit(1.0).alias("p")), ["row", "col"], "left"
+        ).select(
+            "row", "col",
+            F.when(F.col("p").isNull(), 1.0).otherwise(0.0).alias("value"),
         )
-        pair = r.select("row", "col").crossJoin(missing)
-        d2 = (
-            ((F.col("row") - F.col("mr")) * cfg.res_y) ** 2
-            + ((F.col("col") - F.col("mc")) * cfg.res_x) ** 2
+        dmin = euclidean_distance(ind, cfg).select(
+            "row", "col", F.col("value").alias("dm")
         )
-        dmin = pair.groupBy("row", "col").agg(F.sqrt(F.min(d2)).alias("dm"))
         edge = F.least(
             F.col("row") + 1, F.col("col") + 1,
             F.lit(cfg.rows) - F.col("row"), F.lit(cfg.cols) - F.col("col"),
