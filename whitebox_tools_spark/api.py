@@ -187,6 +187,7 @@ from whitebox_tools_spark import catalog_aniso as _cat_an  # noqa: E402
 from whitebox_tools_spark import catalog_fps as _cat_fps  # noqa: E402
 from whitebox_tools_spark import catalog_isi as _cat_isi  # noqa: E402
 from whitebox_tools_spark import catalog_bsc as _cat_bsc  # noqa: E402
+from whitebox_tools_spark import catalog_more as _cat_more  # noqa: E402
 
 QUERIES.update(_cat_grid.QUERIES)
 QUERIES.update(_cat_focal.QUERIES)
@@ -224,6 +225,7 @@ QUERIES.update(_cat_an.QUERIES)
 QUERIES.update(_cat_fps.QUERIES)
 QUERIES.update(_cat_isi.QUERIES)
 QUERIES.update(_cat_bsc.QUERIES)
+QUERIES.update(_cat_more.QUERIES)
 
 
 # ------------------------------------------------------------- oracle SQL
@@ -348,6 +350,7 @@ ORACLE_SQL.update(_cat_an.ORACLE_SQL)
 ORACLE_SQL.update(_cat_fps.ORACLE_SQL)
 ORACLE_SQL.update(_cat_isi.ORACLE_SQL)
 ORACLE_SQL.update(_cat_bsc.ORACLE_SQL)
+ORACLE_SQL.update(_cat_more.ORACLE_SQL)
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

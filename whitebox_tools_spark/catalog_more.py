@@ -1,0 +1,596 @@
+"""Query catalog: oracle coverage for the remaining engine-status tools —
+gradient/mask filter variants, image flips, NDI, raster stats, point
+thinning, inflow counts, stack profiles, raster clip/erase, contrast
+stretches, vector centroid/medoid, symmetrical-difference measures.
+
+Each entry upgrades a `engine` (pytest-only) registry row to an
+oracle-verified one; the DuckDB SQL transcribes the identical reference
+semantics over the same fixtures.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from whitebox_tools_spark import derive
+from whitebox_tools_spark.catalog_grid import (
+    GRID, _COL_SQL, _IN_GRID_SQL, _PTS_CTE, _ROW_SQL,
+)
+from whitebox_tools_spark.catalog_focal import (
+    TILE_SIZE, _PTS_RASTER_LAST_CTE, _nbr_joins, _raster,
+)
+from whitebox_tools_spark.localrel import local_df
+from whitebox_tools_spark.operators import filters as flt
+from whitebox_tools_spark.operators import local_math as lm
+from whitebox_tools_spark.operators import zonal
+from whitebox_tools_spark.sources import vectors
+from whitebox_tools_spark.sources.tables import documents
+
+HIST_BINS, HIST_LO, HIST_HI = 8, 0.0, 1000.0
+THIN_RES = 100.0
+THIN_MAX = 3
+UW_WEIGHTS = (0.5, -1.0, 0.25, 2.0, 1.0, -0.75, 0.0, 1.5, -0.5)  # user-defined
+STRETCH_LO_PCT, STRETCH_HI_PCT = 0.05, 0.95
+STRETCH_K = 1.5
+PROFILE_MOD = 41
+
+
+def _zfirst(spark, sf_dir):
+    from whitebox_tools_spark import catalog_cache as _cc
+    return _cc.z_first(spark, sf_dir)
+
+
+def _aliased(df: DataFrame, round6: bool = True) -> DataFrame:
+    v = F.round("value", 6) if round6 else F.col("value")
+    return df.select(
+        F.col("row").alias("cell_row"), F.col("col").alias("cell_col"), v.alias("value")
+    )
+
+
+def _geo(spark, sf_dir):
+    return derive.with_geometry(documents(spark, sf_dir), "doc_id")
+
+
+# ------------------------------------------------- gradient/mask filters
+
+
+def q_prewitt(spark, sf_dir):
+    return _aliased(flt.gradient_filter(_raster(spark, sf_dir), GRID, "prewitt", TILE_SIZE))
+
+
+def q_scharr(spark, sf_dir):
+    return _aliased(flt.gradient_filter(_raster(spark, sf_dir), GRID, "scharr", TILE_SIZE))
+
+
+def q_emboss(spark, sf_dir):
+    return _aliased(
+        flt.emboss_filter(_raster(spark, sf_dir), GRID, "n", TILE_SIZE), round6=False
+    )
+
+
+def q_user_weights(spark, sf_dir):
+    return _aliased(
+        flt.mask_filter(_raster(spark, sf_dir), GRID, UW_WEIGHTS, tile_size=TILE_SIZE)
+    )
+
+
+def _oracle_gradient(variant: str) -> str:
+    joins, nbrs = _nbr_joins()
+    mx, my = flt.GRADIENT_MASKS[variant]
+    sx = " + ".join(f"n{i} * {mx[i]!r}" for i in range(8) if mx[i] != 0.0)
+    sy = " + ".join(f"n{i} * {my[i]!r}" for i in range(8) if my[i] != 0.0)
+    return f"""
+WITH {_PTS_CTE},
+{_PTS_RASTER_LAST_CTE},
+nb AS (SELECT c.cell_row, c.cell_col, {nbrs} FROM r c {joins}),
+g AS (SELECT cell_row, cell_col, ({sx}) AS sx, ({sy}) AS sy FROM nb)
+SELECT cell_row, cell_col, round(sqrt(sx * sx + sy * sy), 6) AS value FROM g
+"""
+
+
+def _mask_nbr_joins():
+    # mask-filter offsets (flt._M_DX / _M_DY 3x3 row-major order)
+    joins, nbrs = [], []
+    for k, (dx, dy) in enumerate(zip(flt._M_DX, flt._M_DY)):
+        joins.append(
+            f"LEFT JOIN r m{k} ON m{k}.cell_row = c.cell_row + ({dy}) "
+            f"AND m{k}.cell_col = c.cell_col + ({dx})"
+        )
+        nbrs.append(f"coalesce(m{k}.value, c.value) AS m{k}")
+    return " ".join(joins), ", ".join(nbrs)
+
+
+def _oracle_mask(weights, round6: bool) -> str:
+    joins, nbrs = _mask_nbr_joins()
+    s = " + ".join(f"m{i} * {float(w)!r}" for i, w in enumerate(weights) if w != 0)
+    out = f"round(({s}), 6)" if round6 else f"({s})"
+    return f"""
+WITH {_PTS_CTE},
+{_PTS_RASTER_LAST_CTE},
+nb AS (SELECT c.cell_row, c.cell_col, {nbrs} FROM r c {joins})
+SELECT cell_row, cell_col, {out} AS value FROM nb
+"""
+
+
+# -------------------------------------------------------- flips and NDI
+
+
+def q_flip_image(spark, sf_dir):
+    r = _raster(spark, sf_dir)
+    return r.select(
+        (F.lit(GRID.rows - 1) - F.col("row")).alias("cell_row"),
+        F.col("col").alias("cell_col"),
+        "value",
+    )
+
+
+def q_ndi(spark, sf_dir):
+    a, b = _raster(spark, sf_dir), _zfirst(spark, sf_dir)
+    num = lm.binary(a, b, "subtract")
+    den = lm.binary(a, b, "add")
+    out = lm.binary(num, den, "divide")
+    return _aliased(out)
+
+
+# ------------------------------------------------------- raster reports
+
+
+def q_raster_summary(spark, sf_dir):
+    out = zonal.raster_summary_stats(_raster(spark, sf_dir))
+    return out.select(
+        "n", F.round("total", 6).alias("total"), F.round("mean", 6).alias("mean"),
+        "min_v", "max_v", F.round("stddev", 6).alias("stddev"),
+    )
+
+
+def q_raster_histogram(spark, sf_dir):
+    return zonal.raster_histogram(_raster(spark, sf_dir), HIST_BINS, HIST_LO, HIST_HI)
+
+
+# ------------------------------------------------------- point thinning
+
+
+def q_lidar_thin(spark, sf_dir):
+    geo = _geo(spark, sf_dir)
+    ci = F.floor(F.col("x") / THIN_RES).cast("long")
+    cj = F.floor(F.col("y") / THIN_RES).cast("long")
+    w = Window.partitionBy("ci", "cj").orderBy("doc_id")
+    return (
+        geo.select("doc_id", ci.alias("ci"), cj.alias("cj"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id")
+    )
+
+
+def q_lidar_thin_high_density(spark, sf_dir):
+    geo = _geo(spark, sf_dir)
+    ci = F.floor(F.col("x") / THIN_RES).cast("long")
+    cj = F.floor(F.col("y") / THIN_RES).cast("long")
+    w = Window.partitionBy("ci", "cj").orderBy("doc_id")
+    return (
+        geo.select("doc_id", ci.alias("ci"), cj.alias("cj"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= THIN_MAX)
+        .select("doc_id")
+    )
+
+
+# --------------------------------------------------- inflow neighbour count
+
+
+def q_num_inflowing(spark, sf_dir):
+    from whitebox_tools_spark import catalog_cache as _cc
+    from whitebox_tools_spark.operators.hydro import D8_DX, D8_DY
+
+    dirs = _cc.dirs(spark, sf_dir)
+    dx = F.array(*[F.lit(v) for v in D8_DX])
+    dy = F.array(*[F.lit(v) for v in D8_DY])
+    down = dirs.where(F.col("dir") >= 0).select(
+        (F.col("row") + F.element_at(dy, F.col("dir") + 1)).alias("row"),
+        (F.col("col") + F.element_at(dx, F.col("dir") + 1)).alias("col"),
+    )
+    cnt = down.groupBy("row", "col").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        dirs.select("row", "col")
+        .join(cnt, ["row", "col"], "left")
+        .select(
+            F.col("row").alias("cell_row"),
+            F.col("col").alias("cell_col"),
+            F.coalesce("n", F.lit(0)).cast("double").alias("value"),
+        )
+    )
+
+
+# ------------------------------------------------------- stack profile
+
+
+def q_image_stack_profile(spark, sf_dir):
+    pts = _geo(spark, sf_dir).where(F.pmod("doc_id", F.lit(PROFILE_MOD)) == 0)
+    cell_r = F.floor((F.lit(GRID.north) - F.col("y")) / F.lit(GRID.res_y)).cast("long")
+    cell_c = F.floor((F.col("x") - F.lit(GRID.west)) / F.lit(GRID.res_x)).cast("long")
+    p = pts.select("doc_id", cell_r.alias("row"), cell_c.alias("col")).where(
+        (F.col("row") >= 0) & (F.col("row") < GRID.rows)
+        & (F.col("col") >= 0) & (F.col("col") < GRID.cols)
+    )
+    out = []
+    for i, r in enumerate([_raster(spark, sf_dir), _zfirst(spark, sf_dir)]):
+        out.append(
+            p.join(r, ["row", "col"], "left").select(
+                "doc_id", F.lit(i).alias("image"), F.col("value").alias("z")
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
+# --------------------------------------------------- raster clip / erase
+
+
+def q_clip_raster(spark, sf_dir):
+    from whitebox_tools_spark.operators.raster import clip_raster_to_polygon
+
+    out = clip_raster_to_polygon(
+        _raster(spark, sf_dir), vectors.rect_layer(), GRID, erase=False
+    )
+    return _aliased(out.where(F.col("value").isNotNull()), round6=False)
+
+
+def q_erase_raster(spark, sf_dir):
+    from whitebox_tools_spark.operators.raster import clip_raster_to_polygon
+
+    out = clip_raster_to_polygon(
+        _raster(spark, sf_dir), vectors.rect_layer(), GRID, erase=True
+    )
+    return _aliased(out.where(F.col("value").isNotNull()), round6=False)
+
+
+# ------------------------------------------------------ contrast stretches
+
+
+def q_stddev_stretch(spark, sf_dir):
+    r = _raster(spark, sf_dir)
+    st = r.agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    j = r.crossJoin(F.broadcast(st))
+    lo = F.col("mu") - STRETCH_K * F.col("sd")
+    hi = F.col("mu") + STRETCH_K * F.col("sd")
+    out = (
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), (F.col("value") - lo) / (hi - lo)))
+        * 255.0
+    )
+    return j.select(
+        F.col("row").alias("cell_row"), F.col("col").alias("cell_col"),
+        F.round(out, 6).alias("value"),
+    )
+
+
+def q_percentage_stretch(spark, sf_dir):
+    r = _raster(spark, sf_dir)
+    st = r.agg(
+        F.expr(f"percentile(value, {STRETCH_LO_PCT!r})").alias("lo"),
+        F.expr(f"percentile(value, {STRETCH_HI_PCT!r})").alias("hi"),
+    )
+    j = r.crossJoin(F.broadcast(st))
+    out = (
+        F.greatest(
+            F.lit(0.0),
+            F.least(F.lit(1.0), (F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo"))),
+        )
+        * 255.0
+    )
+    return j.select(
+        F.col("row").alias("cell_row"), F.col("col").alias("cell_col"),
+        F.round(out, 6).alias("value"),
+    )
+
+
+# ---------------------------------------------- centroid / medoid / symdiff
+
+
+def _vertex_rows(spark):
+    rows = []
+    for r in vectors.layer_to_rows(vectors.rect_layer()):
+        if r["is_hole"]:
+            continue
+        for x, y in zip(r["xs"], r["ys"]):
+            rows.append(dict(fid=r["fid"], x=float(x), y=float(y)))
+    return local_df(spark, rows)
+
+
+def q_centroid_vector(spark, sf_dir):
+    from whitebox_tools_spark.operators.measures import centroid_vector
+
+    out = centroid_vector(_vertex_rows(spark), record="fid")
+    return out.select("fid", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
+
+
+def q_medoid(spark, sf_dir):
+    pts = _vertex_rows(spark)
+    cen = pts.groupBy("fid").agg(F.avg("x").alias("cx"), F.avg("y").alias("cy"))
+    d2 = (F.col("x") - F.col("cx")) ** 2 + (F.col("y") - F.col("cy")) ** 2
+    w = Window.partitionBy("fid").orderBy(
+        d2.asc(), F.col("x").asc(), F.col("y").asc()
+    )
+    return (
+        pts.join(cen, "fid")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("fid", "x", "y")
+    )
+
+
+def q_symmetrical_difference_area(spark, sf_dir):
+    from whitebox_tools_spark.catalog_overlay import _layer_a, _layer_b
+    from whitebox_tools_spark.operators.vector_ops import overlay_measures
+
+    ab = overlay_measures(_layer_a(spark), _layer_b(spark))
+    ba = overlay_measures(_layer_b(spark), _layer_a(spark))
+    ea = ab.agg(F.sum("erase_area").alias("s")).select(F.col("s").alias("ea"))
+    eb = ba.agg(F.sum("erase_area").alias("s")).select(F.col("s").alias("eb"))
+    return ea.crossJoin(eb).select(
+        F.round(F.col("ea") + F.col("eb"), 6).alias("sym_area")
+    )
+
+
+QUERIES = {
+    "prewitt": q_prewitt,
+    "scharr": q_scharr,
+    "emboss": q_emboss,
+    "user_weights_filter": q_user_weights,
+    "flip_image": q_flip_image,
+    "ndi": q_ndi,
+    "raster_summary": q_raster_summary,
+    "raster_histogram": q_raster_histogram,
+    "lidar_thin": q_lidar_thin,
+    "lidar_thin_high_density": q_lidar_thin_high_density,
+    "num_inflowing": q_num_inflowing,
+    "image_stack_profile": q_image_stack_profile,
+    "clip_raster": q_clip_raster,
+    "erase_raster": q_erase_raster,
+    "stddev_stretch": q_stddev_stretch,
+    "percentage_stretch": q_percentage_stretch,
+    "centroid_vector": q_centroid_vector,
+    "medoid": q_medoid,
+    "symmetrical_difference_area": q_symmetrical_difference_area,
+}
+
+
+# ------------------------------------------------------------- oracle SQL
+
+
+def _vertex_values_sql() -> str:
+    rows = []
+    for r in vectors.layer_to_rows(vectors.rect_layer()):
+        if r["is_hole"]:
+            continue
+        for x, y in zip(r["xs"], r["ys"]):
+            rows.append((r["fid"], float(x), float(y)))
+    vals = ", ".join(f"({fid}, {x!r}, {y!r})" for fid, x, y in rows)
+    return (
+        f"verts AS (SELECT CAST(fid AS BIGINT) AS fid, CAST(x AS DOUBLE) AS x, "
+        f"CAST(y AS DOUBLE) AS y FROM (VALUES {vals}) AS t(fid, x, y))"
+    )
+
+
+def _sym_diff_oracle() -> str:
+    # closed-form axis-aligned rectangle algebra over the two fixture
+    # layers (same independent form as catalog_overlay's measure oracles)
+    def feat_rects(specs):
+        out = []
+        for fid, xmin, ymin, xmax, ymax, hole in specs:
+            out.append((xmin, ymin, xmax, ymax, hole))
+        return out
+
+    def area(spec):
+        # shells only — overlay_measures operates on ~is_hole parts
+        xmin, ymin, xmax, ymax, _hole = spec
+        return (xmax - xmin) * (ymax - ymin)
+
+    def inter_rr(r1, r2):
+        # shell-shell intersection (holes excluded, as in the engine)
+        w = min(r1[2], r2[2]) - max(r1[0], r2[0])
+        h = min(r1[3], r2[3]) - max(r1[1], r2[1])
+        return max(w, 0.0) * max(h, 0.0)
+
+    la = feat_rects(vectors.RECT_SPECS)
+    lb = feat_rects(vectors.RECT_SPECS_B)
+    inter = sum(inter_rr(a, b) for a in la for b in lb)
+    sym = sum(area(a) for a in la) + sum(area(b) for b in lb) - 2.0 * inter
+    return f"SELECT round(CAST({sym!r} AS DOUBLE), 6) AS sym_area"
+
+
+ORACLE_SQL = {
+    "prewitt": _oracle_gradient("prewitt"),
+    "scharr": _oracle_gradient("scharr"),
+    "emboss": _oracle_mask(flt.EMBOSS_WEIGHTS["n"], round6=False),
+    "user_weights_filter": _oracle_mask(UW_WEIGHTS, round6=True),
+    "flip_image": f"""
+WITH {_PTS_CTE},
+{_PTS_RASTER_LAST_CTE}
+SELECT {GRID.rows - 1} - cell_row AS cell_row, cell_col, value FROM r
+""",
+    "ndi": f"""
+WITH {_PTS_CTE},
+{_PTS_RASTER_LAST_CTE},
+rf AS (SELECT {_ROW_SQL} AS cell_row, {_COL_SQL} AS cell_col,
+              arg_min(z, doc_id) AS value
+       FROM pts WHERE {_IN_GRID_SQL} GROUP BY cell_row, cell_col)
+SELECT a.cell_row, a.cell_col,
+       round((a.value - b.value) / (a.value + b.value), 6) AS value
+FROM r a JOIN rf b ON a.cell_row = b.cell_row AND a.cell_col = b.cell_col
+""",
+    "raster_summary": f"""
+WITH {_PTS_CTE},
+{_PTS_RASTER_LAST_CTE}
+SELECT count(*) AS n, round(sum(value), 6) AS total, round(avg(value), 6) AS mean,
+       min(value) AS min_v, max(value) AS max_v, round(stddev_samp(value), 6) AS stddev
+FROM r
+""",
+    "raster_histogram": f"""
+WITH {_PTS_CTE},
+{_PTS_RASTER_LAST_CTE}
+SELECT CAST(least({HIST_BINS - 1}, greatest(0,
+         floor((value - {HIST_LO!r}) / {(HIST_HI - HIST_LO) / HIST_BINS!r}))) AS BIGINT) AS bin,
+       count(*) AS n
+FROM r GROUP BY bin
+""",
+    "lidar_thin": f"""
+WITH {_PTS_CTE}
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (
+    PARTITION BY CAST(floor(x / {THIN_RES!r}) AS BIGINT),
+                 CAST(floor(y / {THIN_RES!r}) AS BIGINT)
+    ORDER BY doc_id) AS rn
+  FROM pts) t WHERE rn = 1
+""",
+    "lidar_thin_high_density": f"""
+WITH {_PTS_CTE}
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (
+    PARTITION BY CAST(floor(x / {THIN_RES!r}) AS BIGINT),
+                 CAST(floor(y / {THIN_RES!r}) AS BIGINT)
+    ORDER BY doc_id) AS rn
+  FROM pts) t WHERE rn <= {THIN_MAX}
+""",
+    "centroid_vector": f"""
+WITH {_vertex_values_sql()}
+SELECT fid, round(avg(x), 6) AS x, round(avg(y), 6) AS y FROM verts GROUP BY fid
+""",
+    "medoid": f"""
+WITH {_vertex_values_sql()},
+cen AS (SELECT fid, avg(x) AS cx, avg(y) AS cy FROM verts GROUP BY fid)
+SELECT fid, x, y FROM (
+  SELECT v.fid, v.x, v.y, row_number() OVER (
+    PARTITION BY v.fid
+    ORDER BY (v.x - c.cx) * (v.x - c.cx) + (v.y - c.cy) * (v.y - c.cy) ASC,
+             v.x ASC, v.y ASC) AS rn
+  FROM verts v JOIN cen c ON c.fid = v.fid) t
+WHERE rn = 1
+""",
+    "symmetrical_difference_area": _sym_diff_oracle(),
+}
+
+
+def _num_inflowing_sql() -> str:
+    from whitebox_tools_spark.catalog_iter import _Z_CTE, _d8_dir_sql
+    from whitebox_tools_spark.operators.hydro import D8_DX, D8_DY
+
+    dxs = "[" + ",".join(str(v) for v in D8_DX) + "]"
+    dys = "[" + ",".join(str(v) for v in D8_DY) + "]"
+    return f"""
+WITH {_PTS_CTE},
+{_Z_CTE},
+{_d8_dir_sql().lstrip()},
+down AS (SELECT cell_row + {dys}[dir + 1] AS cell_row,
+                cell_col + {dxs}[dir + 1] AS cell_col
+         FROM dirs WHERE dir >= 0),
+cnt AS (SELECT cell_row, cell_col, count(*) AS n FROM down GROUP BY 1, 2)
+SELECT d.cell_row, d.cell_col,
+       CAST(coalesce(c.n, 0) AS DOUBLE) AS value
+FROM dirs d LEFT JOIN cnt c
+  ON c.cell_row = d.cell_row AND c.cell_col = d.cell_col
+"""
+
+
+def _stack_profile_sql() -> str:
+    return f"""
+WITH {_PTS_CTE},
+{_PTS_RASTER_LAST_CTE},
+rf AS (SELECT {_ROW_SQL} AS cell_row, {_COL_SQL} AS cell_col,
+              arg_min(z, doc_id) AS value
+       FROM pts WHERE {_IN_GRID_SQL} GROUP BY cell_row, cell_col),
+p AS (SELECT doc_id, {_ROW_SQL} AS cell_row, {_COL_SQL} AS cell_col
+      FROM pts WHERE doc_id % {PROFILE_MOD} = 0 AND {_IN_GRID_SQL})
+SELECT p.doc_id, 0 AS image, r.value AS z
+FROM p LEFT JOIN r ON r.cell_row = p.cell_row AND r.cell_col = p.cell_col
+UNION ALL
+SELECT p.doc_id, 1 AS image, rf.value AS z
+FROM p LEFT JOIN rf ON rf.cell_row = p.cell_row AND rf.cell_col = p.cell_col
+"""
+
+
+def _clip_raster_sql(erase: bool) -> str:
+    xc = f"({GRID.west!r} + (CAST(cell_col AS DOUBLE) + 0.5) * {GRID.res_x!r})"
+    yc = f"({GRID.north!r} - (CAST(cell_row AS DOUBLE) + 0.5) * {GRID.res_y!r})"
+    pred = vectors.rect_layer_sql_predicate(xc, yc)
+    keep = f"NOT {pred}" if erase else pred
+    return f"""
+WITH {_PTS_CTE},
+{_PTS_RASTER_LAST_CTE}
+SELECT cell_row, cell_col, value FROM r WHERE {keep}
+"""
+
+
+ORACLE_SQL["num_inflowing"] = _num_inflowing_sql()
+ORACLE_SQL["image_stack_profile"] = _stack_profile_sql()
+ORACLE_SQL["clip_raster"] = _clip_raster_sql(erase=False)
+ORACLE_SQL["erase_raster"] = _clip_raster_sql(erase=True)
+ORACLE_SQL["stddev_stretch"] = f"""
+WITH {_PTS_CTE},
+{_PTS_RASTER_LAST_CTE},
+st AS (SELECT avg(value) AS mu, stddev_samp(value) AS sd FROM r)
+SELECT cell_row, cell_col,
+       round(greatest(0.0, least(1.0,
+         (value - (mu - {STRETCH_K!r} * sd)) / ((mu + {STRETCH_K!r} * sd) - (mu - {STRETCH_K!r} * sd))
+       )) * 255.0, 6) AS value
+FROM r, st
+"""
+ORACLE_SQL["percentage_stretch"] = f"""
+WITH {_PTS_CTE},
+{_PTS_RASTER_LAST_CTE},
+st AS (SELECT quantile_cont(value, {STRETCH_LO_PCT!r}) AS lo,
+              quantile_cont(value, {STRETCH_HI_PCT!r}) AS hi FROM r)
+SELECT cell_row, cell_col,
+       round(greatest(0.0, least(1.0, (value - lo) / (hi - lo))) * 255.0, 6) AS value
+FROM r, st
+"""
+
+
+# -------------------------------------------------------- high-pass filter
+
+HP_K = 5
+
+
+def q_high_pass(spark, sf_dir):
+    # HighPassFilter (image_analysis/highpass_filter.rs:378-379):
+    # out = z - clamped-window mean (the engine mean_filter's semantics)
+    from whitebox_tools_spark.operators.focal import mean_filter
+
+    r = _raster(spark, sf_dir)
+    mn = mean_filter(r, GRID, filter_x=HP_K, filter_y=HP_K, tile_size=TILE_SIZE)
+    j = r.join(
+        mn.select("row", "col", F.col("value").alias("mu")), ["row", "col"]
+    )
+    return j.select(
+        F.col("row").alias("cell_row"), F.col("col").alias("cell_col"),
+        F.round(F.col("value") - F.col("mu"), 6).alias("value"),
+    )
+
+
+QUERIES["high_pass"] = q_high_pass
+
+
+def _high_pass_sql() -> str:
+    mid = HP_K // 2
+    return f"""
+WITH {_PTS_CTE},
+{_PTS_RASTER_LAST_CTE},
+mn AS (SELECT min(value) AS m FROM r),
+offs AS (SELECT a.i - {mid} AS dr, b.i - {mid} AS dc
+         FROM range(0, {2 * mid + 1}) a(i), range(0, {2 * mid + 1}) b(i)),
+j AS (SELECT c.cell_row, c.cell_col, c.value AS z, mn.m,
+             sum(n.value - mn.m) AS s, count(*) AS cnt
+      FROM r c CROSS JOIN mn CROSS JOIN offs o
+      JOIN r n ON n.cell_row = c.cell_row + o.dr AND n.cell_col = c.cell_col + o.dc
+      WHERE c.cell_row + o.dr >= 1 AND c.cell_col + o.dc >= 1
+      GROUP BY c.cell_row, c.cell_col, c.value, mn.m)
+SELECT cell_row, cell_col, round(z - (s / cnt + m), 6) AS value
+FROM j
+"""
+
+
+ORACLE_SQL["high_pass"] = _high_pass_sql()
