@@ -594,3 +594,290 @@ FROM j
 
 
 ORACLE_SQL["high_pass"] = _high_pass_sql()
+
+
+# ---------------------------------------- majority / percentile filters
+
+
+def q_majority_filter(spark, sf_dir):
+    from whitebox_tools_spark.operators.enhance import majority_filter
+
+    return _aliased(
+        majority_filter(_raster(spark, sf_dir), GRID, 3, 3, TILE_SIZE), round6=False
+    )
+
+
+def q_percentile_filter(spark, sf_dir):
+    from whitebox_tools_spark.operators.enhance import percentile_filter
+
+    return _aliased(
+        percentile_filter(_raster(spark, sf_dir), GRID, 3, 3, TILE_SIZE)
+    )
+
+
+QUERIES["majority_filter"] = q_majority_filter
+QUERIES["percentile_filter"] = q_percentile_filter
+
+
+def _win3_cte() -> str:
+    # all (center, neighbour-value) rows of the 3x3 window, center included,
+    # only in-raster neighbours (NaN padding contributes nothing)
+    return """offs AS (SELECT a.i - 1 AS dr, b.i - 1 AS dc
+         FROM range(0, 3) a(i), range(0, 3) b(i)),
+win AS (SELECT c.cell_row, c.cell_col, c.value AS z, n.value AS nv
+        FROM r c CROSS JOIN offs o
+        JOIN r n ON n.cell_row = c.cell_row + o.dr AND n.cell_col = c.cell_col + o.dc)"""
+
+
+ORACLE_SQL["majority_filter"] = f"""
+WITH {_PTS_CTE},
+{_PTS_RASTER_LAST_CTE},
+{_win3_cte()},
+cnt AS (SELECT cell_row, cell_col, nv, count(*) AS c FROM win GROUP BY 1, 2, 3),
+rk AS (SELECT cell_row, cell_col, nv,
+              row_number() OVER (PARTITION BY cell_row, cell_col
+                                 ORDER BY c DESC, nv ASC) AS rn
+       FROM cnt)
+SELECT cell_row, cell_col, nv AS value FROM rk WHERE rn = 1
+"""
+
+ORACLE_SQL["percentile_filter"] = f"""
+WITH {_PTS_CTE},
+{_PTS_RASTER_LAST_CTE},
+{_win3_cte()}
+SELECT cell_row, cell_col,
+       round(CAST(sum(CASE WHEN nv < z THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 100.0, 6) AS value
+FROM win GROUP BY cell_row, cell_col
+"""
+
+
+# --------------------------------- joins, grids, kappa, signatures
+
+
+def q_lidar_join(spark, sf_dir):
+    # LidarJoin (lidar_join.rs): concatenate point files; sources tagged
+    geo = _geo(spark, sf_dir)
+    a = geo.where(F.pmod("doc_id", F.lit(2)) == 0).select(
+        "doc_id", F.lit(0).alias("src")
+    )
+    b = geo.where(F.pmod("doc_id", F.lit(3)) == 0).select(
+        "doc_id", F.lit(1).alias("src")
+    )
+    return a.unionByName(b)
+
+
+CSV_LABELS = [(0, "water"), (1, "forest"), (2, "urban"), (3, "crop"), (4, "bare")]
+
+
+def q_merge_table_csv(spark, sf_dir):
+    # MergeTableWithCsv (merge_table_with_csv.rs): attribute-join a CSV
+    # keyed table onto the layer's attribute table
+    geo = _geo(spark, sf_dir).select("doc_id", F.col("cls").cast("long").alias("cls"))
+    csv = local_df(spark, [dict(cls=c, label=l) for c, l in CSV_LABELS])
+    return geo.join(csv, "cls", "left").select("doc_id", "cls", "label")
+
+
+def q_rect_grid(spark, sf_dir):
+    # CreateRectangularVectorGrid: one rect feature per grid cell
+    rows = spark.range(GRID.rows).select(F.col("id").alias("cell_row"))
+    cols = spark.range(GRID.cols).select(F.col("id").alias("cell_col"))
+    g = rows.crossJoin(cols)
+    return g.select(
+        (F.col("cell_row") * GRID.cols + F.col("cell_col") + 1).alias("fid"),
+        "cell_row", "cell_col",
+        (F.lit(GRID.west) + F.col("cell_col") * GRID.res_x).alias("xmin"),
+        (F.lit(GRID.north) - (F.col("cell_row") + 1) * GRID.res_y).alias("ymin"),
+        (F.lit(GRID.west) + (F.col("cell_col") + 1) * GRID.res_x).alias("xmax"),
+        (F.lit(GRID.north) - F.col("cell_row") * GRID.res_y).alias("ymax"),
+    )
+
+
+KAPPA_MOD = 4
+
+
+def q_lidar_kappa(spark, sf_dir):
+    # LidarKappaIndex: Cohen's kappa between two per-point classifications
+    from whitebox_tools_spark.operators.enhance import kappa_index
+
+    geo = _geo(spark, sf_dir)
+    a = geo.select(F.col("doc_id").alias("row"), F.lit(0).alias("col"),
+                   F.col("cls").cast("double").alias("value"))
+    b = geo.select(F.col("doc_id").alias("row"), F.lit(0).alias("col"),
+                   F.pmod("doc_id", F.lit(KAPPA_MOD)).cast("double").alias("value"))
+    out = kappa_index(a, b)
+    return out.select(
+        F.round("kappa", 6).alias("kappa"),
+        F.round("overall_accuracy", 6).alias("overall_accuracy"),
+        "n",
+    )
+
+
+def q_max_diff_from_mean(spark, sf_dir):
+    from whitebox_tools_spark.operators.terrain2 import max_elevation_deviation
+
+    out = max_elevation_deviation(
+        _raster(spark, sf_dir), GRID, radii=(1, 2, 3), tile_size=TILE_SIZE, stat="diff"
+    )
+    return out.select(
+        F.col("row").alias("cell_row"), F.col("col").alias("cell_col"),
+        F.round("value", 6).alias("value"), "scale",
+    )
+
+
+def q_max_elev_dev_signature(spark, sf_dir):
+    from whitebox_tools_spark.operators.terrain import dev_from_mean_elev
+
+    parts = []
+    for r in (1, 2, 3):
+        d = dev_from_mean_elev(_raster(spark, sf_dir), GRID, rx=r, ry=r, tile_size=TILE_SIZE)
+        parts.append(
+            d.select(
+                F.col("row").alias("cell_row"), F.col("col").alias("cell_col"),
+                F.round("value", 6).alias("value"),
+                F.lit(r).cast("double").alias("scale"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u
+
+
+def q_multiscale_roughness_signature(spark, sf_dir):
+    from whitebox_tools_spark.catalog_misc2 import MR_RADII
+    from whitebox_tools_spark.operators.terrain3 import spherical_stdev_of_normals
+
+    parts = []
+    for r in MR_RADII:
+        d = spherical_stdev_of_normals(
+            _raster(spark, sf_dir), GRID, rx=r, ry=r, tile_size=TILE_SIZE
+        )
+        parts.append(
+            d.select(
+                F.col("row").alias("cell_row"), F.col("col").alias("cell_col"),
+                F.round("value", 6).alias("value"),
+                F.lit(r).cast("double").alias("scale"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u
+
+
+QUERIES["lidar_join"] = q_lidar_join
+QUERIES["merge_table_csv"] = q_merge_table_csv
+QUERIES["rect_grid"] = q_rect_grid
+QUERIES["lidar_kappa"] = q_lidar_kappa
+QUERIES["max_diff_from_mean"] = q_max_diff_from_mean
+QUERIES["max_elev_dev_signature"] = q_max_elev_dev_signature
+QUERIES["multiscale_roughness_signature"] = q_multiscale_roughness_signature
+
+
+def _win_cte(radius: int, tag: str) -> str:
+    """Windowed sum/count CTE over raster r at a given radius."""
+    return f"""o{tag} AS (SELECT a.i - {radius} AS dr, b.i - {radius} AS dc
+         FROM range(0, {2 * radius + 1}) a(i), range(0, {2 * radius + 1}) b(i)),
+w{tag} AS (SELECT c.cell_row, c.cell_col, any_value(c.value) AS z,
+       count(*) AS n, sum(nb.value) AS s, sum(nb.value * nb.value) AS ss
+FROM r c CROSS JOIN o{tag}
+JOIN r nb ON nb.cell_row = c.cell_row + o{tag}.dr AND nb.cell_col = c.cell_col + o{tag}.dc
+GROUP BY c.cell_row, c.cell_col)"""
+
+
+_DEV_SEL = """CASE WHEN (ss - (s * s) / n) / n > 0.0
+        THEN (z - s / n) / sqrt((ss - (s * s) / n) / n) ELSE 0.0 END"""
+_DIFF_SEL = "z - s / n"
+
+
+def _multi_window_sql(sel: str, argmax: bool) -> str:
+    ctes = ",\n".join(_win_cte(r, f"r{r}") for r in (1, 2, 3))
+    union = "\nUNION ALL ".join(
+        f"SELECT cell_row, cell_col, {sel} AS value, CAST({r} AS DOUBLE) AS scale FROM wr{r}"
+        for r in (1, 2, 3)
+    )
+    tail = (
+        """QUALIFY row_number() OVER (PARTITION BY cell_row, cell_col
+                           ORDER BY abs(value) DESC, scale ASC) = 1"""
+        if argmax
+        else ""
+    )
+    return f"""
+WITH {_PTS_CTE},
+{_PTS_RASTER_LAST_CTE},
+{ctes},
+u AS ({union})
+SELECT cell_row, cell_col, round(value, 6) AS value, scale FROM u
+{tail}
+"""
+
+
+def _mr_signature_sql() -> str:
+    from whitebox_tools_spark.catalog_misc2 import (
+        MR_RADII, _ASPECT_CTE, _sphere_cte,
+    )
+
+    union = "\nUNION ALL ".join(
+        f"SELECT cell_row, cell_col, value, CAST({r} AS DOUBLE) AS scale FROM s{i+1}"
+        for i, r in enumerate(MR_RADII)
+    )
+    spheres = ",\n".join(_sphere_cte(r, f"s{i+1}") for i, r in enumerate(MR_RADII))
+    return f"""WITH {_PTS_CTE},
+{_PTS_RASTER_LAST_CTE},
+{_ASPECT_CTE},
+nrm AS MATERIALIZED (SELECT cell_row, cell_col,
+      -fx / sqrt(fx * fx + fy * fy + 1.0) AS nx,
+      -fy / sqrt(fx * fx + fy * fy + 1.0) AS ny,
+      1.0 / sqrt(fx * fx + fy * fy + 1.0) AS nz
+      FROM drv),
+{spheres},
+u AS ({union})
+SELECT cell_row, cell_col, round(value, 6) AS value, scale FROM u"""
+
+
+def _csv_values_sql() -> str:
+    vals = ", ".join(f"({c}, '{l}')" for c, l in CSV_LABELS)
+    return f"(VALUES {vals}) AS c(cls, label)"
+
+
+ORACLE_SQL["lidar_join"] = f"""
+WITH {_PTS_CTE}
+SELECT doc_id, 0 AS src FROM pts WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, 1 AS src FROM pts WHERE doc_id % 3 = 0
+"""
+ORACLE_SQL["merge_table_csv"] = f"""
+WITH {_PTS_CTE}
+SELECT p.doc_id, CAST(p.cls AS BIGINT) AS cls, c.label
+FROM pts p LEFT JOIN {_csv_values_sql()} ON c.cls = CAST(p.cls AS BIGINT)
+"""
+ORACLE_SQL["rect_grid"] = f"""
+SELECT CAST(cell_row * {GRID.cols} + cell_col + 1 AS BIGINT) AS fid,
+       cell_row, cell_col,
+       CAST({GRID.west!r} + cell_col * {GRID.res_x!r} AS DOUBLE) AS xmin,
+       CAST({GRID.north!r} - (cell_row + 1) * {GRID.res_y!r} AS DOUBLE) AS ymin,
+       CAST({GRID.west!r} + (cell_col + 1) * {GRID.res_x!r} AS DOUBLE) AS xmax,
+       CAST({GRID.north!r} - cell_row * {GRID.res_y!r} AS DOUBLE) AS ymax
+FROM (SELECT CAST(a.i AS BIGINT) AS cell_row, CAST(b.i AS BIGINT) AS cell_col
+      FROM range(0, {GRID.rows}) a(i), range(0, {GRID.cols}) b(i)) g
+"""
+ORACLE_SQL["lidar_kappa"] = f"""
+WITH {_PTS_CTE},
+cls AS (SELECT CAST(round(cls) AS BIGINT) AS ca,
+               CAST(round(doc_id % {KAPPA_MOD}) AS BIGINT) AS cb FROM pts),
+n AS (SELECT count(*) AS n FROM cls),
+agree AS (SELECT count(*) AS a FROM cls WHERE ca = cb),
+ma AS (SELECT ca AS c, count(*) AS ra FROM cls GROUP BY ca),
+mb AS (SELECT cb AS c, count(*) AS cb_n FROM cls GROUP BY cb),
+exp_ AS (SELECT coalesce(sum(ma.ra * mb.cb_n), 0) AS e
+         FROM ma JOIN mb ON ma.c = mb.c)
+SELECT round(((CAST(a AS DOUBLE) / n) - (CAST(e AS DOUBLE) / (CAST(n AS DOUBLE) * n)))
+             / (1.0 - (CAST(e AS DOUBLE) / (CAST(n AS DOUBLE) * n))), 6) AS kappa,
+       round(CAST(a AS DOUBLE) / n, 6) AS overall_accuracy,
+       n
+FROM n, agree, exp_
+"""
+ORACLE_SQL["max_diff_from_mean"] = _multi_window_sql(_DIFF_SEL, argmax=True)
+ORACLE_SQL["max_elev_dev_signature"] = _multi_window_sql(_DEV_SEL, argmax=False)
+ORACLE_SQL["multiscale_roughness_signature"] = _mr_signature_sql()

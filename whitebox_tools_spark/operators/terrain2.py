@@ -244,16 +244,21 @@ def max_elevation_deviation(
     cfg: GridConfig,
     radii: tuple[int, ...] = (1, 2, 3),
     tile_size: int = 128,
+    stat: str = "dev",
 ) -> DataFrame:
-    """MaxElevationDeviation / MaxDifferenceFromMean
-    (max_elevation_deviation.rs): per cell, the DevFromMeanElev value of
+    """MaxElevationDeviation (stat='dev', max_elevation_deviation.rs) /
+    MaxDifferenceFromMean (stat='diff', max_difference_from_mean.rs):
+    per cell, the DevFromMeanElev (resp. DiffFromMeanElev) value of
     largest magnitude across the window radii, plus the radius it came
     from; ties take the smallest radius."""
-    from whitebox_tools_spark.operators.terrain import dev_from_mean_elev
+    from whitebox_tools_spark.operators.terrain import (
+        dev_from_mean_elev, diff_from_mean_elev,
+    )
 
+    base = dev_from_mean_elev if stat == "dev" else diff_from_mean_elev
     parts = []
     for r in radii:
-        d = dev_from_mean_elev(raster, cfg, rx=r, ry=r, tile_size=tile_size)
+        d = base(raster, cfg, rx=r, ry=r, tile_size=tile_size)
         parts.append(d.select("row", "col", "value", F.lit(r).alias("scale")))
     u = parts[0]
     for p in parts[1:]:
