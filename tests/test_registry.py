@@ -29,5 +29,7 @@ def test_exact_tools_have_live_queries():
 
 def test_coverage_floor():
     s = coverage_summary()
-    assert s["exact"] >= 45
-    assert s["exact"] + s["engine"] + s["expr"] >= 170
+    assert s["exact"] >= 250
+    assert (
+        s["exact"] + s.get("engine", 0) + s.get("deviating", 0) + s["expr"] >= 400
+    )

@@ -881,3 +881,396 @@ FROM n, agree, exp_
 ORACLE_SQL["max_diff_from_mean"] = _multi_window_sql(_DIFF_SEL, argmax=True)
 ORACLE_SQL["max_elev_dev_signature"] = _multi_window_sql(_DEV_SEL, argmax=False)
 ORACLE_SQL["multiscale_roughness_signature"] = _mr_signature_sql()
+
+
+# ------------------------------------------------------- DInf mass flux
+
+FLUXD_ROUNDS = 64
+
+
+def q_dinf_mass_flux(spark, sf_dir):
+    from whitebox_tools_spark.operators import raster as rop
+    from whitebox_tools_spark.operators.dinf2 import dinf_mass_flux
+
+    geo = _geo(spark, sf_dir)
+    z = _raster(spark, sf_dir)
+    loading = z
+    cls = rop.points_to_raster(geo, GRID, assign="max", field="cls")
+    eff = cls.select("row", "col", (F.col("value") / 20.0 + 0.5).alias("value"))
+    absorb = rop.points_to_raster(geo, GRID, assign="first").select(
+        "row", "col", (F.col("value") * 0.1).alias("value")
+    )
+    out = dinf_mass_flux(loading, eff, absorb, z, GRID, FLUXD_ROUNDS, TILE_SIZE)
+    return out.select(
+        F.col("row").alias("cell_row"), F.col("col").alias("cell_col"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+QUERIES["dinf_mass_flux"] = q_dinf_mass_flux
+
+
+def _dinf_flux_sql() -> str:
+    from whitebox_tools_spark.catalog_dinf import _dinf_accum_sql
+
+    base = _dinf_accum_sql()
+    head, _ = base.split("a0 AS", 1)
+    blocks = [
+        f"""bands AS MATERIALIZED (
+  SELECT {_ROW_SQL} AS cell_row, {_COL_SQL} AS cell_col,
+         arg_max(z, doc_id) AS l,
+         CAST(max(cls) AS DOUBLE) / 20.0 + 0.5 AS e,
+         arg_min(z, doc_id) * 0.1 AS ab
+  FROM pts WHERE {_IN_GRID_SQL}
+  GROUP BY cell_row, cell_col),
+nodesf AS MATERIALIZED (SELECT b.cell_row, b.cell_col,
+        b.cell_row * {GRID.cols} + b.cell_col AS id, b.l, b.e, b.ab
+        FROM bands b JOIN ddir d ON d.cell_row = b.cell_row AND d.cell_col = b.cell_col),
+edf AS MATERIALIZED (SELECT e.a, e.b, e.w FROM ed e
+        JOIN nodesf x ON x.id = e.a JOIN nodesf y ON y.id = e.b),
+f0 AS MATERIALIZED (SELECT id, (l - ab) * e AS val FROM nodesf)"""
+    ]
+    for i in range(1, FLUXD_ROUNDS + 1):
+        blocks.append(
+            f"f{i} AS MATERIALIZED (SELECT z.id, "
+            f"(coalesce(u.s, 0.0) + z.l - z.ab) * z.e AS val "
+            f"FROM nodesf z LEFT JOIN (SELECT e.b, sum(e.w * p.val) AS s "
+            f"FROM edf e JOIN f{i-1} p ON p.id = e.a GROUP BY e.b) u ON u.b = z.id)"
+        )
+    joined = ",\n".join(blocks)
+    return f"""{head.rstrip().rstrip(',')},
+{joined}
+SELECT CAST(id // {GRID.cols} AS BIGINT) AS cell_row,
+       CAST(id % {GRID.cols} AS BIGINT) AS cell_col,
+       round(CAST(val AS DOUBLE), 6) AS value
+FROM f{FLUXD_ROUNDS}"""
+
+
+ORACLE_SQL["dinf_mass_flux"] = _dinf_flux_sql()
+
+
+# -------------------------------------- histogram matching (uniform target)
+
+
+def q_histogram_matching_uniform(spark, sf_dir):
+    # HistogramMatching (image_analysis/histogram_matching.rs) with the
+    # catalog's target histogram = uniform on [0, 255]: the target
+    # quantile function is t -> 255 t, so out = cdf(z) * 255 with
+    # cdf = P(value <= z). Computed via a value-level aggregation +
+    # running sum over distinct values (no whole-raster single-partition
+    # window).
+    r = _raster(spark, sf_dir)
+    n = r.count()
+    counts = r.groupBy("value").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = counts.withColumn("cum", F.sum("c").over(w)).select(
+        "value", (F.col("cum").cast("double") / F.lit(float(n))).alias("cdf")
+    )
+    return r.join(cdf, "value").select(
+        F.col("row").alias("cell_row"), F.col("col").alias("cell_col"),
+        F.round(F.col("cdf") * 255.0, 6).alias("value"),
+    )
+
+
+QUERIES["histogram_matching_uniform"] = q_histogram_matching_uniform
+
+ORACLE_SQL["histogram_matching_uniform"] = f"""
+WITH {_PTS_CTE},
+{_PTS_RASTER_LAST_CTE},
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM r),
+cdf AS (SELECT a.value, CAST(count(*) AS DOUBLE) AS cum
+        FROM (SELECT DISTINCT value FROM r) a
+        JOIN r b ON b.value <= a.value GROUP BY a.value)
+SELECT r.cell_row, r.cell_col, round(cdf.cum / n.n * 255.0, 6) AS value
+FROM r JOIN cdf ON cdf.value = r.value CROSS JOIN n
+"""
+
+
+# ------------------------------- gaussian contrast stretch (probit map)
+
+# Acklam's rational approximation of the inverse normal CDF; the SAME
+# coefficient chain is rendered once as a Spark Column and once as SQL
+# text, so both engines evaluate an identical double-precision
+# expression tree.
+_ACK_A = (-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+          1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00)
+_ACK_B = (-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+          6.680131188771972e+01, -1.328068155288572e+01)
+_ACK_C = (-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+          -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00)
+_ACK_D = (7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+          3.754408661907416e+00)
+_ACK_PLOW = 0.02425
+
+
+def _horner_sql(coeffs, var):
+    out = repr(coeffs[0])
+    for c in coeffs[1:]:
+        out = f"({out} * {var} + {repr(c)})"
+    return out
+
+
+def _probit_sql(p: str) -> str:
+    ql = f"sqrt(-2.0 * ln({p}))"
+    qh = f"sqrt(-2.0 * ln(1.0 - {p}))"
+    qm = f"({p} - 0.5)"
+    rm = f"({qm} * {qm})"
+    low = f"({_horner_sql(_ACK_C, ql)}) / ({_horner_sql(_ACK_D, ql)} * {ql} + 1.0)"
+    high = f"-(({_horner_sql(_ACK_C, qh)}) / ({_horner_sql(_ACK_D, qh)} * {qh} + 1.0))"
+    mid = (
+        f"({_horner_sql(_ACK_A, rm)}) * {qm} / ({_horner_sql(_ACK_B, rm)} * {rm} + 1.0)"
+    )
+    return (
+        f"CASE WHEN {p} < {_ACK_PLOW!r} THEN {low} "
+        f"WHEN {p} > {1.0 - _ACK_PLOW!r} THEN {high} ELSE {mid} END"
+    )
+
+
+def _horner_col(coeffs, var):
+    out = F.lit(coeffs[0])
+    for c in coeffs[1:]:
+        out = out * var + F.lit(c)
+    return out
+
+
+def _probit_col(p):
+    ql = F.sqrt(-2.0 * F.log(p))
+    qh = F.sqrt(-2.0 * F.log(1.0 - p))
+    qm = p - 0.5
+    rm = qm * qm
+    low = _horner_col(_ACK_C, ql) / (_horner_col(_ACK_D, ql) * ql + 1.0)
+    high = -(_horner_col(_ACK_C, qh) / (_horner_col(_ACK_D, qh) * qh + 1.0))
+    mid = _horner_col(_ACK_A, rm) * qm / (_horner_col(_ACK_B, rm) * rm + 1.0)
+    return (
+        F.when(p < _ACK_PLOW, low)
+        .when(p > 1.0 - _ACK_PLOW, high)
+        .otherwise(mid)
+    )
+
+
+def q_gaussian_stretch(spark, sf_dir):
+    # GaussianContrastStretch (gaussian_contrast_stretch.rs, engine form):
+    # histogram-match the raster onto a standard gaussian — out =
+    # probit((rank - 0.5) / n) via Acklam's approximation (the reference
+    # interpolates a binned gaussian CDF lookup instead).
+    r = _raster(spark, sf_dir)
+    n = r.count()
+    counts = r.groupBy("value").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = counts.withColumn("cum", F.sum("c").over(w)).select(
+        "value",
+        ((F.col("cum").cast("double") - 0.5) / F.lit(float(n))).alias("p"),
+    )
+    return r.join(cdf, "value").select(
+        F.col("row").alias("cell_row"), F.col("col").alias("cell_col"),
+        F.round(_probit_col(F.col("p")), 6).alias("value"),
+    )
+
+
+QUERIES["gaussian_stretch"] = q_gaussian_stretch
+
+ORACLE_SQL["gaussian_stretch"] = f"""
+WITH {_PTS_CTE},
+{_PTS_RASTER_LAST_CTE},
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM r),
+cdf AS (SELECT a.value, (CAST(count(*) AS DOUBLE) - 0.5) AS cum
+        FROM (SELECT DISTINCT value FROM r) a
+        JOIN r b ON b.value <= a.value GROUP BY a.value)
+SELECT r.cell_row, r.cell_col,
+       round({_probit_sql("(cdf.cum / n.n)")}, 6) AS value
+FROM r JOIN cdf ON cdf.value = r.value CROSS JOIN n
+"""
+
+
+# ----------------------------------------- eliminate coincident points
+
+COINC_TOL = 25.0
+_MIS_DEPTH = 8  # unrolled greedy depth >= longest decreasing conflict chain
+
+
+def q_eliminate_coincident(spark, sf_dir):
+    from whitebox_tools_spark.operators.attributes import eliminate_coincident_points
+
+    geo = _geo(spark, sf_dir)
+    out = eliminate_coincident_points(geo.select("doc_id", "x", "y"), COINC_TOL)
+    return out.select("doc_id")
+
+
+QUERIES["eliminate_coincident"] = q_eliminate_coincident
+
+
+def _eliminate_sql() -> str:
+    tol2 = COINC_TOL * COINC_TOL
+    levels = [
+        f"""k0 AS (SELECT doc_id FROM pts
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.p = pts.doc_id))"""
+    ]
+    for i in range(1, _MIS_DEPTH + 1):
+        levels.append(
+            f"""k{i} AS (SELECT doc_id FROM pts
+      WHERE NOT EXISTS (SELECT 1 FROM e JOIN k{i-1} k ON k.doc_id = e.q
+                        WHERE e.p = pts.doc_id))"""
+        )
+    joined = ",\n".join(levels)
+    return f"""
+WITH {_PTS_CTE},
+e AS (SELECT a.doc_id AS p, b.doc_id AS q
+      FROM pts a JOIN pts b ON b.doc_id < a.doc_id
+      AND ((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) < {tol2!r}),
+{joined}
+SELECT doc_id FROM k{_MIS_DEPTH}
+"""
+
+
+ORACLE_SQL["eliminate_coincident"] = _eliminate_sql()
+
+
+# -------------------------------------------------- modified k-means
+
+MK_K0 = 6
+MK_ITERS = 12
+MK_MERGE = 120.0
+MK_FEATS = ("x", "y", "z")
+
+
+def q_modified_kmeans(spark, sf_dir):
+    from whitebox_tools_spark.operators.cluster import modified_kmeans
+
+    geo = _geo(spark, sf_dir)
+    assigned, _ = modified_kmeans(
+        geo.select("doc_id", *MK_FEATS), list(MK_FEATS), MK_K0, MK_MERGE,
+        max_iter=MK_ITERS,
+    )
+    return assigned.select("doc_id", F.col("cluster").cast("int").alias("cluster"))
+
+
+QUERIES["modified_kmeans"] = q_modified_kmeans
+
+
+_GEO_SQL_MK = derive.sql_geometry_select("doc_id")
+
+
+def _modified_kmeans_sql() -> str:
+    fs = MK_FEATS
+    thr2 = MK_MERGE * MK_MERGE
+    init = (
+        f"c0 AS (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS cluster, "
+        + ", ".join(f"{f} AS c{f}" for f in fs)
+        + f" FROM (SELECT * FROM pts ORDER BY doc_id LIMIT {MK_K0}))"
+    )
+    blocks = [init]
+    d = " + ".join(f"(p.{f} - c.c{f}) * (p.{f} - c.c{f})" for f in fs)
+    cdist = " + ".join(f"(a.c{f} - b.c{f}) * (a.c{f} - b.c{f})" for f in fs)
+    upd = ", ".join(f"avg({f}) AS m{f}" for f in fs)
+    keep = ", ".join(f"coalesce(round(u.m{f}, 6), c.c{f}) AS c{f}" for f in fs)
+    for i in range(1, MK_ITERS + 1):
+        blocks.append(
+            f"a{i} AS MATERIALIZED (SELECT p.doc_id, c.cluster, {d} AS d "
+            f"FROM pts p CROSS JOIN c{i-1} c)"
+        )
+        blocks.append(
+            f"b{i} AS MATERIALIZED (SELECT doc_id, cluster FROM a{i} "
+            f"QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY d, cluster) = 1)"
+        )
+        blocks.append(
+            f"u{i} AS MATERIALIZED (SELECT b.cluster, {upd} FROM b{i} b JOIN pts USING (doc_id) "
+            f"GROUP BY b.cluster)"
+        )
+        blocks.append(
+            f"cc{i} AS MATERIALIZED (SELECT c.cluster, {keep} FROM c{i-1} c LEFT JOIN u{i} u "
+            f"ON u.cluster = c.cluster)"
+        )
+        blocks.append(
+            f"mg{i} AS MATERIALIZED (SELECT a.cluster, "
+            f"coalesce(min(CASE WHEN b.cluster < a.cluster AND {cdist} < {thr2!r} "
+            f"THEN b.cluster END), a.cluster) AS target "
+            f"FROM cc{i} a CROSS JOIN cc{i} b GROUP BY a.cluster)"
+        )
+        blocks.append(
+            f"c{i} AS MATERIALIZED (SELECT c.* FROM cc{i} c "
+            f"WHERE c.cluster IN (SELECT DISTINCT target FROM mg{i}))"
+        )
+    # final assignment over the surviving centers
+    blocks.append(
+        f"af AS MATERIALIZED (SELECT p.doc_id, c.cluster, {d} AS d "
+        f"FROM pts p CROSS JOIN c{MK_ITERS} c)"
+    )
+    return (
+        f"WITH pts_base AS (SELECT doc_id, {_GEO_SQL_MK} FROM documents), pts AS MATERIALIZED (SELECT * FROM pts_base),\n" + ",\n".join(blocks)
+        + "\nSELECT doc_id, CAST(cluster AS INTEGER) AS cluster FROM af "
+        "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY d, cluster) = 1"
+    )
+
+
+ORACLE_SQL["modified_kmeans"] = _modified_kmeans_sql()
+
+
+# ------------------------------------------- long profile from points
+
+LPP_MOD = 113
+
+
+def q_long_profile_points(spark, sf_dir):
+    from whitebox_tools_spark import catalog_cache as _cc
+    from whitebox_tools_spark.operators.terrain3 import long_profile_from_points
+
+    geo = _geo(spark, sf_dir).where(F.pmod("doc_id", F.lit(LPP_MOD)) == 0)
+    cell_r = F.floor((F.lit(GRID.north) - F.col("y")) / F.lit(GRID.res_y)).cast("long")
+    cell_c = F.floor((F.col("x") - F.lit(GRID.west)) / F.lit(GRID.res_x)).cast("long")
+    seeds = geo.select(cell_r.alias("row"), cell_c.alias("col")).where(
+        (F.col("row") >= 0) & (F.col("row") < GRID.rows)
+        & (F.col("col") >= 0) & (F.col("col") < GRID.cols)
+    )
+    dirs = _cc.dirs(spark, sf_dir)
+    # keep only seeds on raster cells
+    seeds = seeds.join(dirs.select("row", "col"), ["row", "col"], "left_semi")
+    out = long_profile_from_points(seeds, dirs, _raster(spark, sf_dir), GRID)
+    return out.select(
+        "seed", "cell_row", "cell_col", F.round("dist", 6).alias("dist"), "z"
+    )
+
+
+QUERIES["long_profile_points"] = q_long_profile_points
+
+
+def _lpp_sql() -> str:
+    import math as _math
+
+    from whitebox_tools_spark.catalog_iter import _Z_CTE, _d8_dir_sql
+    from whitebox_tools_spark.operators.hydro import D8_DX, D8_DY
+
+    diag = _math.sqrt(GRID.res_x * GRID.res_x + GRID.res_y * GRID.res_y)
+    lens = [diag, GRID.res_x, diag, GRID.res_y, diag, GRID.res_x, diag, GRID.res_y]
+    dxs = "[" + ",".join(str(v) for v in D8_DX) + "]"
+    dys = "[" + ",".join(str(v) for v in D8_DY) + "]"
+    lns = "[" + ",".join(repr(v) for v in lens) + "]"
+    return f"""
+WITH RECURSIVE {_PTS_CTE},
+{_Z_CTE},
+{_d8_dir_sql().lstrip()},
+dmap AS MATERIALIZED (SELECT cell_row, cell_col,
+        cell_row * {GRID.cols} + cell_col AS id, dir FROM dirs),
+tgt AS MATERIALIZED (SELECT d.id,
+        d.cell_row + {dys}[d.dir + 1] AS nr, d.cell_col + {dxs}[d.dir + 1] AS nc,
+        {lns}[d.dir + 1] AS len
+      FROM dmap d WHERE d.dir >= 0),
+step AS MATERIALIZED (SELECT t.id, m.id AS nxt, t.len
+      FROM tgt t JOIN dmap m ON m.cell_row = t.nr AND m.cell_col = t.nc),
+seeds AS MATERIALIZED (
+  SELECT DISTINCT ({_ROW_SQL}) * {GRID.cols} + ({_COL_SQL}) AS seed
+  FROM pts WHERE doc_id % {LPP_MOD} = 0 AND {_IN_GRID_SQL}
+    AND EXISTS (SELECT 1 FROM dmap m
+                WHERE m.id = ({_ROW_SQL}) * {GRID.cols} + ({_COL_SQL}))),
+wk AS (SELECT seed, seed AS cur, CAST(0.0 AS DOUBLE) AS dist FROM seeds
+       UNION
+       SELECT w.seed, s.nxt, w.dist + s.len
+       FROM wk w JOIN step s ON s.id = w.cur)
+SELECT w.seed, CAST(w.cur // {GRID.cols} AS BIGINT) AS cell_row,
+       CAST(w.cur % {GRID.cols} AS BIGINT) AS cell_col,
+       round(w.dist, 6) AS dist, r.value AS z
+FROM wk w JOIN r ON r.cell_row = w.cur // {GRID.cols}
+               AND r.cell_col = w.cur % {GRID.cols}
+"""
+
+
+ORACLE_SQL["long_profile_points"] = _lpp_sql()

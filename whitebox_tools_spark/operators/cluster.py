@@ -241,3 +241,72 @@ def viewshed(
                 )
 
     return vp_df.mapInPandas(run, schema=schema)
+
+
+def modified_kmeans(
+    df: DataFrame,
+    features: list[str],
+    k0: int,
+    merge_dist: float,
+    record: str = "doc_id",
+    max_iter: int = 20,
+) -> tuple[DataFrame, list]:
+    """ModifiedKMeansClustering (image_analysis/modified_k_means.rs,
+    engine form): Lloyd's iterations starting from k0 centers, but after
+    every update each cluster is RELABELLED to the smallest cluster id
+    whose (live) center lies within ``merge_dist`` — one merge pass per
+    iteration, no transitive chaining — and merged-away centers go dead.
+    Deterministic: init = first k0 rows by ``record``, centers rounded to
+    6 dp per round (see kmeans)."""
+    first = df.orderBy(record).limit(k0).select(*features).collect()
+    centers = {i: [float(v) for v in row] for i, row in enumerate(first)}
+
+    def assign_expr(cs: dict):
+        best_d = None
+        best_i = None
+        for i in sorted(cs):
+            c = cs[i]
+            d = None
+            for f, cv in zip(features, c):
+                t = (F.col(f) - F.lit(cv)) * (F.col(f) - F.lit(cv))
+                d = t if d is None else d + t
+            if best_d is None:
+                best_d, best_i = d, F.lit(i)
+            else:
+                better = d < best_d
+                best_i = F.when(better, F.lit(i)).otherwise(best_i)
+                best_d = F.when(better, d).otherwise(best_d)
+        return best_i
+
+    assigned = None
+    for _ in range(max_iter):
+        assigned = df.select(record, *features, assign_expr(centers).alias("cluster"))
+        upd = assigned.groupBy("cluster").agg(
+            *[F.avg(f).alias(f) for f in features]
+        ).collect()
+        new_centers = dict(centers)
+        for r in upd:
+            new_centers[r["cluster"]] = [round(float(r[f]), 6) for f in features]
+        # one merge pass: cluster i -> min j <= i with |c_i - c_j| < merge_dist
+        remap = {}
+        ids = sorted(new_centers)
+        for i in ids:
+            tgt = i
+            for j in ids:
+                if j >= i:
+                    break
+                d2 = sum(
+                    (a - b) * (a - b)
+                    for a, b in zip(new_centers[i], new_centers[j])
+                )
+                if d2 < merge_dist * merge_dist:
+                    tgt = j
+                    break
+            remap[i] = tgt
+        merged = {remap[i]: new_centers[remap[i]] for i in ids}
+        if merged == centers:
+            centers = merged
+            break
+        centers = merged
+    assigned = df.select(record, *features, assign_expr(centers).alias("cluster"))
+    return assigned.select(record, "cluster"), centers

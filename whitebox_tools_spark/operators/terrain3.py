@@ -355,3 +355,80 @@ def edge_density(
         return np.where(valid & (n > 0), out, np.nan)
 
     return focal_apply(raster, cfg, stencil, max(rx, ry) + 1, tile_size)
+
+
+def long_profile_from_points(
+    seeds: DataFrame, dirs: DataFrame, z: DataFrame, cfg: GridConfig,
+    max_steps: int = 400,
+) -> DataFrame:
+    """LongProfileFromPoints (long_profile_from_points.rs): follow the D8
+    flow path downslope from each seed cell, emitting every visited cell
+    with its along-path distance and elevation. Pointer-doubling over the
+    functional successor graph (log2(max_steps) rounds, distances summed
+    through the jump table) — no O(path-length) driver loop."""
+    import math as _math
+
+    from whitebox_tools_spark.operators.hydro import D8_DX, D8_DY
+
+    diag = _math.sqrt(cfg.res_x * cfg.res_x + cfg.res_y * cfg.res_y)
+    lens = [diag, cfg.res_x, diag, cfg.res_y, diag, cfg.res_x, diag, cfg.res_y]
+    dx = F.array(*[F.lit(v) for v in D8_DX])
+    dy = F.array(*[F.lit(v) for v in D8_DY])
+    ln = F.array(*[F.lit(v) for v in lens])
+    cells = dirs.select(
+        "row", "col", "dir", (F.col("row") * cfg.cols + F.col("col")).alias("id")
+    ).localCheckpoint(eager=True)
+    tgt = cells.where(F.col("dir") >= 0).select(
+        "id",
+        (
+            (F.col("row") + F.element_at(dy, F.col("dir") + 1)) * cfg.cols
+            + (F.col("col") + F.element_at(dx, F.col("dir") + 1))
+        ).alias("nxt"),
+        F.element_at(ln, F.col("dir") + 1).alias("len"),
+    ).join(cells.select(F.col("id").alias("nxt")), "nxt", "left_semi")
+    # terminal cells (pit or flow leaving the raster) self-loop with len 0
+    succ = (
+        cells.select("id")
+        .join(tgt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("nxt", F.col("id")).alias("nxt"),
+            F.coalesce("len", F.lit(0.0)).alias("len"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sid = (F.col("row") * cfg.cols + F.col("col")).alias("seed")
+    reach = seeds.select(sid, (F.col("row") * cfg.cols + F.col("col")).alias("id"),
+                         F.lit(0.0).alias("dist")).distinct().localCheckpoint(eager=True)
+    jump = succ
+    rounds = max(1, math.ceil(math.log2(max_steps)))
+    prev_n = reach.count()
+    for k in range(rounds):
+        stepped = (
+            reach.join(jump, "id")
+            .select("seed", F.col("nxt").alias("id"), (F.col("dist") + F.col("len")).alias("dist"))
+        )
+        reach = reach.unionByName(stepped).distinct().localCheckpoint(eager=True)
+        n = reach.count()
+        if n == prev_n:
+            break
+        prev_n = n
+        if k < rounds - 1:
+            jx = jump.select(F.col("id").alias("jid"), F.col("nxt").alias("mid"), F.col("len").alias("l1"))
+            jy = jump.select(F.col("id").alias("mid"), F.col("nxt").alias("jnxt"), F.col("len").alias("l2"))
+            jump = (
+                jx.join(jy, "mid")
+                .select(F.col("jid").alias("id"), F.col("jnxt").alias("nxt"),
+                        (F.col("l1") + F.col("l2")).alias("len"))
+                .localCheckpoint(eager=True)
+            )
+    zmap = z.select((F.col("row") * cfg.cols + F.col("col")).alias("id"), F.col("value").alias("z"))
+    return (
+        reach.join(zmap, "id")
+        .select(
+            "seed",
+            (F.col("id") / cfg.cols).cast("long").alias("cell_row"),
+            F.pmod("id", F.lit(cfg.cols)).alias("cell_col"),
+            "dist", "z",
+        )
+    )
