@@ -122,3 +122,12 @@ def filled(spark, sf_dir, rounds: int = 64) -> DataFrame:
         spark, sf_dir, f"filled_{rounds}",
         lambda: fill_depressions(z_last(spark, sf_dir), GRID, max_rounds=rounds),
     )
+
+
+def normals(spark, sf_dir, radius: float) -> DataFrame:
+    from whitebox_tools_spark.operators.lidar import normal_vectors
+
+    return shared(
+        spark, sf_dir, f"normals_{radius}",
+        lambda: normal_vectors(_geo(spark, sf_dir), radius),
+    )

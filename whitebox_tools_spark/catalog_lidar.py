@@ -25,18 +25,24 @@ def _geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return derive.with_geometry(documents(spark, sf_dir), "doc_id")
 
 
+def _cc_normals(spark, sf_dir):
+    from whitebox_tools_spark import catalog_cache as _cc
+    return _cc.normals(spark, sf_dir, RADIUS)
+
+
 QUERIES = {
     "lidar_remove_outliers": lambda s, d: ld.lidar_remove_outliers(
         _geo(s, d), RADIUS, ELEV_DIFF).select("doc_id", "x", "y", "z"),
     "lidar_tophat": lambda s, d: ld.lidar_tophat(_geo(s, d), RADIUS).select(
         "doc_id", F.round("tophat", 6).alias("tophat")),
-    "normal_vectors": lambda s, d: ld.normal_vectors(_geo(s, d), RADIUS).select(
+    "normal_vectors": lambda s, d: _cc_normals(s, d).select(
         "doc_id", F.round("nx", 6).alias("nx"), F.round("ny", 6).alias("ny"),
         F.round("nz", 6).alias("nz")),
     "classify_overlap_points": lambda s, d: ld.classify_overlap_points(
         _geo(s, d), OVERLAP_RES).select("doc_id", "overlap"),
     "lidar_segmentation": lambda s, d: ld.lidar_segmentation(
-        _geo(s, d), RADIUS, SEG_ANGLE).select("doc_id", "segment"),
+        _geo(s, d), RADIUS, SEG_ANGLE, nv=_cc_normals(s, d)
+    ).select("doc_id", "segment"),
 }
 
 

@@ -61,7 +61,10 @@ def q_stochastic(spark, sf_dir):
 
 def q_seg_filter(spark, sf_dir):
     geo = derive.with_geometry(documents(spark, sf_dir), "doc_id")
-    return m6.lidar_segmentation_based_filter(geo, RADIUS, SEG_ANGLE, NZ_T).select(
+    from whitebox_tools_spark import catalog_cache as _ccn
+    return m6.lidar_segmentation_based_filter(
+        geo, RADIUS, SEG_ANGLE, NZ_T, nv=_ccn.normals(spark, sf_dir, RADIUS)
+    ).select(
         "doc_id", "cls_out"
     )
 
