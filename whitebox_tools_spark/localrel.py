@@ -34,7 +34,27 @@ def _sql_lit(v) -> str:
             return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
         return f"CAST({v!r} AS DOUBLE)"
     if isinstance(v, str):
-        return "'" + v.replace("'", "''") + "'"
+        # VALUES inline tables accept only plain literals, so everything
+        # must survive Spark's unescapeSQLString: backslash-escape the
+        # escape char and quote, \uXXXX-escape controls and non-BMP
+        # chars (as surrogate pairs, matching Java's UTF-16 strings)
+        out = []
+        for ch in v:
+            cp = ord(ch)
+            if ch == "\\":
+                out.append("\\\\")
+            elif ch == "'":
+                out.append("\\'")
+            elif 0x20 <= cp < 0x7F or (0xA0 <= cp <= 0xFFFF and not 0xD800 <= cp <= 0xDFFF):
+                out.append(ch)
+            elif cp > 0xFFFF:
+                cp -= 0x10000
+                hi = 0xD800 + (cp >> 10)
+                lo = 0xDC00 + (cp & 0x3FF)
+                out.append(f"\\u{hi:04X}\\u{lo:04X}")
+            else:
+                out.append(f"\\u{cp:04X}")
+        return "'" + "".join(out) + "'"
     if isinstance(v, (list, tuple)):
         return "array(" + ", ".join(_sql_lit(x) for x in v) + ")"
     # numpy scalars
