@@ -24,27 +24,59 @@ def unnest_basins(
     the pour cells."""
     from whitebox_tools_spark.operators.hydro2 import d8_graph
 
+    import math as _math
+
     nodes, edges = d8_graph(raster, cfg, tile_size)
-    pid = pour.select((F.col("row") * cfg.cols + F.col("col")).alias("id"))
-    pset = pid.localCheckpoint(eager=True)
-    pids = [r.id for r in pset.collect()]  # small pour set, broadcast as literals
-    # frontier walk from each pour point counting pour cells passed
-    cur = pset.select(F.col("id").alias("src"), F.col("id").alias("cur"), F.lit(0).alias("n"))
-    cur = cur.localCheckpoint(eager=True)
-    best = cur.select("src", "n").localCheckpoint(eager=True)
-    for _ in range(max_rounds):
-        step = (
-            cur.join(edges, cur.cur == edges.a)
-            .select(
-                "src", F.col("b").alias("cur"),
-                (F.col("n") + F.when(F.col("b").isin(pids), 1).otherwise(0)).alias("n"),
-            )
+    pset = pour.select(
+        (F.col("row") * cfg.cols + F.col("col")).alias("id")
+    ).distinct().localCheckpoint(eager=True)
+    # pointer-doubling walk: jump table carries (2^k-step successor,
+    # pour cells passed along the jump); terminal cells self-loop with 0.
+    # log2 rounds replace the O(path-length) frontier loop.
+    is_pour = pset.select(F.col("id").alias("b"), F.lit(1).alias("inc"))
+    succ1 = (
+        edges.join(is_pour, "b", "left")
+        .select(
+            F.col("a").alias("id"), F.col("b").alias("nxt"),
+            F.coalesce("inc", F.lit(0)).alias("inc"),
         )
-        if step.limit(1).count() == 0:
+    )
+    succ = (
+        nodes.select("id")
+        .join(succ1, "id", "left")
+        .select(
+            "id",
+            F.coalesce("nxt", F.col("id")).alias("nxt"),
+            F.coalesce("inc", F.lit(0)).alias("inc"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    reach = pset.select(
+        F.col("id").alias("src"), F.col("id").alias("cur"), F.lit(0).alias("n")
+    ).localCheckpoint(eager=True)
+    jump = succ
+    rounds = max(1, _math.ceil(_math.log2(max(2, max_rounds))))
+    prev_n = reach.count()
+    for k in range(rounds):
+        stepped = (
+            reach.join(jump, reach.cur == jump.id)
+            .select("src", F.col("nxt").alias("cur"), (F.col("n") + F.col("inc")).alias("n"))
+        )
+        reach = reach.unionByName(stepped).distinct().localCheckpoint(eager=True)
+        n_now = reach.count()
+        if n_now == prev_n:
             break
-        best = best.unionByName(step.select("src", "n")).localCheckpoint(eager=True)
-        cur = step.localCheckpoint(eager=True)
-    lvl = best.groupBy("src").agg(F.max("n").alias("lv"))
+        prev_n = n_now
+        if k < rounds - 1:
+            jx = jump.select(F.col("id").alias("jid"), F.col("nxt").alias("mid"), F.col("inc").alias("i1"))
+            jy = jump.select(F.col("id").alias("mid"), F.col("nxt").alias("jnxt"), F.col("inc").alias("i2"))
+            jump = (
+                jx.join(jy, "mid")
+                .select(F.col("jid").alias("id"), F.col("jnxt").alias("nxt"),
+                        (F.col("i1") + F.col("i2")).alias("inc"))
+                .localCheckpoint(eager=True)
+            )
+    lvl = reach.groupBy("src").agg(F.max("n").alias("lv"))
     return (
         nodes.join(lvl.withColumnRenamed("src", "id"), "id")
         .select("row", "col", (F.col("lv") + 1).cast("double").alias("value"))
