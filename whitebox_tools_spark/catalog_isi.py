@@ -57,9 +57,25 @@ def q_impoundment_index(spark, sf_dir):
     )
 
 
+def q_impoundment_depth(spark, sf_dir):
+    from whitebox_tools_spark import catalog_cache as _cc
+    from whitebox_tools_spark.operators.impound import impoundment_size_index
+
+    out = impoundment_size_index(
+        _cc.z_last(spark, sf_dir), GRID, dam_length=DAM_LENGTH,
+        out_type="depth", epsilon=ISI_EPS, tile_size=TILE_SIZE,
+        max_rounds=FILL_ROUNDS,
+    )
+    return out.select(
+        F.col("row").alias("cell_row"), F.col("col").alias("cell_col"),
+        F.round("value", 6).alias("value"),
+    )
+
+
 QUERIES = {
     "isobasins": q_isobasins,
     "impoundment_index": q_impoundment_index,
+    "impoundment_depth": q_impoundment_depth,
 }
 
 
@@ -203,4 +219,14 @@ LEFT JOIN met m ON m.cur = c.cell_row * {GRID.cols} + c.cell_col""".replace(
 ORACLE_SQL = {
     "isobasins": _iso_sql(),
     "impoundment_index": _isi_sql(),
+    "impoundment_depth": _isi_sql()
+    .replace(
+        "met AS (SELECT cur, sum(dz) AS metric FROM flooded GROUP BY cur)",
+        "met AS (SELECT cur, max(dz) AS metric FROM flooded GROUP BY cur)",
+    )
+    .replace(
+        """round(coalesce(m.metric, 0.0), 6) AS value,
+       round(ct.crest - c.value, 6) AS dam_height""",
+        "round(coalesce(m.metric, 0.0), 6) AS value",
+    ),
 }

@@ -104,6 +104,10 @@ def impoundment_size_index(
     cell_area = cfg.res_x * cfg.res_y
     if out_type == "area":
         agg = (F.count(F.lit(1)) * F.lit(cell_area)).alias("metric")
+    elif out_type == "depth":
+        # max depth of the impounded water body (impoundment_index.rs
+        # out_type=mean/max depth family; engine provides the max form)
+        agg = F.max(F.col("ct") - F.col("zu")).alias("metric")
     else:
         agg = F.sum(F.col("ct") - F.col("zu")).alias("metric")
     per = flooded.groupBy("cur").agg(agg)
