@@ -165,3 +165,13 @@ def test_buffer_ring_vertices_at_distance(spark, rect, d):
         dx = max(x0 - r.x, 0.0, r.x - (x0 + w))
         dy = max(y0 - r.y, 0.0, r.y - (y0 + h))
         assert math.isclose(math.hypot(dx, dy), d, rel_tol=1e-9, abs_tol=1e-6)
+
+
+def test_local_df_large_fallback(spark):
+    """Past the SQL-literal row cap local_df falls back to a regular
+    DataFrame with identical content."""
+    rows = [dict(i=i, v=float(i) * 0.5) for i in range(4500)]
+    df = local_df(spark, rows)
+    assert df.count() == 4500
+    got = {r.i: r.v for r in df.collect()}
+    assert got[4499] == 4499 * 0.5 and got[0] == 0.0
