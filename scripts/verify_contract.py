@@ -52,7 +52,9 @@ def main():
     print("entry rows:", len(m.entry(spark).collect()), flush=True)
 
     qs, osql = m.queries(), m.oracle_sql()
-    names = [n for n in qs if FILT in n]
+    import re as _re
+
+    names = [n for n in qs if _re.search(FILT, n)] if FILT else list(qs)
     bad = []
 
     def run(name):
