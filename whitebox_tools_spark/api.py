@@ -352,6 +352,43 @@ ORACLE_SQL.update(_cat_isi.ORACLE_SQL)
 ORACLE_SQL.update(_cat_bsc.ORACLE_SQL)
 ORACLE_SQL.update(_cat_more.ORACLE_SQL)
 
+# Lead the catalog with one representative per operator family: external
+# samplers that take only the first N queries (the driver's correctness
+# gate samples ~50) then cover every family, not just the two oldest
+# catalog modules.
+_PRIORITY = [
+    # flagship core: tiling / PIP / neighbour joins / gridding
+    "tile_assign", "tile_filter", "clip_semi", "tag_polygon", "radius_join",
+    "knn_join", "idw_grid", "nn_grid", "block_max",
+    # raster <-> vector + focal/terrain/zonal
+    "points_raster_last", "polygons_raster", "raster_to_points",
+    "extract_values", "slope", "hillshade", "mean_filter", "zonal_stats",
+    "hex_bin",
+    # hydrology / streams
+    "d8_flow_accum", "fill_depressions", "breach_depressions", "basins",
+    "watershed", "strahler_order", "stream_link_id", "dinf_flow_accum",
+    "longest_flowpath",
+    # vector overlay + geometry output
+    "polygon_overlay", "intersect_geom", "union_geom", "dissolve",
+    "dissolve_geom", "buffer_vector_geom", "line_intersections",
+    "split_with_lines", "polygonize",
+    # terrain + image + stats
+    "dev_from_mean_elev", "geomorphons", "viewshed", "gaussian_filter",
+    "histogram_equalization", "covariance_matrix",
+    "kmeans", "anova",
+    # LLM-pipeline ops
+    "exact_dedup", "minhash_pairs", "simhash_pairs", "token_stats",
+    "quality", "lang_id", "ann_topk", "lsh_topk", "embed_near_dup",
+    "media_meta",
+    # round-2 additions
+    "eliminate_coincident", "modified_kmeans", "dinf_mass_flux",
+    "long_profile_points", "impoundment_depth",
+]
+_priority = [q for q in _PRIORITY if q in QUERIES]
+_rest = [q for q in QUERIES if q not in set(_priority)]
+QUERIES = {q: QUERIES[q] for q in _priority + _rest}
+ORACLE_SQL = {q: ORACLE_SQL[q] for q in _priority + _rest if q in ORACLE_SQL}
+
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship pipeline: derive -> tile -> population filter -> PIP clip ->
