@@ -74,6 +74,30 @@ class TestNearDupText:
         got = {(r["a"], r["b"]) for r in pairs.collect()}
         assert (0, 900000) in got
 
+    def test_bitmap_verify_matches_array_verify(self, spark):
+        # the dictionary-bitmap fast lane must emit exactly the rows and
+        # jaccard values of the generic array-intersect path, including
+        # pairs that involve an empty-token doc
+        docs = self._with_dup(spark).unionByName(
+            self._with_dup(spark)
+            .limit(1)
+            .select(
+                F.lit(900002).cast("long").alias("doc_id"),
+                F.lit("").alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+        arr = tx.minhash_dedup_pairs(docs, threshold=0.5, verify="array").select(
+            "a", "b", F.round("jaccard", 9).alias("j")
+        )
+        bit = tx.minhash_dedup_pairs(docs, threshold=0.5, verify="bitmap").select(
+            "a", "b", F.round("jaccard", 9).alias("j")
+        )
+        assert arr.exceptAll(bit).count() == 0
+        assert bit.exceptAll(arr).count() == 0
+
     def test_simhash_planted_dup_close(self, spark):
         full = self._with_dup(spark)
         sig = {r["doc_id"]: r["simhash"] for r in tx.simhash(full).collect()}

@@ -203,14 +203,122 @@ def jaccard_pairs(
     return j.where(keep).select("a", "b", (inter / union).alias("jaccard"))
 
 
+# The bitmap verify dictionary-encodes the corpus vocabulary; it only
+# applies when the distinct-token-hash count fits this many bits (64-bit
+# words per doc = MAX_BITMAP_BITS/64). Beyond it, the generic long-array
+# intersect path runs instead.
+MAX_BITMAP_BITS = 4096
+
+
+def token_bitmaps(
+    docs: DataFrame, n_words: int, record: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Per-doc token-set bitmap: ``n_words`` packed int64 word columns
+    (w0..w{n-1}) plus the distinct-token count ``nt``.
+
+    The global dictionary (distinct token hash -> dense bit position) is a
+    tiny frame (bounded by MAX_BITMAP_BITS rows) broadcast onto the
+    exploded token stream; the per-doc OR-fold is a map-side-combinable
+    sum because each (doc, hash) row is distinct, so every bit is set by
+    exactly one row. Docs with zero tokens keep all-zero words via the
+    left join."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(record), F.explode(F.array_distinct(token_hashes(F.col(text)))).alias("h")
+    )
+    vocab = (
+        toks.select("h")
+        .distinct()
+        .select("h", (F.row_number().over(Window.orderBy("h")) - 1).alias("bit"))
+    )
+    word = F.expr("shiftleft(1L, int(bit % 64))")
+    zero = F.lit(0).cast("long")
+    bm = (
+        toks.join(F.broadcast(vocab), "h")
+        .groupBy(record)
+        .agg(
+            *[
+                F.sum(F.when(F.floor(F.col("bit") / 64) == w, word).otherwise(zero)).alias(
+                    f"w{w}"
+                )
+                for w in range(n_words)
+            ],
+            F.count("*").alias("nt"),
+        )
+    )
+    out = docs.select(record).join(bm, record, "left")
+    return out.select(
+        record,
+        *[F.coalesce(F.col(f"w{w}"), zero).alias(f"w{w}") for w in range(n_words)],
+        F.coalesce(F.col("nt"), F.lit(0)).cast("int").alias("nt"),
+    )
+
+
+def jaccard_pairs_bitmap(
+    docs: DataFrame,
+    pairs: DataFrame,
+    threshold: float,
+    n_words: int,
+    record: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Exact-Jaccard verify via dictionary bitmaps: intersection size is
+    sum of bit_count(wa & wb) — flat int64 columns through the two
+    broadcast joins and pure whole-stage-codegen bit ops, no per-pair
+    hash-set allocation (Spark's array_intersect builds one per row,
+    ~30x slower on the LSH candidate volume). Emits exactly the rows and
+    jaccard values of :func:`jaccard_pairs`."""
+    bm = token_bitmaps(docs, n_words, record, text)
+    a = bm.select(
+        F.col(record).alias("a"),
+        *[F.col(f"w{w}").alias(f"wa{w}") for w in range(n_words)],
+        F.col("nt").alias("na"),
+    )
+    b = bm.select(
+        F.col(record).alias("b"),
+        *[F.col(f"w{w}").alias(f"wb{w}") for w in range(n_words)],
+        F.col("nt").alias("nb"),
+    )
+    j = pairs.join(a, "a").join(b, "b")
+    inter = sum(
+        [F.bit_count(F.col(f"wa{w}").bitwiseAND(F.col(f"wb{w}"))) for w in range(n_words)]
+    ).cast("double")
+    tot = (F.col("na") + F.col("nb")).cast("double")
+    keep = inter * F.lit(1.0 + threshold) >= F.lit(float(threshold)) * tot
+    return j.where(keep).select("a", "b", (inter / (tot - inter)).alias("jaccard"))
+
+
 def minhash_dedup_pairs(
-    docs: DataFrame, threshold: float = 0.5, record: str = "doc_id", text: str = "text"
+    docs: DataFrame,
+    threshold: float = 0.5,
+    record: str = "doc_id",
+    text: str = "text",
+    verify: str = "auto",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signature -> bands -> candidate
-    join -> exact Jaccard filter."""
-    return jaccard_pairs(
-        docs, minhash_candidates(docs, record, text), threshold, record, text
-    )
+    join -> exact Jaccard filter.
+
+    verify='auto' counts the corpus vocabulary (one countDistinct over the
+    exploded token hashes) and verifies with dictionary bitmaps when it
+    fits MAX_BITMAP_BITS, else with the generic long-array intersect;
+    'bitmap'/'array' force a path. Both verifies are exact and emit
+    identical rows — the bitmap path is the bounded-vocabulary fast lane
+    (classic similarity-join dictionary encoding), the array path is the
+    open-vocabulary scale path."""
+    pairs = minhash_candidates(docs, record, text)
+    if verify in ("auto", "bitmap"):
+        v = int(
+            docs.select(F.explode(token_hashes(F.col(text))).alias("h"))
+            .agg(F.countDistinct("h"))
+            .collect()[0][0]
+            or 0
+        )
+        if verify == "bitmap" or v <= MAX_BITMAP_BITS:
+            return jaccard_pairs_bitmap(
+                docs, pairs, threshold, max(1, (v + 63) // 64), record, text
+            )
+    return jaccard_pairs(docs, pairs, threshold, record, text)
 
 
 # ----------------------------------------------------------------- simhash
