@@ -112,3 +112,47 @@ class TestEliminateCoincident:
             for r in eliminate_coincident_points(geo, tol).select("doc_id").collect()
         }
         assert got == expect
+
+
+class TestNearestDifferent:
+    def _frame(self, spark, cells):
+        return spark.createDataFrame(
+            [(r, c, float(v)) for r, c, v in cells], "row long, col long, value double"
+        )
+
+    def test_matches_brute_force(self, spark):
+        import itertools
+        import math
+
+        from whitebox_tools_spark.operators.vector_ops import nearest_different_distance
+
+        cfg = GridConfig(rows=8, cols=9, north=0.0, west=0.0, res_x=2.0, res_y=3.0)
+        rng = np.random.RandomState(7)
+        cells = [
+            (r, c, float(rng.choice([0.0, 1.0, 2.0, 3.0])))
+            for r, c in itertools.product(range(8), range(9))
+            if rng.rand() > 0.1  # ~10% nodata holes (missing rows)
+        ]
+        got = {
+            (r["row"], r["col"]): r["dd"]
+            for r in nearest_different_distance(self._frame(spark, cells), cfg).collect()
+        }
+        lab = {(r, c): v for r, c, v in cells}
+        for (r, c), v in lab.items():
+            if v <= 0.0:
+                continue
+            best = math.inf
+            for (tr, tc), tv in lab.items():
+                if tv != v:
+                    best = min(
+                        best, math.hypot((r - tr) * cfg.res_y, (c - tc) * cfg.res_x)
+                    )
+            assert got[(r, c)] == pytest.approx(best), (r, c)
+
+    def test_single_class_is_inf(self, spark):
+        from whitebox_tools_spark.operators.vector_ops import nearest_different_distance
+
+        cfg = GridConfig(rows=3, cols=3, north=0.0, west=0.0, res_x=1.0, res_y=1.0)
+        cells = [(r, c, 5.0) for r in range(3) for c in range(3)]
+        out = nearest_different_distance(self._frame(spark, cells), cfg).collect()
+        assert len(out) == 9 and all(np.isinf(r["dd"]) for r in out)

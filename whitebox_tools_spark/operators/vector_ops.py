@@ -319,6 +319,147 @@ def dissolve_geometry(layer: DataFrame, attr: str) -> DataFrame:
     )
 
 
+def nearest_different_distance(raster: DataFrame, cfg: GridConfig) -> DataFrame:
+    """Exact distance from every positive cell to the nearest in-grid
+    cell holding a DIFFERENT (non-null) value — ONE pass for all classes.
+
+    Target reduction: the nearest different-valued cell is always a
+    *boundary* cell (a cell with a 4-neighbour whose value differs or is
+    nodata) — an interior cell y always has a same-valued 4-neighbour
+    strictly closer to the query, so y can never be the argmin. Targets
+    therefore shrink from O(cells) to O(region perimeter).
+
+    Plan shape (the separable-EDT pattern of
+    :func:`whitebox_tools_spark.operators.hydro.euclidean_distance`, with
+    the column partition widened to (column, label)):
+      boundary: one 4-neighbour equi-join + one aggregate;
+      phase 1: per (target column, label), the nearest target row for
+        every grid row — two last_value window scans;
+      phase 2: per grid ROW, cogrouped numpy min over candidates whose
+        label differs from the cell's own class.
+    No per-class driver loop, no inequality join; 4 shuffles total for
+    any number of classes.
+
+    Output: (row, col, cls, dd) for value > 0 cells; dd = +inf when no
+    different-valued cell exists.
+    """
+    cells = raster.where(F.col("value").isNotNull()).select(
+        "row", "col", F.col("value").alias("lab")
+    )
+    pos = cells.where(F.col("lab") > 0.0).select(
+        "row", "col", F.col("lab").alias("cls")
+    )
+
+    # boundary cells: any in-grid 4-neighbour missing (nodata) or
+    # different-valued
+    offs = F.array(
+        *[
+            F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"))
+            for dr, dc in ((-1, 0), (1, 0), (0, -1), (0, 1))
+        ]
+    )
+    nb = cells.select(
+        "row", "col", "lab", F.explode(offs).alias("o")
+    ).select(
+        "row",
+        "col",
+        "lab",
+        (F.col("row") + F.col("o.dr")).alias("nr"),
+        (F.col("col") + F.col("o.dc")).alias("nc"),
+    )
+    in_grid = (
+        (F.col("nr") >= 0)
+        & (F.col("nr") < cfg.rows)
+        & (F.col("nc") >= 0)
+        & (F.col("nc") < cfg.cols)
+    )
+    nb = nb.where(in_grid).join(
+        cells.select(
+            F.col("row").alias("nr"), F.col("col").alias("nc"), F.col("lab").alias("nlab")
+        ),
+        ["nr", "nc"],
+        "left",
+    )
+    differs = F.col("nlab").isNull() | (F.col("nlab") != F.col("lab"))
+    targets = (
+        nb.groupBy("row", "col", "lab")
+        .agg(F.max(F.when(differs, 1).otherwise(0)).alias("bdy"))
+        .where(F.col("bdy") == 1)
+        .select("row", F.col("col").alias("tcol"), F.col("lab").alias("tlab"))
+    )
+
+    # phase 1: nearest target row per (grid row, target column, label)
+    spark = raster.sparkSession
+    tcl = targets.select("tcol", "tlab").distinct()
+    rows_df = spark.range(cfg.rows).select(F.col("id").alias("row"))
+    site = rows_df.crossJoin(tcl).join(
+        targets.withColumn("hit", F.lit(1)), ["row", "tcol", "tlab"], "left"
+    )
+    w_up = (
+        Window.partitionBy("tcol", "tlab")
+        .orderBy("row")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_dn = (
+        Window.partitionBy("tcol", "tlab")
+        .orderBy(F.col("row").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_t = F.col("hit").isNotNull()
+    s = site.select(
+        "row",
+        "tcol",
+        "tlab",
+        F.last(F.when(is_t, F.col("row")), ignorenulls=True).over(w_up).alias("ur"),
+        F.last(F.when(is_t, F.col("row")), ignorenulls=True).over(w_dn).alias("dnr"),
+    )
+    take_up = F.col("ur").isNotNull() & (
+        F.col("dnr").isNull()
+        | ((F.col("row") - F.col("ur")) <= (F.col("dnr") - F.col("row")))
+    )
+    p1 = s.select(
+        "row",
+        "tcol",
+        "tlab",
+        F.when(take_up, F.col("ur")).otherwise(F.col("dnr")).alias("trow"),
+    ).where(F.col("trow").isNotNull())
+
+    schema = T.StructType(
+        [
+            T.StructField("row", T.LongType()),
+            T.StructField("col", T.LongType()),
+            T.StructField("cls", T.DoubleType()),
+            T.StructField("dd", T.DoubleType()),
+        ]
+    )
+    res_x, res_y = cfg.res_x, cfg.res_y
+
+    def p2(key, pos_pdf: pd.DataFrame, cand_pdf: pd.DataFrame) -> pd.DataFrame:
+        if pos_pdf.empty:
+            return pd.DataFrame({c: [] for c in ("row", "col", "cls", "dd")})
+        r = int(key[0])
+        pc = pos_pdf["col"].to_numpy(dtype=np.int64)
+        cc = pos_pdf["cls"].to_numpy(dtype=np.float64)
+        if cand_pdf.empty:
+            dd = np.full(len(pc), np.inf)
+        else:
+            tc = cand_pdf["tcol"].to_numpy(dtype=np.int64)
+            tl = cand_pdf["tlab"].to_numpy(dtype=np.float64)
+            tr = cand_pdf["trow"].to_numpy(dtype=np.int64)
+            d2 = ((r - tr) * res_y) ** 2 + ((pc[:, None] - tc[None, :]) * res_x) ** 2
+            d2[cc[:, None] == tl[None, :]] = np.inf
+            dd = np.sqrt(d2.min(axis=1))
+        return pd.DataFrame(
+            {"row": np.full(len(pc), r, dtype=np.int64), "col": pc, "cls": cc, "dd": dd}
+        )
+
+    return (
+        pos.groupBy("row")
+        .cogroup(p1.groupBy("row"))
+        .applyInPandas(p2, schema=schema)
+    )
+
+
 def narrowness_index(raster: DataFrame, cfg: GridConfig) -> DataFrame:
     """NarrownessIndex (gis_analysis/narrowness_index.rs, exact engine
     form): per positive class, A / (pi * MD^2) with MD = max over class
@@ -326,41 +467,13 @@ def narrowness_index(raster: DataFrame, cfg: GridConfig) -> DataFrame:
     distance to the grid edge); painted onto the class cells."""
     import math
 
-    from whitebox_tools_spark.operators.hydro import euclidean_distance
-
-    pos = raster.where(F.col("value") > 0.0).select(
-        "row", "col", F.col("value").alias("cls")
-    )
-    # nearest different-valued cell per class via the distributed EDT
-    # (one transform per distinct class — classes are few by the
-    # operator's nature; never an all-pairs inequality join)
-    classes = [
-        r["cls"] for r in pos.select("cls").distinct().orderBy("cls").collect()
-    ]
-    per_cls = []
-    for c in classes:
-        ind = raster.select(
-            "row",
-            "col",
-            F.when(F.col("value") != F.lit(c), F.lit(1.0)).otherwise(0.0).alias("value"),
-        )
-        d = euclidean_distance(ind, cfg).select(
-            "row", "col", F.col("value").alias("dd")
-        )
-        per_cls.append(
-            pos.where(F.col("cls") == F.lit(c)).join(d, ["row", "col"], "left")
-        )
-    dmin = per_cls[0]
-    for p in per_cls[1:]:
-        dmin = dmin.unionByName(p)
-    dmin = dmin.select("row", "col", "cls", "dd")
+    withd = nearest_different_distance(raster, cfg)
     edge = F.least(
         F.col("row") + 1, F.col("col") + 1,
         F.lit(cfg.rows) - F.col("row"), F.lit(cfg.cols) - F.col("col"),
     ).cast("double") * cfg.res_x
-    withd = pos.join(dmin, ["row", "col", "cls"], "left").select(
-        "row", "col", "cls",
-        F.least(F.coalesce("dd", F.lit(float("inf"))), edge).alias("d"),
+    withd = withd.select(
+        "row", "col", "cls", F.least(F.col("dd"), edge).alias("d")
     )
     per = withd.groupBy("cls").agg(
         F.max("d").alias("md"), F.count(F.lit(1)).alias("n")
