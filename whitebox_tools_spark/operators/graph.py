@@ -16,12 +16,24 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, nodes: DataFrame, node: str = "id", max_rounds: int = 60
+    edges: DataFrame,
+    nodes: DataFrame,
+    node: str = "id",
+    max_rounds: int = 60,
+    broadcast_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over undirected ``edges(a, b)``.
 
     Returns (node, comp) with comp = min node id in the component.
     ``nodes`` supplies isolated vertices too.
+
+    When the node count fits ``broadcast_threshold`` (a (long, long)
+    label frame of 2M rows is ~32 MB), every per-round join broadcasts
+    the label side, so a round costs ONE shuffle (the neighbour-min
+    groupBy) instead of four — the checkpointed frames carry no
+    statistics, so AQE cannot discover this itself. Above the threshold
+    the general shuffle-join path runs unchanged (the label frame scales
+    with the graph and must never be broadcast at 100-TB node counts).
     """
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.localCheckpoint(eager=True)
@@ -29,14 +41,18 @@ def connected_components(
     labels = nodes.select(F.col(node).alias("node"), F.col(node).alias("comp"))
     labels = labels.localCheckpoint(eager=True)
 
+    small = labels.count() <= broadcast_threshold
+    hint = F.broadcast if small else (lambda df: df)
+
     def step(lab: DataFrame) -> DataFrame:
+        lab_b = hint(lab)
         nbr_min = (
-            sym.join(lab, sym.b == lab.node)
+            sym.join(lab_b, sym.b == lab_b.node)
             .groupBy("a")
             .agg(F.min("comp").alias("nbr_comp"))
         )
         prop = (
-            lab.join(nbr_min, lab.node == nbr_min.a, "left")
+            lab.join(hint(nbr_min), lab.node == nbr_min.a, "left")
             .select(
                 "node",
                 F.least(
@@ -47,7 +63,7 @@ def connected_components(
         # pointer jumping: comp <- comp(comp)
         parent = prop.select(F.col("node").alias("p_node"), F.col("comp").alias("p_comp"))
         return (
-            prop.join(parent, prop.comp == parent.p_node, "left")
+            prop.join(hint(parent), prop.comp == parent.p_node, "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce(F.col("p_comp"), F.col("comp"))).alias(
