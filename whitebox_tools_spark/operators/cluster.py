@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from whitebox_tools_spark.operators.graph import size_hint
 from whitebox_tools_spark.operators.gridding import GridConfig
 from whitebox_tools_spark.localrel import local_df
 
@@ -100,8 +101,10 @@ def strahler_order(
     ids = nodes.select(F.col("id").alias("b"))
     down = down_all.join(ids, "b", "left_semi").localCheckpoint(eager=True)
 
+    small = cfg.rows * cfg.cols <= 2_000_000
+
     def step(order):
-        up = down.join(order, down.a == order.id).select("b", "ord")
+        up = down.join(size_hint(order, small), down.a == order.id).select("b", "ord")
         agg = up.groupBy("b", "ord").agg(F.count(F.lit(1)).alias("cnt"))
         # per junction: order at the max upstream link, +1 on a tie —
         # max(struct(ord, cnt)) picks the cnt belonging to the max ord
@@ -116,7 +119,7 @@ def strahler_order(
         )
         return (
             nodes.select("id")
-            .join(new_ord_in, "id", "left")
+            .join(size_hint(new_ord_in, small), "id", "left")
             .select("id", F.coalesce(F.col("in_ord"), F.lit(1)).alias("ord"))
         )
 

@@ -16,6 +16,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from whitebox_tools_spark.operators.graph import size_hint
 from whitebox_tools_spark.operators.gridding import GridConfig
 from whitebox_tools_spark.operators.hydro import D8_DX, D8_DY
 
@@ -75,9 +76,11 @@ def cost_distance(
         F.when(F.col("src") > 0.0, 0.0).otherwise(float("inf")).alias("acc"),
         F.when(F.col("src") > 0.0, F.col("src")).otherwise(float("inf")).alias("alloc"),
     ).localCheckpoint(eager=True)
+    small = cfg.rows * cfg.cols <= 2_000_000
+
     def relax(state: DataFrame) -> DataFrame:
         cand = (
-            pairs.join(state, pairs.a == state.id)
+            pairs.join(size_hint(state, small), pairs.a == state.id)
             .select(
                 F.col("b").alias("id"),
                 (F.col("acc") + F.col("step")).alias("acc"),
@@ -154,14 +157,15 @@ def d8_mass_flux(
     cur = base.select(
         "id", ((F.col("l") - F.col("ab")) * F.col("e")).alias("val")
     ).localCheckpoint(eager=True)
+    small = cfg.rows * cfg.cols <= 2_000_000
     for _ in range(max_rounds):
         influx = (
-            edges.join(cur, edges.a == cur.id)
+            edges.join(size_hint(cur, small), edges.a == cur.id)
             .groupBy("b")
             .agg(F.sum("val").alias("s"))
         )
         nxt = (
-            base.join(influx.withColumnRenamed("b", "id"), "id", "left")
+            base.join(size_hint(influx.withColumnRenamed("b", "id"), small), "id", "left")
             .select(
                 "id",
                 (
@@ -200,11 +204,16 @@ def stream_payload_basins(
     )
     known = sp.localCheckpoint(eager=True)
     frontier = known
+    small = cfg.rows * cfg.cols <= 2_000_000
     for _ in range(400):
         step = (
-            edges.join(frontier, edges.b == frontier.id)
+            edges.join(size_hint(frontier, small), edges.b == frontier.id)
             .select(F.col("a").alias("id"), "payload")
-            .join(known.select(F.col("id").alias("kid")), F.col("id") == F.col("kid"), "left_anti")
+            .join(
+                size_hint(known.select(F.col("id").alias("kid")), small),
+                F.col("id") == F.col("kid"),
+                "left_anti",
+            )
         )
         if step.limit(1).count() == 0:
             break

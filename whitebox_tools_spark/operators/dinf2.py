@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from whitebox_tools_spark.operators.graph import size_hint
 from whitebox_tools_spark.operators.gridding import GridConfig
 
 # sector -> (n1 offset, n2 offset) as (drow, dcol), clockwise from north
@@ -83,15 +84,17 @@ def dinf_flow_accumulation(
     cells = dirs.select(
         "row", "col", (F.col("row") * cfg.cols + F.col("col")).alias("id")
     ).localCheckpoint(eager=True)
+    small = cfg.rows * cfg.cols <= 2_000_000
+
     def step(cur):
         up = (
-            edges.join(cur, edges.a == cur.id)
+            edges.join(size_hint(cur, small), edges.a == cur.id)
             .groupBy("b")
             .agg(F.sum(F.col("w") * F.col("val")).alias("s"))
         )
         return (
             cells.select("id")
-            .join(up.withColumnRenamed("b", "id"), "id", "left")
+            .join(size_hint(up.withColumnRenamed("b", "id"), small), "id", "left")
             .select("id", (F.lit(1.0) + F.coalesce("s", F.lit(0.0))).alias("val"))
         )
 
@@ -174,14 +177,16 @@ def dinf_mass_flux(
         .localCheckpoint(eager=True)
     )
 
+    small = cfg.rows * cfg.cols <= 2_000_000
+
     def step(cur):
         influx = (
-            ed.join(cur, ed.a == cur.id)
+            ed.join(size_hint(cur, small), ed.a == cur.id)
             .groupBy("b")
             .agg(F.sum(F.col("w") * F.col("val")).alias("s"))
         )
         return (
-            base.join(influx.withColumnRenamed("b", "id"), "id", "left")
+            base.join(size_hint(influx.withColumnRenamed("b", "id"), small), "id", "left")
             .select(
                 "id",
                 (

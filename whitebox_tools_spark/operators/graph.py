@@ -91,3 +91,12 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def size_hint(df: DataFrame, small: bool) -> DataFrame:
+    """Explicit broadcast hint for per-round fixpoint joins: checkpointed
+    frames carry no statistics, so without the hint every round pays a
+    full shuffle write before AQE can re-plan the read side. Gate
+    ``small`` on a KNOWN bound (grid cell count, node count) — never
+    broadcast a frame that scales with the 100-TB input."""
+    return F.broadcast(df) if small else df

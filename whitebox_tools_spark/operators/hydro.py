@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from whitebox_tools_spark.operators.gridding import GridConfig, _warn_nonconverged
-from whitebox_tools_spark.operators.graph import connected_components
+from whitebox_tools_spark.operators.graph import connected_components, size_hint
 
 # neighbour order shared by the D8 family (d8_pointer.rs:235-236)
 D8_DX = (1, 1, 1, 0, -1, -1, -1, 0)
@@ -288,15 +288,17 @@ def d8_flow_accumulation(
     down = down.localCheckpoint(eager=True)
 
     nodes = dirs.select("row", "col", _cell_id(cfg))
+    small = cfg.rows * cfg.cols <= 2_000_000
+
     def _step(acc):
         contrib = (
-            down.join(acc, down.a == acc.id)
+            down.join(size_hint(acc, small), down.a == acc.id)
             .groupBy("b")
             .agg(F.sum("acc").alias("inflow"))
         )
         return (
             nodes.select("id")
-            .join(contrib, nodes.id == contrib.b, "left")
+            .join(size_hint(contrib, small), nodes.id == contrib.b, "left")
             .select("id", (F.lit(1.0) + F.coalesce(F.col("inflow"), F.lit(0.0))).alias("acc"))
         )
 
@@ -374,11 +376,16 @@ def watershed(
         )
         .localCheckpoint(eager=True)
     )
+    small = cfg.rows * cfg.cols <= 2_000_000
+
     def _jump(state):
-        target = state.select(
-            F.col("id").alias("t_id"),
-            F.col("label").alias("t_label"),
-            F.col("ptr").alias("t_ptr"),
+        target = size_hint(
+            state.select(
+                F.col("id").alias("t_id"),
+                F.col("label").alias("t_label"),
+                F.col("ptr").alias("t_ptr"),
+            ),
+            small,
         )
         return state.join(target, state.ptr == target.t_id, "left").select(
             "row",

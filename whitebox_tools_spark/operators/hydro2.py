@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 import numpy as np
 
 from whitebox_tools_spark.operators.focal import focal_apply
-from whitebox_tools_spark.operators.graph import connected_components
+from whitebox_tools_spark.operators.graph import connected_components, size_hint
 from whitebox_tools_spark.operators.gridding import GridConfig, _warn_nonconverged
 from whitebox_tools_spark.operators.hydro import D8_DX, D8_DY, _d8_dir_stencil
 
@@ -183,13 +183,18 @@ def fill_depressions(
             "w"
         ),
     ).localCheckpoint(eager=True)
+    small = cfg.rows * cfg.cols <= 2_000_000
+
     def _lower(w):
         nbr_min = (
-            pairs.join(w.select(F.col("id").alias("b"), F.col("w").alias("wn")), "b")
+            pairs.join(
+                size_hint(w.select(F.col("id").alias("b"), F.col("w").alias("wn")), small),
+                "b",
+            )
             .groupBy("a")
             .agg(F.min("wn").alias("mn"))
         )
-        return w.join(nbr_min.withColumnRenamed("a", "id"), "id", "left").select(
+        return w.join(size_hint(nbr_min.withColumnRenamed("a", "id"), small), "id", "left").select(
             "id",
             "row",
             "col",
@@ -333,15 +338,16 @@ def fd8_flow_accumulation(
         .localCheckpoint(eager=True)
     )
     acc = cells.select("id", F.lit(1.0).alias("val")).localCheckpoint(eager=True)
+    small = cfg.rows * cfg.cols <= 2_000_000
     for _ in range(max_rounds):
         up = (
-            edges.join(acc, edges.a == acc.id)
+            edges.join(size_hint(acc, small), edges.a == acc.id)
             .groupBy("b")
             .agg(F.sum(F.col("w") * F.col("val")).alias("s"))
         )
         nxt = (
             cells.select("id")
-            .join(up.withColumnRenamed("b", "id"), "id", "left")
+            .join(size_hint(up.withColumnRenamed("b", "id"), small), "id", "left")
             .select("id", (F.lit(1.0) + F.coalesce("s", F.lit(0.0))).alias("val"))
             .localCheckpoint(eager=True)
         )
@@ -365,15 +371,16 @@ def fd8_flow_accumulation(
 
 def _upstream_len_fixpoint(nodes, edges, init_lit, agg_fn, max_rounds=100):
     cur = nodes.select("id", init_lit.alias("val")).localCheckpoint(eager=True)
+    small = cur.count() <= 2_000_000
     for _ in range(max_rounds):
         up = (
-            edges.join(cur, edges.a == cur.id)
+            edges.join(size_hint(cur, small), edges.a == cur.id)
             .groupBy("b")
             .agg(agg_fn(F.col("val") + F.col("len")).alias("s"))
         )
         nxt = (
             nodes.select("id")
-            .join(up.withColumnRenamed("b", "id"), "id", "left")
+            .join(size_hint(up.withColumnRenamed("b", "id"), small), "id", "left")
             .select("id", F.coalesce("s", init_lit).alias("val"))
             .localCheckpoint(eager=True)
         )
@@ -406,8 +413,9 @@ def downslope_flowpath_length(
     length from each cell to its terminal cell (pit/edge = 0)."""
     nodes, edges = d8_graph(raster, cfg, tile_size)
     cur = nodes.select("id", F.lit(0.0).alias("val")).localCheckpoint(eager=True)
+    small = cur.count() <= 2_000_000
     for _ in range(100):
-        dn = edges.join(cur, edges.b == cur.id).select(
+        dn = edges.join(size_hint(cur, small), edges.b == cur.id).select(
             F.col("a").alias("id"), (F.col("val") + F.col("len")).alias("s")
         )
         nxt = (

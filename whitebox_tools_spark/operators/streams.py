@@ -61,11 +61,14 @@ def _fixpoint(nodes, update, max_rounds: int = 100, batch: int = 2):
     rounds run lazily between each checkpoint + convergence check —
     halves the driver-side action count (a converged extra round is
     idempotent, so correctness is unaffected)."""
+    from whitebox_tools_spark.operators.graph import size_hint
+
     cur = update(None).localCheckpoint(eager=True)
+    small = cur.count() <= 2_000_000
     for _ in range(max(1, (max_rounds + batch - 1) // batch)):
         nxt = cur
         for _ in range(batch):
-            nxt = update(nxt)
+            nxt = update(size_hint(nxt, small))
         nxt = nxt.localCheckpoint(eager=True)
         changed = (
             nxt.alias("n")
