@@ -453,15 +453,20 @@ def _stream_relative(raster, streams, cfg, mode: str, tile_size: int = 128):
     )
     known = scells.localCheckpoint(eager=True)
     frontier = known
+    small = cfg.rows * cfg.cols <= 2_000_000
     for _ in range(400):
         step = (
-            edges.join(frontier, edges.b == frontier.id)
+            edges.join(size_hint(frontier, small), edges.b == frontier.id)
             .select(
                 F.col("a").alias("id"),
                 (F.col("dist") + F.col("len")).alias("dist"),
                 "sz",
             )
-            .join(known.select(F.col("id").alias("kid")), F.col("id") == F.col("kid"), "left_anti")
+            .join(
+                size_hint(known.select(F.col("id").alias("kid")), small),
+                F.col("id") == F.col("kid"),
+                "left_anti",
+            )
         )
         cnt = step.limit(1).count()
         if cnt == 0:
@@ -498,10 +503,14 @@ def basins(raster: DataFrame, cfg: GridConfig, tile_size: int = 128) -> DataFram
         .select("id", F.coalesce("b", F.col("id")).alias("nxt"))
         .localCheckpoint(eager=True)
     )
+    small = cfg.rows * cfg.cols <= 2_000_000
     for _ in range(32):  # 2^32 path length bound
         hop = nxt.alias("x").join(
-            nxt.alias("y").select(
-                F.col("y.id").alias("nid"), F.col("y.nxt").alias("n2")
+            size_hint(
+                nxt.alias("y").select(
+                    F.col("y.id").alias("nid"), F.col("y.nxt").alias("n2")
+                ),
+                small,
             ),
             F.col("x.nxt") == F.col("nid"),
         ).select(F.col("x.id").alias("id"), F.col("n2").alias("nxt"))
@@ -593,11 +602,16 @@ def trace_downslope_flowpaths(
     seed_ids = seeds.select((F.col("row") * cfg.cols + F.col("col")).alias("id"))
     reached = seed_ids.localCheckpoint(eager=True)
     frontier = reached
+    small = cfg.rows * cfg.cols <= 2_000_000
     for _ in range(400):
         step = (
-            edges.join(frontier, edges.a == frontier.id)
+            edges.join(size_hint(frontier, small), edges.a == frontier.id)
             .select(F.col("b").alias("id"))
-            .join(reached.withColumnRenamed("id", "rid"), F.col("id") == F.col("rid"), "left_anti")
+            .join(
+                size_hint(reached.withColumnRenamed("id", "rid"), small),
+                F.col("id") == F.col("rid"),
+                "left_anti",
+            )
             .distinct()
         )
         if step.limit(1).count() == 0:
@@ -640,14 +654,15 @@ def breach_depressions(
         "row", "col", F.col("value").alias("z"),
     ).localCheckpoint(eager=True)
     m = z.select("id", F.col("z").alias("val")).localCheckpoint(eager=True)
+    small = cfg.rows * cfg.cols <= 2_000_000
     for _ in range(max_rounds):
         up = (
-            edges.join(m, edges.a == m.id)
+            edges.join(size_hint(m, small), edges.a == m.id)
             .groupBy("b")
             .agg(F.min("val").alias("mn"))
         )
         nxt = (
-            m.join(up.withColumnRenamed("b", "id"), "id", "left")
+            m.join(size_hint(up.withColumnRenamed("b", "id"), small), "id", "left")
             .select("id", F.least(F.col("val"), F.coalesce("mn", "val")).alias("val"))
             .localCheckpoint(eager=True)
         )

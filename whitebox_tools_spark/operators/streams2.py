@@ -17,6 +17,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from whitebox_tools_spark.operators.graph import size_hint
 from whitebox_tools_spark.operators.gridding import GridConfig
 from whitebox_tools_spark.operators.streams import stream_graph
 
@@ -110,15 +111,16 @@ def stream_link_slope(streams, dirs, z, cfg: GridConfig) -> DataFrame:
 def _fh(nodes, edges, max_rounds=100):
     """Farthest-head distance per cell (0 at heads) — main-stem criterion."""
     cur = nodes.select("id", F.lit(0.0).alias("fh")).localCheckpoint(eager=True)
+    small = cur.count() <= 2_000_000
     for _ in range(max_rounds):
         up = (
-            edges.join(cur, edges.a == cur.id)
+            edges.join(size_hint(cur, small), edges.a == cur.id)
             .groupBy("b")
             .agg(F.max(F.col("fh") + F.col("len")).alias("s"))
         )
         nxt = (
             nodes.select("id")
-            .join(up.withColumnRenamed("b", "id"), "id", "left")
+            .join(size_hint(up.withColumnRenamed("b", "id"), small), "id", "left")
             .select("id", F.coalesce("s", F.lit(0.0)).alias("fh"))
             .localCheckpoint(eager=True)
         )
@@ -159,12 +161,13 @@ def hack_order(streams, dirs, cfg: GridConfig, max_rounds: int = 100) -> DataFra
         .localCheckpoint(eager=True)
     )
     cur = nodes.select("id", F.lit(1).alias("val")).localCheckpoint(eager=True)
+    small = cur.count() <= 2_000_000
     for _ in range(max_rounds):
-        dn = step.join(cur, step.b == cur.id).select(
+        dn = step.join(size_hint(cur, small), step.b == cur.id).select(
             F.col("a").alias("id"), (F.col("val") + F.col("inc")).alias("s")
         )
         nxt = (
-            nodes.select("id").join(dn, "id", "left")
+            nodes.select("id").join(size_hint(dn, small), "id", "left")
             .select("id", F.coalesce("s", F.lit(1)).alias("val"))
             .localCheckpoint(eager=True)
         )
@@ -202,14 +205,15 @@ def horton_order(streams, dirs, cfg: GridConfig, max_rounds: int = 100) -> DataF
         .localCheckpoint(eager=True)
     )
     cur = strah.select("id", F.col("ord").alias("val")).localCheckpoint(eager=True)
+    small = cur.count() <= 2_000_000
     for _ in range(max_rounds):
         dn = (
             step.where(F.col("inherit"))
-            .join(cur, step.b == cur.id)
+            .join(size_hint(cur, small), step.b == cur.id)
             .select(F.col("a").alias("id"), F.col("val").alias("s"))
         )
         nxt = (
-            strah.join(dn, "id", "left")
+            strah.join(size_hint(dn, small), "id", "left")
             .select("id", F.coalesce("s", F.col("ord")).alias("val"))
             .localCheckpoint(eager=True)
         )
@@ -233,15 +237,16 @@ def tributary_id(streams, dirs, cfg: GridConfig, max_rounds: int = 100) -> DataF
     flags = _main_flags(nodes, ej, F.col("fh") + F.col("len")).localCheckpoint(eager=True)
     # propagate the head id downstream along main edges
     cur = nodes.select("id", F.col("id").alias("val")).localCheckpoint(eager=True)
+    small = cur.count() <= 2_000_000
     for _ in range(max_rounds):
         up = (
             flags.where(F.col("is_main"))
-            .join(cur, F.col("a") == cur.id)
+            .join(size_hint(cur, small), F.col("a") == cur.id)
             .select(F.col("b").alias("id"), F.col("val").alias("s"))
         )
         nxt = (
             nodes.select("id")
-            .join(up, "id", "left")
+            .join(size_hint(up, small), "id", "left")
             .select("id", F.coalesce("s", F.col("id")).alias("val"))
             .localCheckpoint(eager=True)
         )
@@ -270,12 +275,17 @@ def find_main_stem(streams, dirs, cfg: GridConfig, max_rounds: int = 100) -> Dat
     outlets = nodes.join(edges.select(F.col("a").alias("id")), "id", "left_anti").select("id")
     on = outlets.localCheckpoint(eager=True)
     frontier = on
+    small = nodes.count() <= 2_000_000
     for _ in range(max_rounds):
         step = (
             flags.where(F.col("is_main"))
-            .join(frontier, flags.b == frontier.id)
+            .join(size_hint(frontier, small), flags.b == frontier.id)
             .select(F.col("a").alias("id"))
-            .join(on.withColumnRenamed("id", "k"), F.col("id") == F.col("k"), "left_anti")
+            .join(
+                size_hint(on.withColumnRenamed("id", "k"), small),
+                F.col("id") == F.col("k"),
+                "left_anti",
+            )
         )
         if step.limit(1).count() == 0:
             break
