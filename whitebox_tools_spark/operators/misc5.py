@@ -7,6 +7,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from whitebox_tools_spark.operators.graph import size_hint
 from whitebox_tools_spark.operators.gridding import GridConfig
 
 
@@ -97,11 +98,16 @@ def hillslopes(
     ns_edges = edges.join(
         sid.select(F.col("id").alias("b2")), edges.b == F.col("b2"), "left_anti"
     ).join(u.select(F.col("id").alias("a2")), edges.a == F.col("a2"), "left_semi")
+    small = cfg.rows * cfg.cols <= 2_000_000
     for _ in range(max_rounds):
         step = (
-            ns_edges.join(frontier, ns_edges.b == frontier.id)
+            ns_edges.join(size_hint(frontier, small), ns_edges.b == frontier.id)
             .select(F.col("a").alias("id"), "payload")
-            .join(known.select(F.col("id").alias("kid")), F.col("id") == F.col("kid"), "left_anti")
+            .join(
+                size_hint(known.select(F.col("id").alias("kid")), small),
+                F.col("id") == F.col("kid"),
+                "left_anti",
+            )
         )
         if step.limit(1).count() == 0:
             break
