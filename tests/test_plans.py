@@ -122,3 +122,44 @@ class TestRound2Plans:
         plan = _plan(buffer_vector_geometry(layer, 30.0))
         assert "Join" not in plan, plan
         assert "Exchange" not in plan, plan
+
+
+# Queries whose executed plan legitimately contains a
+# BroadcastNestedLoopJoin, audited one by one (round-2 sweep): a 1-row
+# global-aggregate crossJoin (scalar broadcast), an EDT site-lattice
+# constructor (rows x target-columns, the documented working set), a
+# brute-force ANN baseline (crossJoin by design), or a range predicate
+# against an explicitly broadcast SMALL dimension (pour points, fixture
+# lake/clip rectangles). Anything outside this list is an unreviewed
+# theta-join — the round-1 scale hazard — and fails the sweep.
+BNLJ_ALLOWED = {
+    "geomorphons", "histogram_equalization", "ann_topk", "z_scores",
+    "euclidean_distance", "euclidean_allocation", "elev_relative_to_min_max",
+    "integral_image", "morans_i", "random_field", "snap_pour_points",
+    "jenson_snap_pour_points", "tin_gridding", "shape_complexity_raster",
+    "hypsometric_analysis", "slope_vs_elevation", "horizon_angle",
+    "rgb_to_ihs", "ihs_to_rgb", "colour_composite", "split_colour_composite",
+    "decorrelation_stretch", "balance_contrast", "buffer_raster",
+    "fill_missing_data", "fetch_analysis", "directional_relief",
+    "elev_above_stream_euclidean", "narrowness_index", "ks_normality",
+    "histogram_matching", "multiscale_topographic_position", "flatten_lakes",
+    "turning_bands", "lidar_classify_subset", "voronoi_raster",
+    "mosaic_feathering", "stddev_stretch", "percentage_stretch",
+    "symmetrical_difference_area", "rect_grid",
+}
+
+
+class TestCatalogPlanSweep:
+    def test_no_cartesian_and_bnlj_only_where_audited(self, spark):
+        """Explain-only sweep over the FULL catalog: no CartesianProduct
+        anywhere; BroadcastNestedLoopJoin only in the audited allowlist."""
+        from whitebox_tools_spark import api
+
+        offenders = []
+        for name, fn in api.QUERIES.items():
+            plan = _plan(fn(spark, SF_DIR))
+            if "CartesianProduct" in plan:
+                offenders.append((name, "CartesianProduct"))
+            if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+                offenders.append((name, "BroadcastNestedLoopJoin"))
+        assert not offenders, offenders
