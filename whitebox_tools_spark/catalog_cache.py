@@ -124,10 +124,21 @@ def filled(spark, sf_dir, rounds: int = 64) -> DataFrame:
     )
 
 
+def pairs3d(spark, sf_dir, radius: float) -> DataFrame:
+    from whitebox_tools_spark.operators.lidar import pairs_3d
+
+    return shared(
+        spark, sf_dir, f"pairs3d_{radius}",
+        lambda: pairs_3d(_geo(spark, sf_dir), radius),
+    )
+
+
 def normals(spark, sf_dir, radius: float) -> DataFrame:
     from whitebox_tools_spark.operators.lidar import normal_vectors
 
     return shared(
         spark, sf_dir, f"normals_{radius}",
-        lambda: normal_vectors(_geo(spark, sf_dir), radius),
+        lambda: normal_vectors(
+            _geo(spark, sf_dir), radius, pairs=pairs3d(spark, sf_dir, radius)
+        ),
     )

@@ -30,6 +30,11 @@ def _cc_normals(spark, sf_dir):
     return _cc.normals(spark, sf_dir, RADIUS)
 
 
+def _cc_pairs(spark, sf_dir):
+    from whitebox_tools_spark import catalog_cache as _cc
+    return _cc.pairs3d(spark, sf_dir, RADIUS)
+
+
 QUERIES = {
     "lidar_remove_outliers": lambda s, d: ld.lidar_remove_outliers(
         _geo(s, d), RADIUS, ELEV_DIFF).select("doc_id", "x", "y", "z"),
@@ -41,7 +46,7 @@ QUERIES = {
     "classify_overlap_points": lambda s, d: ld.classify_overlap_points(
         _geo(s, d), OVERLAP_RES).select("doc_id", "overlap"),
     "lidar_segmentation": lambda s, d: ld.lidar_segmentation(
-        _geo(s, d), RADIUS, SEG_ANGLE, nv=_cc_normals(s, d)
+        _geo(s, d), RADIUS, SEG_ANGLE, nv=_cc_normals(s, d), pairs=_cc_pairs(s, d)
     ).select("doc_id", "segment"),
 }
 

@@ -63,7 +63,9 @@ def q_seg_filter(spark, sf_dir):
     geo = derive.with_geometry(documents(spark, sf_dir), "doc_id")
     from whitebox_tools_spark import catalog_cache as _ccn
     return m6.lidar_segmentation_based_filter(
-        geo, RADIUS, SEG_ANGLE, NZ_T, nv=_ccn.normals(spark, sf_dir, RADIUS)
+        geo, RADIUS, SEG_ANGLE, NZ_T,
+        nv=_ccn.normals(spark, sf_dir, RADIUS),
+        pairs=_ccn.pairs3d(spark, sf_dir, RADIUS),
     ).select(
         "doc_id", "cls_out"
     )

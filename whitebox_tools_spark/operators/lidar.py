@@ -79,20 +79,29 @@ def lidar_tophat(geo: DataFrame, radius: float = 100.0) -> DataFrame:
     return dil.select("doc_id", (F.col("z") - F.col("dil")).alias("tophat"))
 
 
+def pairs_3d(geo: DataFrame, radius: float) -> DataFrame:
+    """Self radius-join pairs filtered to the true 3-D sphere — the shared
+    neighbourhood frame of normal_vectors and lidar_segmentation (compute
+    it once, localCheckpoint, pass to both)."""
+    j = _self_radius(geo, radius)
+    return j.where(
+        F.col("dist")  # squared 2-D distance
+        + (F.col("z") - F.col("z_p")) * (F.col("z") - F.col("z_p"))
+        <= radius * radius
+    )
+
+
 def normal_vectors(
-    geo: DataFrame, radius: float = 100.0, min_det: float = 1.0
+    geo: DataFrame, radius: float = 100.0, min_det: float = 1.0,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """NormalVectors (normal_vectors.rs:312-372): per point, best-
     conditioned least-squares plane normal over the 3-D radius
     neighbourhood (self included), normalized; (0,0,0) when < 3
     neighbours. Covariance uses raw moments (engine definition; the
-    reference's explicit centroid subtraction is algebraically equal)."""
-    j = _self_radius(geo, radius)
-    j = j.where(
-        F.col("dist")  # squared 2-D distance
-        + (F.col("z") - F.col("z_p")) * (F.col("z") - F.col("z_p"))
-        <= radius * radius
-    )
+    reference's explicit centroid subtraction is algebraically equal).
+    ``pairs``: a precomputed :func:`pairs_3d` frame to reuse."""
+    j = pairs if pairs is not None else pairs_3d(geo, radius)
     a = j.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x_p").alias("sx"),
@@ -166,7 +175,7 @@ def classify_overlap_points(geo: DataFrame, resolution: float = 250.0) -> DataFr
 
 def lidar_segmentation(
     geo: DataFrame, radius: float = 100.0, max_angle_deg: float = 15.0,
-    nv: DataFrame | None = None,
+    nv: DataFrame | None = None, pairs: DataFrame | None = None,
 ) -> DataFrame:
     """LidarSegmentation (lidar_segmentation.rs, region growing):
     segments = connected components over 3-D radius-neighbour pairs whose
@@ -176,18 +185,31 @@ def lidar_segmentation(
     import math
 
     if nv is None:
-        nv = normal_vectors(geo, radius)
-    pts = geo.join(nv, "doc_id")
-    p = pts.select(
-        F.col("doc_id").alias("pid"), "x", "y", "z", "nx", "ny", "nz"
-    )
-    q = pts.select("doc_id", "x", "y", "z", "nx", "ny", "nz")
-    j = radius_join(p, q, radius, squared=True).where(F.col("dist") != 0.0)
-    j = j.where(
-        F.col("dist")  # squared 2-D distance
-        + (F.col("z") - F.col("z_p")) * (F.col("z") - F.col("z_p"))
-        <= radius * radius
-    )
+        nv = normal_vectors(geo, radius, pairs=pairs)
+    if pairs is not None:
+        # reuse the shared 3-D pair frame: attach normals to both sides
+        # instead of re-running the radius join
+        j = pairs.where(F.col("dist") != 0.0).join(nv, "doc_id").join(
+            nv.select(
+                F.col("doc_id").alias("pid_p"),
+                F.col("nx").alias("nx_p"),
+                F.col("ny").alias("ny_p"),
+                F.col("nz").alias("nz_p"),
+            ),
+            "pid_p",
+        )
+    else:
+        pts = geo.join(nv, "doc_id")
+        p = pts.select(
+            F.col("doc_id").alias("pid"), "x", "y", "z", "nx", "ny", "nz"
+        )
+        q = pts.select("doc_id", "x", "y", "z", "nx", "ny", "nz")
+        j = radius_join(p, q, radius, squared=True).where(F.col("dist") != 0.0)
+        j = j.where(
+            F.col("dist")  # squared 2-D distance
+            + (F.col("z") - F.col("z_p")) * (F.col("z") - F.col("z_p"))
+            <= radius * radius
+        )
     dot = (
         F.col("nx") * F.col("nx_p")
         + F.col("ny") * F.col("ny_p")

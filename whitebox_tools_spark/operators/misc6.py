@@ -156,6 +156,7 @@ def stochastic_depression_analysis(
 def lidar_segmentation_based_filter(
     geo: DataFrame, radius: float = 100.0, max_angle_deg: float = 15.0,
     nz_threshold: float = 0.94, nv: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """LidarSegmentationBasedFilter (lidar_segmentation_based_filter.rs,
     engine form): segment the cloud by normal agreement, then classify
@@ -167,8 +168,8 @@ def lidar_segmentation_based_filter(
     # mean-|nz| classification (it is a radius join + eigen solve — the
     # dominant cost; checkpoint so both consumers reuse the result)
     if nv is None:
-        nv = normal_vectors(geo, radius).localCheckpoint(eager=True)
-    seg = lidar_segmentation(geo, radius, max_angle_deg, nv=nv)
+        nv = normal_vectors(geo, radius, pairs=pairs).localCheckpoint(eager=True)
+    seg = lidar_segmentation(geo, radius, max_angle_deg, nv=nv, pairs=pairs)
     per = (
         seg.join(nv, "doc_id")
         .groupBy("segment")
