@@ -120,39 +120,14 @@ def eliminate_coincident_points(
         & (F.col("qid") != F.col(f"{record}_p"))
     ).select(F.col("qid").alias("a"), F.col(f"{record}_p").alias("b"))
 
-    edges = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    edges = edges.localCheckpoint(eager=True)
+    # connected components by the shared pointer-jumping machinery
+    # (O(log diameter) batched rounds + size-gated broadcasts) — the
+    # label semantics (comp = min member id) match the previous inline
+    # min-label fixpoint exactly
+    from whitebox_tools_spark.operators.graph import connected_components
 
-    # iterative min-label propagation (frontier-free, tiny clusters)
-    labels = edges.select("a").distinct().select(
-        F.col("a").alias("node"), F.col("a").alias("comp")
-    )
-    for _ in range(max_rounds):
-        nbr_min = (
-            edges.join(labels, edges.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.a, "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias(
-                    "comp"
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    touched = pairs.select("a").distinct()
+    labels = connected_components(pairs, touched, "a", max_rounds=max_rounds)
 
     clustered = points.join(
         labels.withColumnRenamed("node", record), record, "inner"

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from whitebox_tools_spark.operators.graph import size_hint
+from whitebox_tools_spark.operators.graph import checkpoint_nostats, size_hint
 from whitebox_tools_spark.operators.gridding import GridConfig
 from whitebox_tools_spark.localrel import local_df
 
@@ -129,7 +129,7 @@ def strahler_order(
         new_order = order
         for _ in range(batch):
             new_order = step(new_order)
-        new_order = new_order.localCheckpoint(eager=True)
+        new_order = new_order.transform(checkpoint_nostats)
         changed = (
             new_order.alias("n")
             .join(order.alias("o"), "id")

@@ -16,7 +16,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from whitebox_tools_spark.operators.graph import size_hint
+from whitebox_tools_spark.operators.graph import checkpoint_nostats, size_hint
 from whitebox_tools_spark.operators.gridding import GridConfig
 from whitebox_tools_spark.operators.hydro import D8_DX, D8_DY
 
@@ -105,7 +105,7 @@ def cost_distance(
         nxt = cur
         for _ in range(batch):
             nxt = relax(nxt)
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt = nxt.transform(checkpoint_nostats)
         changed = (
             nxt.alias("n").join(cur.alias("o"), "id")
             .where(
@@ -173,7 +173,7 @@ def d8_mass_flux(
                     * F.col("e")
                 ).alias("val"),
             )
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_nostats)
         )
         changed = (
             nxt.alias("n").join(cur.alias("o"), "id")
@@ -217,8 +217,8 @@ def stream_payload_basins(
         )
         if step.limit(1).count() == 0:
             break
-        known = known.unionByName(step).localCheckpoint(eager=True)
-        frontier = step.localCheckpoint(eager=True)
+        known = known.unionByName(step).transform(checkpoint_nostats)
+        frontier = step.transform(checkpoint_nostats)
     return nodes.join(known, "id").select(
         "row", "col", F.col("payload").cast("double").alias("value")
     )

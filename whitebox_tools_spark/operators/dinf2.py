@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from whitebox_tools_spark.operators.graph import size_hint
+from whitebox_tools_spark.operators.graph import checkpoint_nostats, size_hint
 from whitebox_tools_spark.operators.gridding import GridConfig
 
 # sector -> (n1 offset, n2 offset) as (drow, dcol), clockwise from north
@@ -104,7 +104,7 @@ def dinf_flow_accumulation(
         nxt = cur
         for _ in range(batch):
             nxt = step(nxt)
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt = nxt.transform(checkpoint_nostats)
         changed = (
             nxt.alias("n").join(cur.alias("o"), "id")
             .where(F.col("n.val") != F.col("o.val")).limit(1).count()
@@ -203,7 +203,7 @@ def dinf_mass_flux(
         nxt = cur
         for _ in range(batch):
             nxt = step(nxt)
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt = nxt.transform(checkpoint_nostats)
         changed = (
             nxt.alias("n").join(cur.alias("o"), "id")
             .where(F.col("n.val") != F.col("o.val")).limit(1).count()

@@ -79,7 +79,7 @@ def connected_components(
         jumped = labels
         for _ in range(batch):
             jumped = step(jumped)
-        jumped = jumped.localCheckpoint(eager=True)
+        jumped = checkpoint_nostats(jumped)
         changed = (
             jumped.alias("n")
             .join(labels.alias("o"), "node")
@@ -91,6 +91,27 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def checkpoint_nostats(df: DataFrame) -> DataFrame:
+    """localCheckpoint that DROPS inherited size statistics.
+
+    Dataset.localCheckpoint preserves the child plan's sizeInBytes
+    estimate, and a pointer-jumping round self-joins the evolving frame —
+    the join estimate is the PRODUCT of both sides, so the inherited
+    statistic SQUARES every round. Its bit-length doubles per round; by
+    ~16 rounds Catalyst's stats arithmetic is multiplying million-bit
+    BigIntegers on the driver and each round takes exponentially longer
+    (observed: 0.5 s -> 27 s per batch on a 500-node graph). Rebuilding
+    the frame over the checkpointed InternalRow RDD resets the estimate
+    to the session default; explicit size_hint broadcasts (not AQE
+    stats) drive the join strategy inside these loops anyway."""
+    ck = df.localCheckpoint(eager=True)
+    jdf = ck._jdf
+    spark = df.sparkSession
+    rdd = jdf.queryExecution().toRdd()
+    new_jdf = spark._jsparkSession.internalCreateDataFrame(rdd, jdf.schema(), False)
+    return DataFrame(new_jdf, spark)
 
 
 def size_hint(df: DataFrame, small: bool) -> DataFrame:

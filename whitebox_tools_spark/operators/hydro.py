@@ -42,7 +42,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from whitebox_tools_spark.operators.gridding import GridConfig, _warn_nonconverged
-from whitebox_tools_spark.operators.graph import connected_components, size_hint
+from whitebox_tools_spark.operators.graph import (
+    checkpoint_nostats,
+    connected_components,
+    size_hint,
+)
 
 # neighbour order shared by the D8 family (d8_pointer.rs:235-236)
 D8_DX = (1, 1, 1, 0, -1, -1, -1, 0)
@@ -309,7 +313,7 @@ def d8_flow_accumulation(
         new_acc = acc
         for _ in range(batch):
             new_acc = _step(new_acc)
-        new_acc = new_acc.localCheckpoint(eager=True)
+        new_acc = new_acc.transform(checkpoint_nostats)
         changed = (
             new_acc.alias("n")
             .join(acc.alias("o"), "id")
@@ -403,7 +407,7 @@ def watershed(
         new_state = state
         for _ in range(batch):
             new_state = _jump(new_state)
-        new_state = new_state.localCheckpoint(eager=True)
+        new_state = new_state.transform(checkpoint_nostats)
         remaining = new_state.where(
             F.col("label").isNull() & F.col("ptr").isNotNull()
         ).limit(1).count()

@@ -27,7 +27,11 @@ from pyspark.sql import functions as F
 import numpy as np
 
 from whitebox_tools_spark.operators.focal import focal_apply
-from whitebox_tools_spark.operators.graph import connected_components, size_hint
+from whitebox_tools_spark.operators.graph import (
+    checkpoint_nostats,
+    connected_components,
+    size_hint,
+)
 from whitebox_tools_spark.operators.gridding import GridConfig, _warn_nonconverged
 from whitebox_tools_spark.operators.hydro import D8_DX, D8_DY, _d8_dir_stencil
 
@@ -214,7 +218,7 @@ def fill_depressions(
         nxt = w
         for _ in range(batch):
             nxt = _lower(nxt)
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt = nxt.transform(checkpoint_nostats)
         changed = (
             nxt.alias("n")
             .join(w.alias("o"), "id")
@@ -349,7 +353,7 @@ def fd8_flow_accumulation(
             cells.select("id")
             .join(size_hint(up.withColumnRenamed("b", "id"), small), "id", "left")
             .select("id", (F.lit(1.0) + F.coalesce("s", F.lit(0.0))).alias("val"))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_nostats)
         )
         changed = (
             nxt.alias("n")
@@ -382,7 +386,7 @@ def _upstream_len_fixpoint(nodes, edges, init_lit, agg_fn, max_rounds=100):
             nodes.select("id")
             .join(size_hint(up.withColumnRenamed("b", "id"), small), "id", "left")
             .select("id", F.coalesce("s", init_lit).alias("val"))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_nostats)
         )
         changed = (
             nxt.alias("n").join(cur.alias("o"), "id")
@@ -422,7 +426,7 @@ def downslope_flowpath_length(
             nodes.select("id")
             .join(dn, "id", "left")
             .select("id", F.coalesce("s", F.lit(0.0)).alias("val"))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_nostats)
         )
         changed = (
             nxt.alias("n").join(cur.alias("o"), "id")
@@ -471,8 +475,8 @@ def _stream_relative(raster, streams, cfg, mode: str, tile_size: int = 128):
         cnt = step.limit(1).count()
         if cnt == 0:
             break
-        known = known.unionByName(step).localCheckpoint(eager=True)
-        frontier = step.localCheckpoint(eager=True)
+        known = known.unionByName(step).transform(checkpoint_nostats)
+        frontier = step.transform(checkpoint_nostats)
     out = nodes.join(known, "id").join(zmap, "id")
     if mode == "dist":
         return out.select("row", "col", F.col("dist").alias("value"))
@@ -518,7 +522,7 @@ def basins(raster: DataFrame, cfg: GridConfig, tile_size: int = 128) -> DataFram
             hop.alias("n").join(nxt.alias("o"), "id")
             .where(F.col("n.nxt") != F.col("o.nxt")).limit(1).count()
         )
-        nxt = hop.localCheckpoint(eager=True)
+        nxt = hop.transform(checkpoint_nostats)
         if changed == 0:
             break
     first = nxt.select("nxt").distinct()
@@ -616,8 +620,8 @@ def trace_downslope_flowpaths(
         )
         if step.limit(1).count() == 0:
             break
-        reached = reached.unionByName(step).localCheckpoint(eager=True)
-        frontier = step.localCheckpoint(eager=True)
+        reached = reached.unionByName(step).transform(checkpoint_nostats)
+        frontier = step.transform(checkpoint_nostats)
     return nodes.join(reached, "id", "left_semi").select(
         "row", "col", F.lit(1.0).alias("value")
     )
@@ -664,7 +668,7 @@ def breach_depressions(
         nxt = (
             m.join(size_hint(up.withColumnRenamed("b", "id"), small), "id", "left")
             .select("id", F.least(F.col("val"), F.coalesce("mn", "val")).alias("val"))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_nostats)
         )
         changed = (
             nxt.alias("n").join(m.alias("o"), "id")

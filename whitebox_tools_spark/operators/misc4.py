@@ -7,6 +7,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from whitebox_tools_spark.operators.graph import checkpoint_nostats
 from whitebox_tools_spark.operators.gridding import GridConfig
 
 
@@ -83,7 +84,7 @@ def cost_pathway(
         stepped = (
             on.join(jump, "id").select(F.col("nxt").alias("id"))
         )
-        on = on.unionByName(stepped).distinct().localCheckpoint(eager=True)
+        on = on.unionByName(stepped).distinct().transform(checkpoint_nostats)
         n = on.count()
         if n == prev_n:
             break  # all walks have reached their source self-loops
@@ -94,7 +95,7 @@ def cost_pathway(
             jump = (
                 jx.join(jy, "mid")
                 .select(F.col("jid").alias("id"), F.col("jnxt").alias("nxt"))
-                .localCheckpoint(eager=True)
+                .transform(checkpoint_nostats)
             )
     return cells.join(on, "id", "left_semi").select(
         "row", "col", F.lit(1.0).alias("value")

@@ -8,6 +8,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from whitebox_tools_spark.operators.graph import checkpoint_nostats
 from whitebox_tools_spark.operators.gridding import GridConfig
 
 SD_A1, SD_B1 = 22695477, 1
@@ -62,7 +63,7 @@ def unnest_basins(
             reach.join(jump, reach.cur == jump.id)
             .select("src", F.col("nxt").alias("cur"), (F.col("n") + F.col("inc")).alias("n"))
         )
-        reach = reach.unionByName(stepped).distinct().localCheckpoint(eager=True)
+        reach = reach.unionByName(stepped).distinct().transform(checkpoint_nostats)
         n_now = reach.count()
         if n_now == prev_n:
             break
@@ -74,7 +75,7 @@ def unnest_basins(
                 jx.join(jy, "mid")
                 .select(F.col("jid").alias("id"), F.col("jnxt").alias("nxt"),
                         (F.col("i1") + F.col("i2")).alias("inc"))
-                .localCheckpoint(eager=True)
+                .transform(checkpoint_nostats)
             )
     lvl = reach.groupBy("src").agg(F.max("n").alias("lv"))
     return (
@@ -111,7 +112,7 @@ def remove_spurs(
             fg.join(cnt, "id", "left")
             .where(F.coalesce("n", F.lit(0)) >= 2)
             .select("id", "row", "col")
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_nostats)
         )
         if keep.count() == fg.count():
             fg = keep

@@ -61,7 +61,7 @@ def _fixpoint(nodes, update, max_rounds: int = 100, batch: int = 2):
     rounds run lazily between each checkpoint + convergence check —
     halves the driver-side action count (a converged extra round is
     idempotent, so correctness is unaffected)."""
-    from whitebox_tools_spark.operators.graph import size_hint
+    from whitebox_tools_spark.operators.graph import checkpoint_nostats, size_hint
 
     cur = update(None).localCheckpoint(eager=True)
     small = cur.count() <= 2_000_000
@@ -69,7 +69,7 @@ def _fixpoint(nodes, update, max_rounds: int = 100, batch: int = 2):
         nxt = cur
         for _ in range(batch):
             nxt = update(size_hint(nxt, small))
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt = nxt.transform(checkpoint_nostats)
         changed = (
             nxt.alias("n")
             .join(cur.alias("o"), "id")

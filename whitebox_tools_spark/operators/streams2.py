@@ -17,7 +17,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from whitebox_tools_spark.operators.graph import size_hint
+from whitebox_tools_spark.operators.graph import checkpoint_nostats, size_hint
 from whitebox_tools_spark.operators.gridding import GridConfig
 from whitebox_tools_spark.operators.streams import stream_graph
 
@@ -122,7 +122,7 @@ def _fh(nodes, edges, max_rounds=100):
             nodes.select("id")
             .join(size_hint(up.withColumnRenamed("b", "id"), small), "id", "left")
             .select("id", F.coalesce("s", F.lit(0.0)).alias("fh"))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_nostats)
         )
         changed = (
             nxt.alias("n").join(cur.alias("o"), "id")
@@ -169,7 +169,7 @@ def hack_order(streams, dirs, cfg: GridConfig, max_rounds: int = 100) -> DataFra
         nxt = (
             nodes.select("id").join(size_hint(dn, small), "id", "left")
             .select("id", F.coalesce("s", F.lit(1)).alias("val"))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_nostats)
         )
         changed = (
             nxt.alias("n").join(cur.alias("o"), "id")
@@ -215,7 +215,7 @@ def horton_order(streams, dirs, cfg: GridConfig, max_rounds: int = 100) -> DataF
         nxt = (
             strah.join(size_hint(dn, small), "id", "left")
             .select("id", F.coalesce("s", F.col("ord")).alias("val"))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_nostats)
         )
         changed = (
             nxt.alias("n").join(cur.alias("o"), "id")
@@ -248,7 +248,7 @@ def tributary_id(streams, dirs, cfg: GridConfig, max_rounds: int = 100) -> DataF
             nodes.select("id")
             .join(size_hint(up, small), "id", "left")
             .select("id", F.coalesce("s", F.col("id")).alias("val"))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_nostats)
         )
         changed = (
             nxt.alias("n").join(cur.alias("o"), "id")
@@ -289,8 +289,8 @@ def find_main_stem(streams, dirs, cfg: GridConfig, max_rounds: int = 100) -> Dat
         )
         if step.limit(1).count() == 0:
             break
-        on = on.unionByName(step).localCheckpoint(eager=True)
-        frontier = step.localCheckpoint(eager=True)
+        on = on.unionByName(step).transform(checkpoint_nostats)
+        frontier = step.transform(checkpoint_nostats)
     vals = nodes.select("id").join(
         on.select(F.col("id").alias("m")), nodes.id == F.col("m"), "left"
     ).select("id", F.when(F.col("m").isNotNull(), 1.0).otherwise(0.0).alias("val"))
