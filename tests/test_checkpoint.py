@@ -88,3 +88,32 @@ class TestPackaging:
             [sys.executable, "-c", code, zp], capture_output=True, text=True, check=True
         )
         assert int(r.stdout.strip()) > 30
+
+
+class TestCheckpointNostats:
+    def test_pointer_jump_stats_stay_bounded(self, spark):
+        """Dataset.localCheckpoint preserves the child's sizeInBytes
+        estimate; a pointer-jumping self-join SQUARES it every round, so
+        by ~16 rounds Catalyst stats arithmetic multiplies million-bit
+        BigIntegers on the driver (exponential per-round slowdown).
+        checkpoint_nostats must keep the estimate bounded."""
+        from pyspark.sql import functions as F
+
+        from whitebox_tools_spark.operators.graph import checkpoint_nostats
+
+        df = checkpoint_nostats(
+            spark.range(100).select(F.col("id").alias("node"), F.col("id").alias("comp"))
+        )
+        for _ in range(12):
+            parent = df.select(
+                F.col("node").alias("p_node"), F.col("comp").alias("p_comp")
+            )
+            nxt = df.join(parent, df.comp == parent.p_node, "left").select(
+                "node", F.coalesce("p_comp", "comp").alias("comp")
+            )
+            df = checkpoint_nostats(nxt)
+            bits = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            ).bit_length()
+            assert bits <= 64, f"stats estimate grew to {bits} bits"
+        assert df.count() == 100
