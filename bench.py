@@ -104,6 +104,12 @@ def _run_suite(
         names = queries
     else:
         names = [q for q in HEADLINE if q in api.QUERIES]
+    # absorb session warm-up (executor spin-up, first codegen, parquet
+    # footer reads) OUTSIDE the per-query timers so the first query's
+    # number is comparable to the rest
+    spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10).count()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
     per_query: dict[str, float] = {}
     t_all = time.perf_counter()
     for name in names:
