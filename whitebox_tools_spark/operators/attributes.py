@@ -105,10 +105,9 @@ def eliminate_coincident_points(
     strict-within-tolerance graph).
 
     Plan: (1) radius self-join -> pair edges (d < tolerance, one shuffle);
-    (2) connected components by iterative min-label propagation (components
-    are tiny point clusters, so rounds ~ log(max chain)); (3) per-component
-    greedy replay in Arrow batches. Points with no neighbour skip stages
-    2-3 entirely.
+    (2) shared pointer-jumping connected components (operators/graph.py);
+    (3) per-component greedy replay in Arrow batches. Points with no
+    neighbour skip stages 2-3 entirely.
     """
     pts = points.select(record, x, y)
     # squared=True keeps the strict d^2 < tol^2 comparison on d2 itself,
