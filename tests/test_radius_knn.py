@@ -101,3 +101,51 @@ def test_knn_k_exceeds_population(spark, frs_points):
     q = spark.createDataFrame([(0, 40.5, 31.5)], "qid long, x double, y double")
     got = knn_join(frs_points, q, k=50, radius=0.75).collect()
     assert len(got) == 5
+
+
+class TestSalting:
+    def test_two_stage_salted_agg_equals_plain(self, spark):
+        """Hot-key two-stage aggregation (group on (key, salt), then merge
+        by key) must equal the direct groupBy — exactness of the skew path."""
+        from pyspark.sql import functions as F
+
+        from whitebox_tools_spark.operators.cells import with_salt
+
+        # one very hot key (0) + a long tail
+        df = spark.range(20000).select(
+            F.col("id"),
+            F.when(F.col("id") % 4 != 0, 0).otherwise(F.col("id") % 97).alias("key"),
+            (F.col("id") % 13).cast("double").alias("v"),
+        )
+        salted = with_salt(df, "id", n_salt=8)
+        partial = salted.groupBy("key", "salt").agg(
+            F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")
+        )
+        merged = partial.groupBy("key").agg(
+            F.sum("s").alias("sum_v"), F.sum("c").alias("n")
+        )
+        direct = df.groupBy("key").agg(
+            F.sum("v").alias("sum_v"), F.count(F.lit(1)).alias("n")
+        )
+        assert merged.exceptAll(direct).count() == 0
+        assert direct.exceptAll(merged).count() == 0
+
+    def test_salted_join_equals_plain(self, spark):
+        from pyspark.sql import functions as F
+
+        from whitebox_tools_spark.operators.cells import explode_salt, with_salt
+
+        big = spark.range(10000).select(
+            F.col("id"), (F.col("id") % 7).alias("key"), (F.col("id") * 2).alias("v")
+        )
+        dim = spark.range(7).select(
+            F.col("id").alias("key"), (F.col("id") * 10).alias("w")
+        )
+        plain = big.join(dim, "key").select("id", "v", "w")
+        salted = (
+            with_salt(big, "id", n_salt=4)
+            .join(explode_salt(dim, n_salt=4), ["key", "salt"])
+            .select("id", "v", "w")
+        )
+        assert salted.exceptAll(plain).count() == 0
+        assert plain.exceptAll(salted).count() == 0

@@ -16,10 +16,10 @@ a two-column key).
 
 Skew: hot cells (the FIXTURES skew knob, or real-world point clustering)
 are handled by (a) AQE skew-join splitting (enabled in session.py) on the
-shuffle join, and (b) optional explicit salting via ``with_salt`` — the
-point side replicates each hot cell's rows across ``n_salt`` sub-keys is
-NOT needed for the radius join (points are the build side); instead we salt
-the AGGREGATION keys in downstream groupBys (see gridding.py).
+shuffle join, and (b) explicit two-stage salting: ``with_salt`` appends a
+deterministic per-row salt for hot aggregation keys (group on (key, salt),
+merge partials by key) and ``explode_salt`` replicates a small join side
+across the salt domain so a salted equi-join sees all pairs exactly once.
 """
 
 from __future__ import annotations
@@ -99,3 +99,23 @@ def ring_cells(
         out,
         pack_cell(F.col(f"{prefix}_i") + F.col("o.di"), F.col(f"{prefix}_j") + F.col("o.dj")),
     ).drop("o")
+
+
+def with_salt(df: DataFrame, id_col: str, n_salt: int = 8, out: str = "salt") -> DataFrame:
+    """Append a deterministic per-row salt in [0, n_salt) derived from
+    ``id_col`` — stage one of two-stage skew handling for a hot
+    aggregation or join key: group/join on (key, salt) first (a hot key
+    spreads over n_salt reducers), then merge partials by key alone.
+    Deterministic (hash of the row id, not rand()) so task retries and
+    the DuckDB oracle see identical assignments."""
+    return df.withColumn(
+        out, F.pmod(F.hash(F.col(id_col)), F.lit(n_salt)).cast("int")
+    )
+
+
+def explode_salt(small: DataFrame, n_salt: int = 8, out: str = "salt") -> DataFrame:
+    """Replicate the SMALL side of a salted join across every salt value
+    so the salted equi-join on (key, salt) sees all pairs exactly once."""
+    return small.withColumn(
+        out, F.explode(F.array(*[F.lit(s).cast("int") for s in range(n_salt)]))
+    )
