@@ -232,7 +232,7 @@ rms AS (SELECT i.doc_id, i.t, r.ra, r.rb, r.rc, r.rd,
   FROM inl i JOIN refit r ON r.doc_id = i.doc_id AND r.t = i.t
   GROUP BY i.doc_id, i.t, r.ra, r.rb, r.rc, r.rd),
 best AS (SELECT doc_id, ra, rb, rc, rd, rmse FROM rms
-  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY rmse, t) = 1)
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY round(rmse, 9), t) = 1)
 SELECT p.doc_id,
        CASE WHEN b.ra IS NOT NULL AND NOT isnan(b.rmse)
                  AND (p.z - (-(b.rd + b.ra * p.x + b.rb * p.y) / b.rc))

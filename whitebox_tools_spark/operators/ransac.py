@@ -165,13 +165,20 @@ def lidar_ransac_planes(
             ).alias("rmse")
         )
     )
+    # Argmin on ROUNDED rmse (9 dp): a numerically perfect refit's rmse
+    # is pure float-summation noise (~1e-12) that differs between engines
+    # by evaluation order, so comparing raw values makes the winning
+    # round engine-dependent. Rounding collapses noise-level values to a
+    # tie and the deterministic round index t decides identically in
+    # Spark and DuckDB.
     best = (
         rmse.where(F.col("rmse").isNotNull()).groupBy("doc_id")
         .agg(
             F.min(
                 F.struct(
-                    F.col("rmse"), F.col("t"),
+                    F.round(F.col("rmse"), 9).alias("rmse_r"), F.col("t"),
                     F.col("ra"), F.col("rb"), F.col("rc"), F.col("rd"),
+                    F.col("rmse"),
                 )
             ).alias("m")
         )
