@@ -104,6 +104,11 @@ def _run_suite(
         names = queries
     else:
         names = [q for q in HEADLINE if q in api.QUERIES]
+        print(
+            f"bench: HEADLINE subset, {len(names)} of {len(api.QUERIES)} "
+            "catalog queries (pass --queries all for the full catalog)",
+            file=sys.stderr,
+        )
     # absorb session warm-up (executor spin-up, first codegen, parquet
     # footer reads) OUTSIDE the per-query timers so the first query's
     # number is comparable to the rest

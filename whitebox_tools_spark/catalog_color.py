@@ -233,7 +233,7 @@ cdf AS (SELECT value, CAST(sum(cnt) OVER (ORDER BY value ROWS UNBOUNDED PRECEDIN
 st2 AS (SELECT CAST(count(*) AS DOUBLE) AS n, min(value) AS mn FROM rr),
 mc AS (SELECT CAST(count(*) AS DOUBLE) AS cdf_min FROM rr CROSS JOIN st2 WHERE rr.value = st2.mn)
 SELECT rr.cell_row, rr.cell_col,
-       floor((c.cdf - mc.cdf_min) / (st2.n - 1.0) * {HE_TONES - 1}.0 + 0.5) AS value
+       CAST(floor((c.cdf - mc.cdf_min) / (st2.n - 1.0) * {HE_TONES - 1}.0 + 0.5) AS BIGINT) AS value
 FROM rr JOIN cdf c ON c.value = rr.value CROSS JOIN st2 CROSS JOIN mc""",
     "opening": f"""WITH {_PTS_CTE},
 rr AS MATERIALIZED (SELECT {_ROW_SQL} AS cell_row, {_COL_SQL} AS cell_col, arg_max(z, doc_id) AS value

@@ -131,6 +131,12 @@ def _close(ring: np.ndarray) -> np.ndarray:
     return np.vstack([ring, ring[:1]])
 
 
+def _signed_area(ring: np.ndarray) -> float:
+    """Signed shoelace area of an open ring (CCW positive)."""
+    x, y = ring[:, 0], ring[:, 1]
+    return (np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2.0
+
+
 def canonical(ring: np.ndarray) -> np.ndarray:
     """CCW winding, start at lexicographically smallest (x, y)."""
     r = np.asarray(ring, dtype=np.float64)
@@ -155,6 +161,12 @@ def gh_clip(
         subj = subj[:-1]
     if len(clip) > 1 and (clip[0] == clip[-1]).all():
         clip = clip[:-1]
+    # normalize both inputs to CCW so the traversal direction of traced
+    # rings is meaningful (union void rings come out CW, see below)
+    if _signed_area(subj) < 0.0:
+        subj = subj[::-1]
+    if _signed_area(clip) < 0.0:
+        clip = clip[::-1]
     s_head = _build(subj)
     c_head = _build(clip)
     n_int = _intersections(s_head, c_head)
@@ -221,6 +233,26 @@ def gh_clip(
         r = np.array(ring, dtype=np.float64)
         if len(r) >= 3 and polygon_area(r) > 0.0:
             out.append((canonical(r), False))
+    if op == "union" and len(out) > 1:
+        # A|B with crossings is CONNECTED, so exactly one traced ring is
+        # the outer shell and the rest are enclosed voids (e.g. a U-shape
+        # capped by a bar). Winding can't discriminate (the G-H union
+        # traversal emits shell and void with the same orientation), so
+        # classify by containment in the largest ring.
+        shell_i = max(range(len(out)), key=lambda i: polygon_area(out[i][0]))
+        shell = _close(out[shell_i][0])
+        out = [
+            (
+                r,
+                i != shell_i
+                and bool(
+                    point_in_poly(
+                        np.array([r[0, 0]]), np.array([r[0, 1]]), shell
+                    )[0]
+                ),
+            )
+            for i, (r, _) in enumerate(out)
+        ]
     return out
 
 

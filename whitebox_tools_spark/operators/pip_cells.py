@@ -96,7 +96,13 @@ def _ring_hits(
     """(points_with_pid, per-ring hit frame (_pid, o, fid, ring_idx, hole))."""
     spark = points.sparkSession
     cand, edges, cell, band_h, y0 = _layer_tables(spark, layer)
-    pts = points.withColumn(_PID, F.monotonically_increasing_id())
+    # _PID is the join key between the pts branch and the pc branch; pin
+    # the ids with a localCheckpoint so an AQE replan / task retry of a
+    # non-deterministic upstream can't recompute the scan with different
+    # partitioning and diverge the two branches (dropping/duping points).
+    pts = points.withColumn(
+        _PID, F.monotonically_increasing_id()
+    ).localCheckpoint(eager=False)
     pc = pts.select(
         _PID,
         F.col(x).alias("px"),

@@ -1,7 +1,7 @@
 """Stream-network analysis over the stream-cell flow DAG (SURVEY.md §2.8
 stream tools, stream_network_analysis/*.rs).
 
-All ops share one graph: stream cells (streams raster == 1.0) joined to a
+All ops share one graph: stream cells (streams raster > 0.0) joined to a
 D8 direction-index raster give nodes; stream-to-stream downstream links
 with their grid lengths give edges (each node has <= 1 outgoing edge, so
 the graph is a forest flowing to outlets). Propagations are bounded

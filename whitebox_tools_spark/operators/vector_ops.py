@@ -603,20 +603,23 @@ def overlay_geometry(
     a_parts = layer_a.select(
         F.col("fid").alias("fid_a"), "is_hole", "xs", "ys"
     )
-    grouped = pairs.select("fid_a", "hole_b", "xs_b", "ys_b").join(
+    grouped = pairs.select("fid_a", "fid_b", "hole_b", "xs_b", "ys_b").join(
         a_parts, "fid_a"
     )
 
     def run_diff(pdf: pd.DataFrame) -> pd.DataFrame:
         fid = int(pdf["fid_a"].iloc[0])
-        # B parts repeat per A part row — dedupe by vertex-tuple key
+        # B parts repeat per A part row — dedupe by vertex-tuple key,
+        # keeping the owning B fid so hole add-back can exclude it
         clips, bholes = [], []
         seen = set()
-        for hb, xs, ys in zip(pdf["hole_b"], pdf["xs_b"], pdf["ys_b"]):
+        for fb, hb, xs, ys in zip(
+            pdf["fid_b"], pdf["hole_b"], pdf["xs_b"], pdf["ys_b"]
+        ):
             key = (bool(hb), tuple(xs), tuple(ys))
             if key not in seen:
                 seen.add(key)
-                (bholes if hb else clips).append(_np_ring(xs, ys))
+                (bholes if hb else clips).append((int(fb), _np_ring(xs, ys)))
         seed, a_shells, a_holes = [], [], []
         seen_p = set()
         for is_h, xs, ys in zip(pdf["is_hole"], pdf["xs"], pdf["ys"]):
@@ -626,17 +629,24 @@ def overlay_geometry(
                 r = canonical(_np_ring(xs, ys))
                 seed.append((r, bool(is_h)))
                 (a_holes if is_h else a_shells).append(r)
-        rings = diff_ringset(seed, clips)
+        rings = diff_ringset(seed, [c for _, c in clips])
         # add back A & hole_b regions (a B hole is NOT part of B):
-        # (shellA & Hb) shells + (holeA & Hb) holes — disjoint from the
-        # diff pieces (they live inside the clipped-away B shells)
-        for hb in bholes:
+        # (shellA & Hb) shells + (holeA & Hb) holes. The pieces are
+        # disjoint from the diff pieces (they live inside the hole's
+        # own clipped-away shell) but ANOTHER B feature's shell may
+        # still cover part of the hole, so subtract those before
+        # emitting. Same-feature sibling shells are disjoint from the
+        # hole's shell and can't reach it.
+        for fb, hb in bholes:
+            others = [c for fc, c in clips if fc != fb]
+            pieces = []
             for s in a_shells:
-                rings.extend(gh_clip(s, hb, "int"))
+                pieces.extend(gh_clip(s, hb, "int"))
             for h in a_holes:
-                rings.extend(
+                pieces.extend(
                     (r, True) for r, hh in gh_clip(h, hb, "int") if not hh
                 )
+            rings.extend(diff_ringset(pieces, others))
         return pd.DataFrame(
             _ring_rows(fid, None, rings),
             columns=[f.name for f in _GEOM_SCHEMA.fields],
@@ -651,24 +661,23 @@ def overlay_geometry(
     )
 
     def run_pass(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for rec in pdf.itertuples(index=False):
-            rows.append(
-                (int(rec.fid), None, 0, bool(rec.is_hole), None, None)
-            )
-        out = pd.DataFrame(rows, columns=[f.name for f in _GEOM_SCHEMA.fields])
-        out["xs"] = [
-            canonical(_np_ring(rec.xs, rec.ys))[:, 0].tolist()
-            for rec in pdf.itertuples(index=False)
+        # per-feature ring renumbering with the same _ring_rows sort as
+        # touched features (shells first, then canonical first vertex) —
+        # a multi-part feature must not emit duplicate (fid_a, part) keys
+        fid = int(pdf["fid"].iloc[0])
+        rings = [
+            (canonical(_np_ring(xs, ys)), bool(h))
+            for h, xs, ys in zip(pdf["is_hole"], pdf["xs"], pdf["ys"])
         ]
-        out["ys"] = [
-            canonical(_np_ring(rec.xs, rec.ys))[:, 1].tolist()
-            for rec in pdf.itertuples(index=False)
-        ]
-        return out
+        return pd.DataFrame(
+            _ring_rows(fid, None, rings),
+            columns=[f.name for f in _GEOM_SCHEMA.fields],
+        )
 
-    passthrough = untouched.select("fid", "is_hole", "xs", "ys").mapInPandas(
-        lambda it: (run_pass(pdf) for pdf in it), schema=_GEOM_SCHEMA
+    passthrough = (
+        untouched.select("fid", "is_hole", "xs", "ys")
+        .groupBy("fid")
+        .applyInPandas(run_pass, schema=_GEOM_SCHEMA)
     )
     return touched.unionByName(passthrough)
 
