@@ -92,6 +92,16 @@ def q_resample_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = enhance.resample_idw(_z(spark, sf_dir), GRID, DST, "bilinear")
+    return _al(out)
+
+
+def q_resample_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = enhance.resample_idw(_z(spark, sf_dir), GRID, DST, "cc")
+    return _al(out)
+
+
 QUERIES = {
     "minmax_stretch": q_minmax_stretch,
     "gamma_correction": q_gamma,
@@ -101,6 +111,8 @@ QUERIES = {
     "rmse": q_rmse,
     "kappa": q_kappa,
     "resample_nn": q_resample_nn,
+    "resample_bilinear": q_resample_bilinear,
+    "resample_cc": q_resample_cc,
 }
 
 _CLS_R = """r{n} AS (SELECT {row} AS cell_row, {col} AS cell_col,
@@ -199,3 +211,43 @@ SELECT m.cell_row, m.cell_col, r.value
 FROM m LEFT JOIN r ON r.cell_row = m.sr AND r.cell_col = m.sc
 """,
 }
+
+
+def _resample_idw_sql(lo: int, hi: int) -> str:
+    """Oracle for resample_idw: offsets [lo, hi) per axis (bilinear 0..2,
+    cc -1..3), w = 1/(dx^2+dy^2), exact center hit wins."""
+    return f"""
+WITH {_PTS_CTE},
+{_PTS_RASTER_LAST_CTE},
+dst AS (SELECT CAST(i // {DST.cols} AS BIGINT) AS cell_row,
+               CAST(i % {DST.cols} AS BIGINT) AS cell_col,
+               ({DST.west!r} + (CAST(i % {DST.cols} AS DOUBLE) + 0.5) * {DST.res_x!r}) AS x,
+               ({DST.north!r} - (CAST(i // {DST.cols} AS DOUBLE) + 0.5) * {DST.res_y!r}) AS y
+        FROM range(0, {DST.rows * DST.cols}) t(i)),
+m AS (SELECT cell_row, cell_col,
+             ({GRID.north!r} - y) / {GRID.res_y!r} AS rs,
+             (x - {GRID.west!r}) / {GRID.res_x!r} AS cs,
+             CAST(floor(({GRID.north!r} - y) / {GRID.res_y!r}) AS BIGINT) AS orow,
+             CAST(floor((x - {GRID.west!r}) / {GRID.res_x!r}) AS BIGINT) AS ocol
+      FROM dst),
+offs AS (SELECT a.i AS dy, b.i AS dx FROM range({lo}, {hi}) a(i), range({lo}, {hi}) b(i)),
+j AS (SELECT m.cell_row, m.cell_col,
+             (CAST(m.orow + o.dy AS DOUBLE) - m.rs) AS dyv,
+             (CAST(m.ocol + o.dx AS DOUBLE) - m.cs) AS dxv,
+             r.value AS v
+      FROM m CROSS JOIN offs o
+      JOIN r ON r.cell_row = m.orow + o.dy AND r.cell_col = m.ocol + o.dx),
+a AS (SELECT cell_row, cell_col,
+             max(CASE WHEN dxv * dxv + dyv * dyv = 0.0 THEN v END) AS ex,
+             sum(CASE WHEN dxv * dxv + dyv * dyv > 0.0
+                      THEN v / (dxv * dxv + dyv * dyv) END) AS swv,
+             sum(CASE WHEN dxv * dxv + dyv * dyv > 0.0
+                      THEN 1.0 / (dxv * dxv + dyv * dyv) END) AS sw
+      FROM j GROUP BY cell_row, cell_col)
+SELECT d.cell_row, d.cell_col, round(coalesce(a.ex, a.swv / a.sw), 6) AS value
+FROM dst d LEFT JOIN a USING (cell_row, cell_col)
+"""
+
+
+ORACLE_SQL["resample_bilinear"] = _resample_idw_sql(0, 2)
+ORACLE_SQL["resample_cc"] = _resample_idw_sql(-1, 3)

@@ -27,6 +27,15 @@ Parity contracts:
   class contingency table.
 - Resample nearest-neighbour (image_analysis/resample.rs): target cell
   center -> source (row, col) via the source transforms -> value.
+- Resample bilinear / cubic-convolution (resample.rs:325-475): both are
+  inverse-distance-squared weightings of the source neighbourhood around
+  the fractional source coordinate — a 2x2 window (shifts 0..1) for
+  "bilinear", a 4x4 window (shifts -1..2) for "cc"; w = 1/(dx^2+dy^2),
+  z = sum(w*v)/sum(w). Exact-center hits (dx=dy=0) return the source
+  value directly. Deviation: the reference's exact-hit test is
+  ``dx + dy == 0`` (resample.rs:353, :438), which also fires on the
+  measure-zero diagonal dx = -dy where it then reads an uninitialized
+  stale weight — we use the well-defined dx^2+dy^2 == 0 test instead.
 """
 
 from __future__ import annotations
@@ -226,3 +235,84 @@ def resample_nn(src: DataFrame, src_cfg: GridConfig, dst_cfg: GridConfig) -> Dat
         F.col("row").alias("_sr"), F.col("col").alias("_sc"), F.col("value")
     )
     return d.join(s, ["_sr", "_sc"], "left").select("row", "col", "value")
+
+
+_IDW_SHIFTS = {
+    # "bilinear": the 2x2 cell square around the fractional source coord
+    # (resample.rs:406-407); "cc": the 4x4 square (resample.rs:320-321).
+    "bilinear": [(dy, dx) for dy in (0, 1) for dx in (0, 1)],
+    "cc": [(dy, dx) for dy in (-1, 0, 1, 2) for dx in (-1, 0, 1, 2)],
+}
+
+
+def resample_idw(
+    src: DataFrame, src_cfg: GridConfig, dst_cfg: GridConfig, method: str = "bilinear"
+) -> DataFrame:
+    """Resample with the reference's inverse-distance-squared neighbourhood
+    weighting (resample.rs:325-475): fractional source coordinate from the
+    target cell center, floor() origin, w = 1/(dx^2+dy^2) over the window,
+    NoData neighbours skipped (absent rows in the sparse frame). The window
+    explode + equi-join keeps everything in whole-stage codegen and scales
+    as one hash shuffle on (source row, col)."""
+    if method not in _IDW_SHIFTS:
+        raise ValueError(f"method must be one of {sorted(_IDW_SHIFTS)} or 'nn'")
+    from whitebox_tools_spark.operators.gridding import cell_centers
+
+    shifts = _IDW_SHIFTS[method]
+    dst = cell_centers(src.sparkSession, dst_cfg)
+    rsrc = (F.lit(src_cfg.north) - F.col("y")) / F.lit(src_cfg.res_y)
+    csrc = (F.col("x") - F.lit(src_cfg.west)) / F.lit(src_cfg.res_x)
+    d = dst.select(
+        "row", "col", rsrc.alias("_rs"), csrc.alias("_cs"),
+        F.floor(rsrc).alias("_or"), F.floor(csrc).alias("_oc"),
+    )
+    offs = F.array(*[F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx")) for dy, dx in shifts])
+    e = d.select(
+        "row", "col", "_rs", "_cs", "_or", "_oc",
+        F.explode(offs).alias("_o"),
+    ).select(
+        "row", "col", "_rs", "_cs",
+        (F.col("_or") + F.col("_o.dy")).alias("_sr"),
+        (F.col("_oc") + F.col("_o.dx")).alias("_sc"),
+    )
+    s = src.select(F.col("row").alias("_sr"), F.col("col").alias("_sc"), "value")
+    j = e.join(s, ["_sr", "_sc"], "inner")
+    dy = F.col("_sr").cast("double") - F.col("_rs")
+    dx = F.col("_sc").cast("double") - F.col("_cs")
+    d2 = dx * dx + dy * dy
+    agg = j.groupBy("row", "col").agg(
+        F.max(F.when(d2 == 0.0, F.col("value"))).alias("_exact"),
+        F.sum(F.when(d2 > 0.0, F.col("value") / d2)).alias("_swv"),
+        F.sum(F.when(d2 > 0.0, F.lit(1.0) / d2)).alias("_sw"),
+    )
+    out = agg.select(
+        "row", "col",
+        F.coalesce(F.col("_exact"), F.col("_swv") / F.col("_sw")).alias("value"),
+    )
+    return dst.select("row", "col").join(out, ["row", "col"], "left")
+
+
+def mosaic_resample(
+    inputs: list[tuple[DataFrame, GridConfig]], dst_cfg: GridConfig, method: str = "nn"
+) -> DataFrame:
+    """Mosaic with a resampling method (mosaic.rs:20-24, same kernels as
+    resample.rs): each input is resampled onto the destination grid and the
+    FIRST input that yields a value at a cell wins (the reference's
+    per-file loop with early exit). Input-order coalesce over per-input
+    resamples reproduces that exactly."""
+    parts = []
+    for src, cfg in inputs:
+        if method == "nn":
+            parts.append(resample_nn(src, cfg, dst_cfg))
+        else:
+            parts.append(resample_idw(src, cfg, dst_cfg, method))
+    renamed = [
+        p.select("row", "col", F.col("value").alias(f"_v{i}")) for i, p in enumerate(parts)
+    ]
+    from functools import reduce
+
+    joined = reduce(lambda a, b: a.join(b, ["row", "col"], "full_outer"), renamed)
+    return joined.select(
+        "row", "col",
+        F.coalesce(*[F.col(f"_v{i}") for i in range(len(renamed))]).alias("value"),
+    )
