@@ -22,9 +22,11 @@ class TestAnn:
         truth = {(r["qid"], r["vec_id"]) for r in bf.collect()}
         approx = {(r["qid"], r["vec_id"]) for r in ls.collect()}
         recall = len(truth & approx) / len(truth)
-        # random 64-dim embeddings are a worst case for LSH; the point is
-        # the pipeline shape — just require meaningful overlap
-        assert recall >= 0.2, f"LSH recall {recall}"
+        # deterministic planes + deterministic fixture => deterministic
+        # recall: measured 0.42 on the sf0.001 random-64-dim worst case.
+        # Floor = measured minus margin, so a hyperplane/signature
+        # regression that halves recall (0.21) fails loudly.
+        assert recall >= 0.35, f"LSH recall {recall} (expected ~0.42 measured)"
 
     def test_brute_force_topk_shape(self, spark):
         emb = load(spark, SF_DIR, "embeddings")

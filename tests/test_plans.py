@@ -111,6 +111,19 @@ class TestRound2Plans:
         # no aggregate at all: candidates flow straight out of the join
         assert "HashAggregate" not in plan, plan
 
+    def test_viewshed_is_distributed_jvm(self, spark):
+        """Round-3 scale guard: viewshed must not materialize the DEM on
+        the driver (no Python eval nodes — the old mapInPandas kernel
+        implied a driver-side DEM collect + broadcast) and the ray
+        samples must reach the DEM via an equi-join."""
+        from whitebox_tools_spark import api
+
+        plan = _plan(api.QUERIES["viewshed"](spark, SF_DIR))
+        for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+                     "FlatMapGroupsInPandas"):
+            assert node not in plan, node
+        assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
     def test_buffer_geometry_is_generate_only(self, spark):
         """Buffer outline: one Generate over per-part HOFs — no joins,
         no shuffle exchange."""
@@ -146,6 +159,11 @@ BNLJ_ALLOWED = {
     "turning_bands", "lidar_classify_subset", "voronoi_raster",
     "mosaic_feathering", "stddev_stretch", "percentage_stretch",
     "symmetrical_difference_area", "rect_grid",
+    # viewshed family: the DEM crossJoins an explicitly broadcast
+    # viewpoint frame (a handful of rows) — the ray samples themselves
+    # are an equi-join; audited round 3 when the driver-resident DEM
+    # was replaced by this fully distributed pipeline.
+    "viewshed", "visibility_index",
 }
 
 

@@ -345,3 +345,72 @@ p AS (SELECT cand.a, cand.b,
                 JOIN n bn ON bn.vec_id = cand.b)
 SELECT a, b, round(cosr, 6) AS cos FROM p WHERE cosr >= {EMB_NEARDUP_T!r}
 """
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched decode path (fake byte-stats decoder) — the
+    mapInPandas plumbing now has a cross-engine oracle like everything
+    else (the synthetic payload is hex-reconstructible in DuckDB)."""
+    m = media.synth_media(documents(spark, sf_dir))
+    out = media.decode_features(m, decoder="fake")
+    return out.select(
+        "doc_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.round("mean_byte", 6).alias("mean_byte"),
+        F.col("max_byte").cast("long").alias("max_byte"),
+        F.round("entropy8", 6).alias("entropy8"),
+    )
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media.synth_media(documents(spark, sf_dir))
+    out = media.frame_sample(m, every_n_bytes=16)
+    return out.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
+
+
+QUERIES["media_features"] = q_media_features
+QUERIES["frame_sample"] = q_frame_sample
+
+# payload bytes are reconstructible from the md5 hex string: byte i is
+# hex chars [2i+1, 2i+2] of repeat(md5(ref), k); max k = 7 -> 112 bytes
+_MEDIA_BYTES_CTES = """
+m AS (SELECT doc_id,
+             repeat(md5('m://' || CAST(doc_id AS VARCHAR)),
+                    CAST(doc_id % 7 + 1 AS INT)) AS hx
+      FROM documents),
+b AS (SELECT m.doc_id,
+             CAST('0x' || substr(m.hx, CAST(2 * g.i + 1 AS INT), 2) AS INT) AS byte
+      FROM m, range(0, 112) g(i)
+      WHERE g.i < length(m.hx) // 2)"""
+
+ORACLE_SQL["media_features"] = f"""
+WITH {_MEDIA_BYTES_CTES},
+s AS (SELECT doc_id, count(*) AS n_bytes, avg(byte) AS mean_byte,
+             max(byte) AS max_byte
+      FROM b GROUP BY doc_id),
+h AS (SELECT doc_id, byte // 32 AS bin, count(*) AS c FROM b GROUP BY doc_id, bin),
+t AS (SELECT doc_id, sum(c) AS n FROM h GROUP BY doc_id),
+e AS (SELECT h.doc_id,
+             -sum((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)) AS entropy8
+      FROM h JOIN t USING (doc_id) GROUP BY h.doc_id)
+SELECT s.doc_id, CAST(s.n_bytes AS BIGINT) AS n_bytes,
+       round(s.mean_byte, 6) AS mean_byte,
+       CAST(s.max_byte AS BIGINT) AS max_byte,
+       round(e.entropy8, 6) AS entropy8
+FROM s JOIN e USING (doc_id)
+"""
+
+ORACLE_SQL["frame_sample"] = """
+WITH m AS (SELECT doc_id,
+                  repeat(md5('m://' || CAST(doc_id AS VARCHAR)),
+                         CAST(doc_id % 7 + 1 AS INT)) AS hx
+           FROM documents)
+SELECT m.doc_id, CAST(g.i AS BIGINT) AS frame_idx,
+       substr(m.hx, CAST(32 * g.i + 1 AS INT), 32) AS frame_hex
+FROM m, range(0, 7) g(i)
+WHERE g.i < length(m.hx) // 32
+"""

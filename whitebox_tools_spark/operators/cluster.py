@@ -10,8 +10,8 @@ data-dependent iterative families of SURVEY.md §2.7/§2.8).
   the max upstream order, +1 when >= 2 upstream links share that max.
   Frontier iteration, converges in stream-DAG depth rounds.
 - viewshed (terrain_analysis/viewshed.rs): per-viewpoint line-of-sight;
-  viewpoints are independent (embarrassingly parallel) — each viewpoint's
-  LOS test runs as a numpy kernel over the broadcast DEM.
+  the sampled rays are one explode + equi-join on the DEM + groupBy —
+  fully distributed, no driver-resident DEM, no DEM broadcast.
 """
 
 from __future__ import annotations
@@ -145,105 +145,68 @@ def strahler_order(
     )
 
 
-def dem_grid(dem: DataFrame, cfg: GridConfig) -> np.ndarray:
-    """Dense numpy grid from the JVM-aggregated per-row artifact: the
-    long-form cell frame is compacted to ONE packed array row per DEM
-    row (JVM-side sort+collect_list), so the driver transfer is
-    cfg.rows rows, never a per-cell collect."""
-    packed = (
-        dem.groupBy("row")
-        .agg(F.sort_array(F.collect_list(F.struct("col", "value"))).alias("cells"))
-        .collect()
-    )
-    grid = np.full((cfg.rows, cfg.cols), np.nan)
-    for r in packed:
-        cols = [c["col"] for c in r["cells"]]
-        grid[r["row"], cols] = [c["value"] for c in r["cells"]]
-    return grid
-
-
-def _viewshed_ring_sweep(
-    g: np.ndarray, vr: int, vc: int, z0: float
-) -> np.ndarray:
-    """Visibility grid for one viewpoint: every Chebyshev ring k is
-    evaluated as one (m_cells x k-1) vectorized batch — same sampled-ray
-    arithmetic as the SQL oracle (floor(x+0.5) resampling, max block
-    angle vs target angle), no per-cell Python loop."""
-    nr, nc = g.shape
-    rr, cc = np.meshgrid(np.arange(nr), np.arange(nc), indexing="ij")
-    n_steps = np.maximum(np.abs(rr - vr), np.abs(cc - vc))
-    vis = np.where(np.isnan(g), np.nan, 1.0)
-    kmax = int(n_steps.max())
-    for k in range(2, kmax + 1):
-        mask = (n_steps == k) & ~np.isnan(g)
-        if not mask.any():
-            continue
-        r_t = rr[mask]
-        c_t = cc[mask]
-        ts = np.arange(1, k) / k
-        rs = vr + np.multiply.outer(r_t - vr, ts)
-        cs = vc + np.multiply.outer(c_t - vc, ts)
-        ri = np.clip(np.floor(rs + 0.5).astype(int), 0, nr - 1)
-        ci = np.clip(np.floor(cs + 0.5).astype(int), 0, nc - 1)
-        path_z = g[ri, ci]
-        target_angle = (g[r_t, c_t] - z0) / k
-        block = (path_z - z0) / (k * ts)
-        valid = ~np.isnan(block)
-        bmax = np.where(
-            valid.any(axis=1), np.nanmax(np.where(valid, block, -np.inf), axis=1), -np.inf
-        )
-        hidden = bmax > target_angle + 1e-12
-        vis[r_t[hidden], c_t[hidden]] = 0.0
-    return vis
-
-
 def viewshed(
     dem: DataFrame,
     cfg: GridConfig,
     viewpoints: list[tuple[int, int]],
     station_height: float = 2.0,
 ) -> DataFrame:
-    """Visible (1.0) / hidden (0.0) per cell per viewpoint. Each viewpoint
-    is independent: the DEM broadcasts (from the per-row aggregated
-    artifact, see dem_grid), viewpoints parallelize; each viewpoint's
-    sweep is ring-vectorized numpy (no per-cell Python loop)."""
-    grid = dem_grid(dem, cfg)
+    """Visible (1.0) / hidden (0.0) per cell per viewpoint
+    (terrain_analysis/viewshed.rs, sampled-ray engine semantics): for a
+    target at Chebyshev distance n, the ray is resampled at j/n
+    (floor(x + 0.5) nearest-cell) and the cell is hidden when the max
+    blocking angle (z_path - z0)/(n * t) exceeds the target angle
+    (z_t - z0)/n. Fully distributed: small viewpoint frame broadcasts,
+    ray samples are one explode + equi-join on the DEM + groupBy — the
+    DEM never materializes on the driver and never broadcasts, so the
+    plan survives a 100x DEM (shuffle partitions by cell keys carry all
+    the state)."""
     spark = dem.sparkSession
-    bc = spark.sparkContext.broadcast(grid)
-
     vp_df = local_df(
         spark,
         [(i, int(r), int(c)) for i, (r, c) in enumerate(viewpoints)],
         columns=["vp", "vr", "vc"],
     ).selectExpr("CAST(vp AS INT) AS vp", "vr", "vc")
-    schema = T.StructType(
-        [
-            T.StructField("vp", T.IntegerType()),
-            T.StructField("row", T.LongType()),
-            T.StructField("col", T.LongType()),
-            T.StructField("value", T.DoubleType()),
-        ]
+    # viewpoint elevations: NaN/missing viewpoint cells drop (no output)
+    vpz = vp_df.join(
+        dem, (dem["row"] == vp_df["vr"]) & (dem["col"] == vp_df["vc"])
+    ).select("vp", "vr", "vc", (F.col("value") + F.lit(station_height)).alias("z0"))
+    n = F.greatest(
+        F.abs(F.col("row") - F.col("vr")), F.abs(F.col("col") - F.col("vc"))
     )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        g = bc.value
-        for pdf in batches:
-            for vp, vr, vc in zip(pdf["vp"], pdf["vr"], pdf["vc"]):
-                if np.isnan(g[vr, vc]):
-                    continue
-                vis = _viewshed_ring_sweep(g, int(vr), int(vc), g[vr, vc] + station_height)
-                ok = ~np.isnan(vis)
-                r_i, c_i = np.nonzero(ok)
-                yield pd.DataFrame(
-                    {
-                        "vp": np.full(len(r_i), int(vp), dtype=np.int32),
-                        "row": r_i.astype(np.int64),
-                        "col": c_i.astype(np.int64),
-                        "value": vis[ok],
-                    }
-                )
-
-    return vp_df.mapInPandas(run, schema=schema)
+    tgt = (
+        dem.select("row", "col", F.col("value").alias("tz"))
+        .crossJoin(F.broadcast(vpz))
+        .withColumn("n", n)
+    )
+    stp = (
+        tgt.where(F.col("n") >= 2)
+        .withColumn("i", F.explode(F.sequence(F.lit(1).cast("long"), F.col("n") - 1)))
+        .withColumn("tt", F.col("i").cast("double") / F.col("n"))
+    )
+    pth = stp.select(
+        "vp", "row", "col", "n", "z0", "tt",
+        F.floor(F.col("vr") + (F.col("row") - F.col("vr")) * F.col("tt") + 0.5)
+        .cast("long").alias("ri"),
+        F.floor(F.col("vc") + (F.col("col") - F.col("vc")) * F.col("tt") + 0.5)
+        .cast("long").alias("ci"),
+    )
+    pz = dem.select(
+        F.col("row").alias("ri"), F.col("col").alias("ci"), F.col("value").alias("pz")
+    )
+    ang = (
+        pth.join(pz, ["ri", "ci"])
+        .groupBy("vp", "row", "col")
+        .agg(F.max((F.col("pz") - F.col("z0")) / (F.col("n") * F.col("tt"))).alias("mx"))
+    )
+    out = tgt.join(ang, ["vp", "row", "col"], "left")
+    hidden = F.col("mx") > (F.col("tz") - F.col("z0")) / F.greatest(
+        F.col("n"), F.lit(1)
+    ) + F.lit(1e-12)
+    return out.select(
+        "vp", "row", "col",
+        F.when(hidden, F.lit(0.0)).otherwise(F.lit(1.0)).alias("value"),
+    )
 
 
 def modified_kmeans(

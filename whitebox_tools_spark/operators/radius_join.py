@@ -165,20 +165,34 @@ def knn_join(
         return _knn_join_loop(points, queries, k, radius, query_id, x, y, squared)
     hist = _cell_histogram(points, radius, x, y)
     bc = spark.sparkContext.broadcast(hist)
-    inv_r = 1.0 / (radius * 0.5)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
-    def candidate_cells(xs: pd.Series, ys: pd.Series) -> pd.Series:
+    def candidate_cells(qis: pd.Series, qjs: pd.Series) -> pd.Series:
         h = bc.value
-        qi = np.floor(xs.to_numpy(dtype=np.float64) * inv_r).astype(np.int64)
-        qj = np.floor(ys.to_numpy(dtype=np.float64) * inv_r).astype(np.int64)
         return pd.Series(
-            [_stop_shell_and_cells(h, int(a), int(b), k) for a, b in zip(qi, qj)]
+            [_stop_shell_and_cells(h, int(a), int(b), k) for a, b in zip(qis, qjs)]
         )
 
     pts = _prep_points(points, radius, x, y)
-    q = queries.withColumn("_cand", candidate_cells(F.col(x), F.col(y)))
-    probe = q.select("*", F.explode("_cand").alias("probe_key")).drop("_cand")
+    # every query in a cell shares the same candidate set, so the ring
+    # replay runs ONCE per DISTINCT occupied query cell (the spatial
+    # histogram scale, not the query-row scale) and joins back — at
+    # 10^12 query rows the Python replay cost is bounded by cell
+    # occupancy, not row count
+    q = with_cell(queries, radius, x, y, prefix="_qc")
+    dcells = (
+        q.select("_qc_i", "_qc_j", "_qc_key")
+        .distinct()
+        .select(
+            "_qc_key",
+            candidate_cells(F.col("_qc_i"), F.col("_qc_j")).alias("_cand"),
+        )
+    )
+    probe = (
+        q.join(dcells, "_qc_key")
+        .select("*", F.explode("_cand").alias("probe_key"))
+        .drop("_cand", "_qc_key", "_qc_i", "_qc_j")
+    )
     joined = probe.join(pts, probe.probe_key == pts.cell_key_p, "inner").drop(
         "probe_key", "cell_key_p"
     )

@@ -314,14 +314,28 @@ def minhash_dedup_pairs(
     """Full MinHash-LSH near-dup pipeline: signature -> bands -> candidate
     join -> exact Jaccard filter.
 
-    verify='auto' counts the corpus vocabulary (one countDistinct over the
-    exploded token hashes) and verifies with dictionary bitmaps when it
-    fits MAX_BITMAP_BITS, else with the generic long-array intersect;
-    'bitmap'/'array' force a path. Both verifies are exact and emit
-    identical rows — the bitmap path is the bounded-vocabulary fast lane
-    (classic similarity-join dictionary encoding), the array path is the
-    open-vocabulary scale path."""
+    verify='auto' probes a SMALL document sample (CollectLimit — no full
+    corpus scan) for its vocabulary size: if the sample alone exceeds
+    MAX_BITMAP_BITS distinct token hashes the corpus certainly does, so
+    the open-vocabulary long-array path is chosen with zero extra
+    full-corpus passes (the 100-TB default). Only when the probe stays
+    bounded (small fixture corpora) does one exact countDistinct run to
+    size the dictionary bitmaps. 'bitmap'/'array' force a path. Both
+    verifies are exact and emit identical rows — the bitmap path is the
+    bounded-vocabulary fast lane (classic similarity-join dictionary
+    encoding), the array path is the open-vocabulary scale path."""
     pairs = minhash_candidates(docs, record, text)
+    if verify == "auto":
+        probe = int(
+            docs.select(text)
+            .limit(256)
+            .select(F.explode(token_hashes(F.col(text))).alias("h"))
+            .agg(F.countDistinct("h"))
+            .collect()[0][0]
+            or 0
+        )
+        if probe > MAX_BITMAP_BITS:
+            return jaccard_pairs(docs, pairs, threshold, record, text)
     if verify in ("auto", "bitmap"):
         v = int(
             docs.select(F.explode(token_hashes(F.col(text))).alias("h"))
