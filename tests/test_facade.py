@@ -28,8 +28,8 @@ def test_every_oracle_backed_tool_resolves_or_names_machinery(spark):
             assert callable(fn)
         except NotImplementedError:
             unresolved.append(tool)
-    # the handful of catalog-inline tools raise with their machinery named
-    assert len(unresolved) <= 6, unresolved
+    # round 3: every oracle-backed tool resolves to an operator function
+    assert unresolved == [], unresolved
 
 
 def test_tool_info_and_unknown(spark):

@@ -25,6 +25,7 @@ from whitebox_tools_spark.catalog_focal import (
 from whitebox_tools_spark.localrel import local_df
 from whitebox_tools_spark.operators import filters as flt
 from whitebox_tools_spark.operators import local_math as lm
+from whitebox_tools_spark.operators import raster as rop
 from whitebox_tools_spark.operators import zonal
 from whitebox_tools_spark.sources import vectors
 from whitebox_tools_spark.sources.tables import documents
@@ -119,11 +120,9 @@ SELECT cell_row, cell_col, {out} AS value FROM nb
 
 
 def q_flip_image(spark, sf_dir):
-    r = _raster(spark, sf_dir)
-    return r.select(
-        (F.lit(GRID.rows - 1) - F.col("row")).alias("cell_row"),
-        F.col("col").alias("cell_col"),
-        "value",
+    out = rop.flip_image(_raster(spark, sf_dir), GRID, "vertical")
+    return out.select(
+        F.col("row").alias("cell_row"), F.col("col").alias("cell_col"), "value"
     )
 
 
@@ -154,29 +153,13 @@ def q_raster_histogram(spark, sf_dir):
 
 
 def q_lidar_thin(spark, sf_dir):
-    geo = _geo(spark, sf_dir)
-    ci = F.floor(F.col("x") / THIN_RES).cast("long")
-    cj = F.floor(F.col("y") / THIN_RES).cast("long")
-    w = Window.partitionBy("ci", "cj").orderBy("doc_id")
-    return (
-        geo.select("doc_id", ci.alias("ci"), cj.alias("cj"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("doc_id")
-    )
+    from whitebox_tools_spark.operators.cells import thin_points
+    return thin_points(_geo(spark, sf_dir), THIN_RES, "doc_id", 1).select("doc_id")
 
 
 def q_lidar_thin_high_density(spark, sf_dir):
-    geo = _geo(spark, sf_dir)
-    ci = F.floor(F.col("x") / THIN_RES).cast("long")
-    cj = F.floor(F.col("y") / THIN_RES).cast("long")
-    w = Window.partitionBy("ci", "cj").orderBy("doc_id")
-    return (
-        geo.select("doc_id", ci.alias("ci"), cj.alias("cj"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= THIN_MAX)
-        .select("doc_id")
-    )
+    from whitebox_tools_spark.operators.cells import thin_points
+    return thin_points(_geo(spark, sf_dir), THIN_RES, "doc_id", THIN_MAX).select("doc_id")
 
 
 # --------------------------------------------------- inflow neighbour count
@@ -210,20 +193,9 @@ def q_num_inflowing(spark, sf_dir):
 
 def q_image_stack_profile(spark, sf_dir):
     pts = _geo(spark, sf_dir).where(F.pmod("doc_id", F.lit(PROFILE_MOD)) == 0)
-    cell_r = F.floor((F.lit(GRID.north) - F.col("y")) / F.lit(GRID.res_y)).cast("long")
-    cell_c = F.floor((F.col("x") - F.lit(GRID.west)) / F.lit(GRID.res_x)).cast("long")
-    p = pts.select("doc_id", cell_r.alias("row"), cell_c.alias("col")).where(
-        (F.col("row") >= 0) & (F.col("row") < GRID.rows)
-        & (F.col("col") >= 0) & (F.col("col") < GRID.cols)
+    return rop.image_stack_profile(
+        pts, [_raster(spark, sf_dir), _zfirst(spark, sf_dir)], GRID, "doc_id"
     )
-    out = []
-    for i, r in enumerate([_raster(spark, sf_dir), _zfirst(spark, sf_dir)]):
-        out.append(
-            p.join(r, ["row", "col"], "left").select(
-                "doc_id", F.lit(i).alias("image"), F.col("value").alias("z")
-            )
-        )
-    return out[0].unionByName(out[1])
 
 
 # --------------------------------------------------- raster clip / erase
@@ -959,16 +931,11 @@ def q_histogram_matching_uniform(spark, sf_dir):
     # cdf = P(value <= z). Computed via a value-level aggregation +
     # running sum over distinct values (no whole-raster single-partition
     # window).
-    r = _raster(spark, sf_dir)
-    n = r.count()
-    counts = r.groupBy("value").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    cdf = counts.withColumn("cum", F.sum("c").over(w)).select(
-        "value", (F.col("cum").cast("double") / F.lit(float(n))).alias("cdf")
-    )
-    return r.join(cdf, "value").select(
+    from whitebox_tools_spark.operators import enhance as _enh
+    out = _enh.histogram_matching_uniform(_raster(spark, sf_dir), 256)
+    return out.select(
         F.col("row").alias("cell_row"), F.col("col").alias("cell_col"),
-        F.round(F.col("cdf") * 255.0, 6).alias("value"),
+        F.round("value", 6).alias("value"),
     )
 
 
@@ -1026,26 +993,8 @@ def _probit_sql(p: str) -> str:
     )
 
 
-def _horner_col(coeffs, var):
-    out = F.lit(coeffs[0])
-    for c in coeffs[1:]:
-        out = out * var + F.lit(c)
-    return out
-
-
-def _probit_col(p):
-    ql = F.sqrt(-2.0 * F.log(p))
-    qh = F.sqrt(-2.0 * F.log(1.0 - p))
-    qm = p - 0.5
-    rm = qm * qm
-    low = _horner_col(_ACK_C, ql) / (_horner_col(_ACK_D, ql) * ql + 1.0)
-    high = -(_horner_col(_ACK_C, qh) / (_horner_col(_ACK_D, qh) * qh + 1.0))
-    mid = _horner_col(_ACK_A, rm) * qm / (_horner_col(_ACK_B, rm) * rm + 1.0)
-    return (
-        F.when(p < _ACK_PLOW, low)
-        .when(p > 1.0 - _ACK_PLOW, high)
-        .otherwise(mid)
-    )
+# Column-side probit now lives with the operator (operators.enhance
+# probit_col); the SQL renderer below stays here with the oracles.
 
 
 def q_gaussian_stretch(spark, sf_dir):
@@ -1053,17 +1002,11 @@ def q_gaussian_stretch(spark, sf_dir):
     # histogram-match the raster onto a standard gaussian — out =
     # probit((rank - 0.5) / n) via Acklam's approximation (the reference
     # interpolates a binned gaussian CDF lookup instead).
-    r = _raster(spark, sf_dir)
-    n = r.count()
-    counts = r.groupBy("value").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    cdf = counts.withColumn("cum", F.sum("c").over(w)).select(
-        "value",
-        ((F.col("cum").cast("double") - 0.5) / F.lit(float(n))).alias("p"),
-    )
-    return r.join(cdf, "value").select(
+    from whitebox_tools_spark.operators import enhance as _enh
+    out = _enh.gaussian_contrast_stretch(_raster(spark, sf_dir))
+    return out.select(
         F.col("row").alias("cell_row"), F.col("col").alias("cell_col"),
-        F.round(_probit_col(F.col("p")), 6).alias("value"),
+        F.round("value", 6).alias("value"),
     )
 
 

@@ -119,3 +119,29 @@ def explode_salt(small: DataFrame, n_salt: int = 8, out: str = "salt") -> DataFr
     return small.withColumn(
         out, F.explode(F.array(*[F.lit(s).cast("int") for s in range(n_salt)]))
     )
+
+
+def thin_points(
+    points: DataFrame,
+    resolution: float,
+    record: str = "doc_id",
+    max_per_cell: int = 1,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """LidarThin / LidarThinHighDensity (lidar_analysis/lidar_thin.rs,
+    lidar_thin_high_density.rs, engine form): keep the first
+    ``max_per_cell`` points per resolution cell, deterministic by record
+    id. One window over the cell key — scales as one hash shuffle."""
+    from pyspark.sql import Window
+
+    ci = F.floor(F.col(x) / F.lit(resolution)).cast("long")
+    cj = F.floor(F.col(y) / F.lit(resolution)).cast("long")
+    w = Window.partitionBy("_ci", "_cj").orderBy(record)
+    return (
+        points.withColumn("_ci", ci)
+        .withColumn("_cj", cj)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_per_cell)
+        .drop("_ci", "_cj", "_rn")
+    )

@@ -292,6 +292,77 @@ def resample_idw(
     return dst.select("row", "col").join(out, ["row", "col"], "left")
 
 
+# ---------------------------------------------- value-level CDF stretches
+
+# Acklam's rational approximation of the inverse normal CDF; the same
+# coefficient chain is rendered as a Spark Column here and as SQL text in
+# the catalog oracle, so both engines evaluate an identical expression tree.
+ACK_A = (-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+         1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00)
+ACK_B = (-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+         6.680131188771972e+01, -1.328068155288572e+01)
+ACK_C = (-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+         -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00)
+ACK_D = (7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+         3.754408661907416e+00)
+ACK_PLOW = 0.02425
+
+
+def horner_col(coeffs, var):
+    out = F.lit(coeffs[0])
+    for c in coeffs[1:]:
+        out = out * var + F.lit(c)
+    return out
+
+
+def probit_col(p):
+    """Inverse normal CDF as a pure codegen Column (Acklam 2003)."""
+    ql = F.sqrt(-2.0 * F.log(p))
+    qh = F.sqrt(-2.0 * F.log(1.0 - p))
+    qm = p - 0.5
+    rm = qm * qm
+    low = horner_col(ACK_C, ql) / (horner_col(ACK_D, ql) * ql + 1.0)
+    high = -(horner_col(ACK_C, qh) / (horner_col(ACK_D, qh) * qh + 1.0))
+    mid = horner_col(ACK_A, rm) * qm / (horner_col(ACK_B, rm) * rm + 1.0)
+    return F.when(p < ACK_PLOW, low).when(p > 1.0 - ACK_PLOW, high).otherwise(mid)
+
+
+def _value_cdf(raster: DataFrame, half_up: bool) -> DataFrame:
+    """(value, p) frame: p = P(v <= value), or the rank-center
+    (cum - 0.5)/n when half_up. Value-level aggregation + running sum over
+    DISTINCT values — never a whole-raster single-partition window."""
+    from pyspark.sql import Window
+
+    n = raster.count()
+    counts = raster.groupBy("value").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum("c").over(w).cast("double")
+    p = (cum - 0.5) / F.lit(float(n)) if half_up else cum / F.lit(float(n))
+    return counts.withColumn("p", p).select("value", "p")
+
+
+def histogram_matching_uniform(raster: DataFrame, num_tones: int = 256) -> DataFrame:
+    """HistogramMatching (image_analysis/histogram_matching.rs) with a
+    uniform target on [0, num_tones-1]: the target quantile function is
+    t -> (num_tones-1) * t, so out = cdf(z) * (num_tones-1)."""
+    cdf = _value_cdf(raster, half_up=False)
+    return raster.join(cdf, "value").select(
+        "row", "col", (F.col("p") * float(num_tones - 1)).alias("value")
+    )
+
+
+def gaussian_contrast_stretch(raster: DataFrame) -> DataFrame:
+    """GaussianContrastStretch (gaussian_contrast_stretch.rs, engine
+    form): histogram-match onto a standard gaussian — out =
+    probit((rank - 0.5)/n) via Acklam's analytic approximation (the
+    reference interpolates a binned gaussian CDF lookup; documented
+    deviation)."""
+    cdf = _value_cdf(raster, half_up=True)
+    return raster.join(cdf, "value").select(
+        "row", "col", probit_col(F.col("p")).alias("value")
+    )
+
+
 def mosaic_resample(
     inputs: list[tuple[DataFrame, GridConfig]], dst_cfg: GridConfig, method: str = "nn"
 ) -> DataFrame:

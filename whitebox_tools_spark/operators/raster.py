@@ -252,3 +252,47 @@ def clip_raster_to_polygon(
             yield pdf[~inside if erase else inside]
 
     return raster.mapInPandas(run, schema=schema)
+
+
+def flip_image(
+    raster: DataFrame, cfg: GridConfig, direction: str = "vertical"
+) -> DataFrame:
+    """FlipImage (image_analysis/flip_image.rs): reflect the raster about
+    the horizontal axis ('vertical' flips rows), the vertical axis
+    ('horizontal' flips cols), or both. Pure projection — no shuffle."""
+    row, col = F.col("row"), F.col("col")
+    if direction in ("vertical", "both"):
+        row = F.lit(cfg.rows - 1) - F.col("row")
+    if direction in ("horizontal", "both"):
+        col = F.lit(cfg.cols - 1) - F.col("col")
+    if direction not in ("vertical", "horizontal", "both"):
+        raise ValueError("direction must be vertical|horizontal|both")
+    return raster.select(row.alias("row"), col.alias("col"), "value")
+
+
+def image_stack_profile(
+    points: DataFrame,
+    rasters: list[DataFrame],
+    cfg: GridConfig,
+    record: str = "doc_id",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """ImageStackProfile (image_analysis/image_stack_profile.rs): sample
+    every raster in the stack at each point -> (record, image index, z).
+    One cell-key equi-join per raster, unioned."""
+    row, col = rowcol_cols(cfg, x, y)
+    p = points.select(F.col(record), row.alias("row"), col.alias("col")).where(
+        (F.col("row") >= 0) & (F.col("row") < cfg.rows)
+        & (F.col("col") >= 0) & (F.col("col") < cfg.cols)
+    )
+    parts = [
+        p.join(r, ["row", "col"], "left").select(
+            record, F.lit(i).alias("image"), F.col("value").alias("z")
+        )
+        for i, r in enumerate(rasters)
+    ]
+    out = parts[0]
+    for nxt in parts[1:]:
+        out = out.unionByName(nxt)
+    return out
