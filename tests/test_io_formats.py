@@ -1,0 +1,285 @@
+"""Round-trip + Spark-path tests for the native format codecs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from whitebox_tools_spark.io import ascii_grid, geotiff, las, shapefile
+from whitebox_tools_spark.operators.gridding import GridConfig
+
+CFG = GridConfig(rows=37, cols=23, north=1000.0, west=500.0, res_x=10.0, res_y=10.0)
+
+
+def _demo_grid(dtype="f4", seed=7):
+    rng = np.random.default_rng(seed)
+    g = rng.normal(100.0, 25.0, size=(CFG.rows, CFG.cols))
+    if np.dtype(dtype).kind in "iu":
+        g = np.round(g)
+    g = g.astype(dtype)
+    g[0, 0] = CFG.nodata
+    return g
+
+
+# ------------------------------------------------------------------ geotiff
+
+@pytest.mark.parametrize("dtype", ["f4", "f8", "i2", "u1"])
+@pytest.mark.parametrize("compression", [1, 8])
+def test_geotiff_roundtrip(dtype, compression):
+    g = _demo_grid(dtype)
+    data = geotiff.encode_geotiff(g, CFG, compression=compression, rows_per_strip=8)
+    cfg2, g2 = geotiff.decode_geotiff(data)
+    assert (cfg2.rows, cfg2.cols) == (CFG.rows, CFG.cols)
+    assert cfg2.north == CFG.north and cfg2.west == CFG.west
+    assert cfg2.res_x == CFG.res_x and cfg2.nodata == CFG.nodata
+    np.testing.assert_array_equal(g2, g.astype(np.float64))
+
+
+def test_geotiff_big_endian():
+    g = _demo_grid("f4")
+    data = geotiff.encode_geotiff(g, CFG, byteorder=">", compression=1)
+    assert data[:2] == b"MM"
+    cfg2, g2 = geotiff.decode_geotiff(data)
+    np.testing.assert_array_equal(g2, g.astype(np.float64))
+
+
+def test_geotiff_single_strip():
+    g = _demo_grid("f8")
+    data = geotiff.encode_geotiff(g, CFG, rows_per_strip=CFG.rows)
+    _, g2 = geotiff.decode_geotiff(data)
+    np.testing.assert_array_equal(g2, g)
+
+
+def test_geotiff_rejects_garbage():
+    with pytest.raises(ValueError):
+        geotiff.decode_geotiff(b"not a tiff at all")
+
+
+def test_geotiff_spark_read_write(spark, tmp_path):
+    g = _demo_grid("f4")
+    p = str(tmp_path / "dem.tif")
+    with open(p, "wb") as f:
+        f.write(geotiff.encode_geotiff(g, CFG))
+    df = geotiff.read_geotiff(spark, p, batch_rows=16)
+    assert df.count() == CFG.rows * CFG.cols
+    got = {(r["row"], r["col"]): r["value"] for r in df.where("row < 2").collect()}
+    for c in range(CFG.cols):
+        assert got[(0, c)] == pytest.approx(float(g[0, c]))
+    # write back from the DataFrame and re-read
+    out = str(tmp_path / "out.tif")
+    geotiff.write_geotiff(df, CFG, out, dtype="f4")
+    cfg3, g3 = geotiff.decode_geotiff(open(out, "rb").read())
+    np.testing.assert_array_equal(g3, g.astype(np.float64))
+
+
+def test_geotiff_tiled_write_mosaics_back(spark, tmp_path):
+    g = _demo_grid("f4")
+    p = str(tmp_path / "dem.tif")
+    with open(p, "wb") as f:
+        f.write(geotiff.encode_geotiff(g, CFG))
+    df = geotiff.read_geotiff(spark, p)
+    files = geotiff.write_geotiff_tiles(df, CFG, str(tmp_path / "tiles"), tile_rows=10)
+    assert len(files) == 4  # ceil(37/10)
+    rows_seen = 0
+    for fp in files:
+        bcfg, band = geotiff.decode_geotiff(open(fp, "rb").read())
+        r0 = round((CFG.north - bcfg.north) / CFG.res_y)
+        np.testing.assert_array_equal(band, g[r0:r0 + bcfg.rows].astype(np.float64))
+        rows_seen += bcfg.rows
+    assert rows_seen == CFG.rows
+    # and the distributed reader over the tile directory sees every cell
+    df2 = geotiff.read_geotiff(spark, str(tmp_path / "tiles"))
+    assert df2.count() == CFG.rows * CFG.cols
+
+
+# ------------------------------------------------------------------ las
+
+def _demo_points(n=500, seed=3):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "x": rng.uniform(500, 900, n).round(3),
+        "y": rng.uniform(100, 400, n).round(3),
+        "z": rng.uniform(0, 50, n).round(3),
+        "intensity": rng.integers(0, 4096, n),
+        "return_num": rng.integers(1, 4, n),
+        "num_returns": np.full(n, 3),
+        "classification": rng.integers(0, 10, n),
+        "scan_angle": rng.integers(-15, 15, n),
+        "point_source_id": rng.integers(0, 4, n),
+        "gps_time": rng.uniform(1e5, 2e5, n),
+    })
+
+
+@pytest.mark.parametrize("fmt", [0, 1])
+def test_las_roundtrip(fmt):
+    pdf = _demo_points()
+    data = las.encode_las(pdf, point_format=fmt)
+    (out,) = list(las.decode_las(data))
+    # x/y/z quantized at 0.001 like the reference (las.rs:152-154); inputs
+    # are already on the grid so equality is exact up to float repr
+    np.testing.assert_allclose(out["x"], pdf["x"], atol=5e-4)
+    np.testing.assert_allclose(out["y"], pdf["y"], atol=5e-4)
+    np.testing.assert_allclose(out["z"], pdf["z"], atol=5e-4)
+    np.testing.assert_array_equal(out["intensity"], pdf["intensity"])
+    np.testing.assert_array_equal(out["classification"], pdf["classification"])
+    np.testing.assert_array_equal(out["return_num"], pdf["return_num"])
+    np.testing.assert_array_equal(out["scan_angle"], pdf["scan_angle"])
+    if fmt == 1:
+        np.testing.assert_array_equal(out["gps_time"], pdf["gps_time"])
+    else:
+        assert out["gps_time"].isna().all()
+
+
+def test_las_batched_decode():
+    pdf = _demo_points(1000)
+    data = las.encode_las(pdf)
+    batches = list(las.decode_las(data, batch_points=256))
+    assert [len(b) for b in batches] == [256, 256, 256, 232]
+    np.testing.assert_allclose(pd.concat(batches)["x"].to_numpy(), pdf["x"], atol=5e-4)
+
+
+def test_las_rejects_garbage():
+    with pytest.raises(ValueError):
+        next(las.decode_las(b"NOPE" + b"\0" * 300))
+
+
+def test_las_spark_read_and_tiles(spark, tmp_path):
+    pdf = _demo_points(800)
+    p = str(tmp_path / "cloud.las")
+    with open(p, "wb") as f:
+        f.write(las.encode_las(pdf))
+    df = las.read_las(spark, p)
+    assert df.count() == 800
+    assert df.agg({"intensity": "sum"}).first()[0] == int(pdf["intensity"].sum())
+    # tile writer: one .las per quadrant, re-read distributed
+    from pyspark.sql import functions as F
+    tiled = df.withColumn("tile", (F.col("x") > 700).cast("int") * 2 + (F.col("y") > 250).cast("int"))
+    files = las.write_las_tiles(tiled, str(tmp_path / "las_tiles"), "tile")
+    assert 1 <= len(files) <= 4
+    df2 = las.read_las(spark, str(tmp_path / "las_tiles"))
+    assert df2.count() == 800
+
+
+# ------------------------------------------------------------------ shapefile
+
+def test_shapefile_polygon_roundtrip(tmp_path):
+    shell = np.array([[0, 0], [0, 10], [10, 10], [10, 0], [0, 0]], dtype=float)
+    hole = np.array([[2, 2], [2, 4], [4, 4], [4, 2], [2, 2]], dtype=float)[::-1]
+    # shell CW (y-up), hole CCW per spec
+    assert not shapefile.ring_is_hole(shell)
+    assert shapefile.ring_is_hole(hole)
+    recs = [
+        shapefile.ShapeRecord(parts=[shell, hole], shape_type=shapefile.SHP_POLYGON,
+                              attrs={"NAME": "donut", "AREA": 96.0}),
+        shapefile.ShapeRecord(parts=[shell + 20.0], shape_type=shapefile.SHP_POLYGON,
+                              attrs={"NAME": "plain", "AREA": 100.0}),
+    ]
+    base = str(tmp_path / "polys")
+    shapefile.write_shapefile(recs, base)
+    got = shapefile.decode_shapefile(open(base + ".shp", "rb").read(),
+                                     open(base + ".dbf", "rb").read())
+    assert len(got) == 2
+    np.testing.assert_array_equal(got[0].parts[0], shell)
+    np.testing.assert_array_equal(got[0].parts[1], hole)
+    assert got[0].attrs["NAME"] == "donut"
+    assert got[0].attrs["AREA"] == pytest.approx(96.0)
+    feats = shapefile.records_to_features(got)
+    assert feats[0].holes == [False, True]
+
+
+def test_shapefile_points_roundtrip(tmp_path):
+    pts = [shapefile.ShapeRecord(parts=[np.array([[float(i), float(2 * i)]])],
+                                 shape_type=shapefile.SHP_POINT, attrs={"ID": i})
+           for i in range(5)]
+    base = str(tmp_path / "pts")
+    shapefile.write_shapefile(pts, base)
+    got = shapefile.decode_shapefile(open(base + ".shp", "rb").read(),
+                                     open(base + ".dbf", "rb").read())
+    assert [g.attrs["ID"] for g in got] == list(range(5))
+    assert got[3].parts[0][0, 1] == 6.0
+
+
+def test_shapefile_polyline_roundtrip(tmp_path):
+    line = np.array([[0, 0], [5, 5], [10, 3]], dtype=float)
+    recs = [shapefile.ShapeRecord(parts=[line, line + 1], shape_type=shapefile.SHP_POLYLINE)]
+    base = str(tmp_path / "lines")
+    shapefile.write_shapefile(recs, base)
+    got = shapefile.decode_shapefile(open(base + ".shp", "rb").read())
+    assert len(got[0].parts) == 2
+    np.testing.assert_array_equal(got[0].parts[1], line + 1)
+
+
+def test_shapefile_rejects_garbage():
+    with pytest.raises(ValueError):
+        shapefile.decode_shapefile(b"\0" * 120)
+
+
+def test_shapefile_spark_read(spark, tmp_path):
+    shell = np.array([[0, 0], [0, 10], [10, 10], [10, 0], [0, 0]], dtype=float)
+    hole = np.array([[2, 2], [2, 4], [4, 4], [4, 2], [2, 2]], dtype=float)[::-1]
+    recs = [shapefile.ShapeRecord(parts=[shell, hole], shape_type=shapefile.SHP_POLYGON,
+                                  attrs={"NAME": "donut"})]
+    base = str(tmp_path / "layer")
+    shapefile.write_shapefile(recs, base)
+    df = shapefile.read_shapefile(spark, base)
+    rows = {(r["fid"], r["part"]): r for r in df.collect()}
+    assert rows[(0, 0)]["is_hole"] is False
+    assert rows[(0, 1)]["is_hole"] is True
+    assert rows[(0, 0)]["NAME"] == "donut"
+    assert rows[(0, 1)]["xs"][0] == 2.0  # hole ring starts at its canonical first vertex
+
+
+# ------------------------------------------------------------------ arcascii
+
+def test_arcascii_roundtrip():
+    g = _demo_grid("f8")
+    text = ascii_grid.encode_arcascii(g, CFG)
+    cfg2, g2 = ascii_grid.decode_arcascii(text)
+    assert (cfg2.rows, cfg2.cols, cfg2.north, cfg2.west) == (
+        CFG.rows, CFG.cols, CFG.north, CFG.west)
+    np.testing.assert_array_equal(g2, g)
+
+
+def test_arcascii_llcenter_registration():
+    text = "ncols 2\nnrows 2\nxllcenter 5.0\nyllcenter 5.0\ncellsize 10.0\nnodata_value -9999\n1 2\n3 4\n"
+    cfg, g = ascii_grid.decode_arcascii(text)
+    assert cfg.west == 0.0 and cfg.south == 0.0 and cfg.north == 20.0
+    np.testing.assert_array_equal(g, [[1, 2], [3, 4]])
+
+
+def test_arcascii_spark(spark, tmp_path):
+    g = _demo_grid("f8")
+    p = str(tmp_path / "dem.asc")
+    with open(p, "w") as f:
+        f.write(ascii_grid.encode_arcascii(g, CFG))
+    df = ascii_grid.read_arcascii(spark, p)
+    assert df.count() == CFG.rows * CFG.cols
+    out = str(tmp_path / "dem2.asc")
+    ascii_grid.write_arcascii(df, CFG, out)
+    _, g2 = ascii_grid.decode_arcascii(open(out).read())
+    np.testing.assert_array_equal(g2, g)
+
+
+# ------------------------------------------------------------------ cross-format
+
+def test_geotiff_to_arcascii_identity(spark, tmp_path):
+    """Same grid through both codecs agrees cell-for-cell."""
+    g = _demo_grid("f8")
+    tif = str(tmp_path / "a.tif")
+    asc = str(tmp_path / "a.asc")
+    with open(tif, "wb") as f:
+        f.write(geotiff.encode_geotiff(g, CFG))
+    with open(asc, "w") as f:
+        f.write(ascii_grid.encode_arcascii(g, CFG))
+    a = geotiff.read_geotiff(spark, tif).select("row", "col", "value")
+    b = ascii_grid.read_arcascii(spark, asc).select("row", "col", "value")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_print_geotiff_tags():
+    g = _demo_grid("f4")
+    data = geotiff.encode_geotiff(g, CFG)
+    tags = geotiff.print_geotiff_tags(data)
+    assert tags["ImageWidth"] == (CFG.cols,)
+    assert tags["ImageLength"] == (CFG.rows,)
+    assert tags["ModelPixelScaleTag"][:2] == (CFG.res_x, CFG.res_y)
+    assert float(tags["GDAL_NODATA"][0]) == CFG.nodata

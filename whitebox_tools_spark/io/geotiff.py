@@ -1,0 +1,435 @@
+"""GeoTIFF codec: pure struct/numpy, Spark-parallel decode.
+
+Scope (the subset the reference actually reads/writes for single-band
+rasters, src/raster/geotiff/mod.rs:214 read_geotiff / :1564 write_geotiff):
+- classic TIFF, little- or big-endian (reader); writer emits "II" by
+  default with "MM" available for cross-endian tests;
+- one sample per pixel; BitsPerSample 8/16/32/64 with SampleFormat
+  uint/int/float;
+- strip or tile layout; Compression 1 (none) or 8 (zlib deflate);
+- georeferencing via ModelPixelScaleTag (33550) + ModelTiepointTag
+  (33922) and nodata via GDAL_NODATA (42113) — the same three tags the
+  reference keys on (geotiff/mod.rs:475,520,526).
+
+Out of scope (rejected with a clear error, like the reference's
+unsupported-variant errors): BigTIFF, multi-band, palette, JPEG/LZW
+compression, horizontal-differencing predictor.
+"""
+
+from __future__ import annotations
+
+import io as _io
+import math
+import os
+import struct
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from whitebox_tools_spark.operators.gridding import GridConfig
+
+# TIFF tag ids used (TIFF 6.0 spec)
+_IMAGE_WIDTH = 256
+_IMAGE_LENGTH = 257
+_BITS_PER_SAMPLE = 258
+_COMPRESSION = 259
+_PHOTOMETRIC = 262
+_STRIP_OFFSETS = 273
+_SAMPLES_PER_PIXEL = 277
+_ROWS_PER_STRIP = 278
+_STRIP_BYTE_COUNTS = 279
+_PLANAR_CONFIG = 284
+_PREDICTOR = 317
+_TILE_WIDTH = 322
+_TILE_LENGTH = 323
+_TILE_OFFSETS = 324
+_TILE_BYTE_COUNTS = 325
+_SAMPLE_FORMAT = 339
+_MODEL_PIXEL_SCALE = 33550
+_MODEL_TIEPOINT = 33922
+_GDAL_NODATA = 42113
+
+# TIFF field types -> (struct code, size)
+_FIELD = {1: ("B", 1), 2: ("c", 1), 3: ("H", 2), 4: ("I", 4), 5: ("II", 8),
+          6: ("b", 1), 8: ("h", 2), 9: ("i", 4), 11: ("f", 4), 12: ("d", 8)}
+
+_DTYPES = {  # (sample_format, bits) -> numpy dtype char (endian applied later)
+    (1, 8): "u1", (1, 16): "u2", (1, 32): "u4",
+    (2, 8): "i1", (2, 16): "i2", (2, 32): "i4",
+    (3, 32): "f4", (3, 64): "f8",
+}
+
+
+# ------------------------------------------------------------------ decode
+
+def _read_ifd_entries(buf: bytes, off: int, bo: str) -> dict[int, tuple]:
+    (n,) = struct.unpack_from(bo + "H", buf, off)
+    entries: dict[int, tuple] = {}
+    for i in range(n):
+        tag, ftype, count = struct.unpack_from(bo + "HHI", buf, off + 2 + 12 * i)
+        if ftype not in _FIELD:
+            continue
+        code, size = _FIELD[ftype]
+        total = size * count
+        voff = off + 2 + 12 * i + 8
+        if total > 4:
+            (voff,) = struct.unpack_from(bo + "I", buf, voff)
+        if ftype == 2:  # ASCII
+            entries[tag] = (buf[voff:voff + count].split(b"\0")[0].decode("ascii", "replace"),)
+        elif ftype == 5:  # RATIONAL
+            vals = struct.unpack_from(bo + "I" * (2 * count), buf, voff)
+            entries[tag] = tuple(vals[2 * j] / max(vals[2 * j + 1], 1) for j in range(count))
+        else:
+            entries[tag] = struct.unpack_from(bo + code * count, buf, voff)
+    return entries
+
+
+def _decompress(chunk: bytes, compression: int) -> bytes:
+    if compression == 1:
+        return chunk
+    if compression == 8 or compression == 32946:  # deflate (Adobe / legacy)
+        return zlib.decompress(chunk)
+    raise ValueError(f"unsupported TIFF compression {compression}")
+
+
+def decode_geotiff(data: bytes) -> tuple[GridConfig, np.ndarray]:
+    """Decode GeoTIFF bytes -> (GridConfig, 2-D float64 array, NaN=nodata
+    left as the raw nodata value so callers choose the sentinel policy)."""
+    magic = data[:2]
+    if magic == b"II":
+        bo = "<"
+    elif magic == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF file (bad byte-order mark)")
+    (version,) = struct.unpack_from(bo + "H", data, 2)
+    if version == 43:
+        raise ValueError("BigTIFF is not supported")
+    if version != 42:
+        raise ValueError(f"bad TIFF version {version}")
+    (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+    tags = _read_ifd_entries(data, ifd_off, bo)
+
+    width = int(tags[_IMAGE_WIDTH][0])
+    height = int(tags[_IMAGE_LENGTH][0])
+    bits = int(tags.get(_BITS_PER_SAMPLE, (32,))[0])
+    compression = int(tags.get(_COMPRESSION, (1,))[0])
+    spp = int(tags.get(_SAMPLES_PER_PIXEL, (1,))[0])
+    sfmt = int(tags.get(_SAMPLE_FORMAT, (1,))[0])
+    predictor = int(tags.get(_PREDICTOR, (1,))[0])
+    if spp != 1:
+        raise ValueError(f"only single-band GeoTIFF supported (got {spp} samples/pixel)")
+    if predictor != 1:
+        raise ValueError(f"TIFF predictor {predictor} not supported")
+    key = (sfmt, bits)
+    if key not in _DTYPES:
+        raise ValueError(f"unsupported sample format/bits {key}")
+    dt = np.dtype(bo + _DTYPES[key])
+
+    grid = np.empty((height, width), dtype=dt)
+    if _TILE_OFFSETS in tags:
+        tw = int(tags[_TILE_WIDTH][0])
+        th = int(tags[_TILE_LENGTH][0])
+        offs = tags[_TILE_OFFSETS]
+        cnts = tags[_TILE_BYTE_COUNTS]
+        tiles_across = math.ceil(width / tw)
+        for idx, (o, c) in enumerate(zip(offs, cnts)):
+            raw = _decompress(data[o:o + c], compression)
+            tile = np.frombuffer(raw, dtype=dt, count=tw * th).reshape(th, tw)
+            r0 = (idx // tiles_across) * th
+            c0 = (idx % tiles_across) * tw
+            grid[r0:min(r0 + th, height), c0:min(c0 + tw, width)] = (
+                tile[: min(th, height - r0), : min(tw, width - c0)]
+            )
+    else:
+        rps = int(tags.get(_ROWS_PER_STRIP, (height,))[0])
+        offs = tags[_STRIP_OFFSETS]
+        cnts = tags[_STRIP_BYTE_COUNTS]
+        r = 0
+        for o, c in zip(offs, cnts):
+            raw = _decompress(data[o:o + c], compression)
+            nrows = min(rps, height - r)
+            grid[r:r + nrows] = np.frombuffer(raw, dtype=dt, count=nrows * width).reshape(
+                nrows, width
+            )
+            r += nrows
+    arr = grid.astype(np.float64)
+
+    # georeference: tiepoint maps raster (i,j,k)->(X,Y,Z) at the pixel
+    # *corner*; north = tiepoint Y + tiepoint_row * res_y, matching the
+    # reference's interpretation (geotiff/mod.rs:569-571).
+    scale = tags.get(_MODEL_PIXEL_SCALE, (1.0, 1.0, 0.0))
+    tie = tags.get(_MODEL_TIEPOINT, (0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    res_x, res_y = float(scale[0]), float(scale[1])
+    west = float(tie[3]) - float(tie[0]) * res_x
+    north = float(tie[4]) + float(tie[1]) * res_y
+    nodata = -32768.0
+    if _GDAL_NODATA in tags:
+        try:
+            nodata = float(str(tags[_GDAL_NODATA][0]).strip())
+        except ValueError:
+            pass
+    cfg = GridConfig(rows=height, cols=width, north=north, west=west,
+                     res_x=res_x, res_y=res_y, nodata=nodata)
+    return cfg, arr
+
+
+_TAG_NAMES = {
+    256: "ImageWidth", 257: "ImageLength", 258: "BitsPerSample",
+    259: "Compression", 262: "PhotometricInterpretation", 273: "StripOffsets",
+    277: "SamplesPerPixel", 278: "RowsPerStrip", 279: "StripByteCounts",
+    284: "PlanarConfiguration", 317: "Predictor", 322: "TileWidth",
+    323: "TileLength", 324: "TileOffsets", 325: "TileByteCounts",
+    339: "SampleFormat", 33550: "ModelPixelScaleTag",
+    33922: "ModelTiepointTag", 34735: "GeoKeyDirectoryTag",
+    34736: "GeoDoubleParamsTag", 34737: "GeoAsciiParamsTag",
+    42113: "GDAL_NODATA",
+}
+
+
+def print_geotiff_tags(data: bytes) -> dict[str, tuple]:
+    """Named IFD tag dump (PrintGeoTiffTags, src/tools/data_tools/
+    print_geotiff_tags.rs): tag name -> decoded values."""
+    magic = data[:2]
+    bo = "<" if magic == b"II" else ">" if magic == b"MM" else None
+    if bo is None:
+        raise ValueError("not a TIFF file")
+    (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+    tags = _read_ifd_entries(data, ifd_off, bo)
+    return {_TAG_NAMES.get(t, f"Tag{t}"): v for t, v in sorted(tags.items())}
+
+
+# ------------------------------------------------------------------ encode
+
+def _np_to_tiff_type(arr: np.ndarray) -> tuple[int, int]:
+    k = arr.dtype.kind
+    bits = arr.dtype.itemsize * 8
+    sfmt = {"u": 1, "i": 2, "f": 3}[k]
+    if (sfmt, bits) not in _DTYPES:
+        raise ValueError(f"cannot encode dtype {arr.dtype} as GeoTIFF")
+    return sfmt, bits
+
+
+def encode_geotiff(
+    grid: np.ndarray,
+    cfg: GridConfig,
+    compression: int = 8,
+    rows_per_strip: int = 64,
+    byteorder: str = "<",
+) -> bytes:
+    """Encode a 2-D numpy array as single-band GeoTIFF bytes (strips)."""
+    if grid.ndim != 2:
+        raise ValueError("grid must be 2-D")
+    sfmt, bits = _np_to_tiff_type(grid)
+    bo = byteorder
+    grid = np.ascontiguousarray(grid, dtype=grid.dtype.newbyteorder(bo))
+    height, width = grid.shape
+    rps = min(rows_per_strip, height)
+    nstrips = math.ceil(height / rps)
+
+    strips = []
+    for s in range(nstrips):
+        raw = grid[s * rps:(s + 1) * rps].tobytes()
+        strips.append(zlib.compress(raw, 6) if compression == 8 else raw)
+
+    nodata_ascii = (repr(float(cfg.nodata)) + "\0").encode("ascii")
+    scale = struct.pack(bo + "3d", float(cfg.res_x), float(cfg.res_y), 0.0)
+    tie = struct.pack(bo + "6d", 0.0, 0.0, 0.0, float(cfg.west), float(cfg.north), 0.0)
+
+    # layout: header(8) | IFD | out-of-line values | strip data
+    tags = []  # (tag, type, count, value_bytes_or_int)
+
+    def _short(tag, v):
+        tags.append((tag, 3, 1, struct.pack(bo + "HH", v, 0)))
+
+    def _long(tag, v):
+        tags.append((tag, 4, 1, struct.pack(bo + "I", v)))
+
+    _long(_IMAGE_WIDTH, width)
+    _long(_IMAGE_LENGTH, height)
+    _short(_BITS_PER_SAMPLE, bits)
+    _short(_COMPRESSION, compression)
+    _short(_PHOTOMETRIC, 1)
+    tags.append((_STRIP_OFFSETS, 4, nstrips, None))  # patched below
+    _short(_SAMPLES_PER_PIXEL, 1)
+    _long(_ROWS_PER_STRIP, rps)
+    tags.append((_STRIP_BYTE_COUNTS, 4, nstrips, None))
+    _short(_PLANAR_CONFIG, 1)
+    _short(_SAMPLE_FORMAT, sfmt)
+    tags.append((_MODEL_PIXEL_SCALE, 12, 3, scale))
+    tags.append((_MODEL_TIEPOINT, 12, 6, tie))
+    tags.append((_GDAL_NODATA, 2, len(nodata_ascii), nodata_ascii))
+    tags.sort(key=lambda t: t[0])
+
+    n = len(tags)
+    ifd_off = 8
+    ifd_size = 2 + 12 * n + 4
+    extra_off = ifd_off + ifd_size
+
+    # out-of-line region: strip offsets table, byte counts table, then
+    # any tag value >4 bytes
+    counts_b = struct.pack(bo + "I" * nstrips, *(len(s) for s in strips))
+    offsets_pos = extra_off
+    counts_pos = offsets_pos + 4 * nstrips
+    extra = bytearray()
+    extra += b"\0" * (4 * nstrips)  # placeholder for offsets
+    extra += counts_b
+    value_pos: dict[int, int] = {}
+    for tag, ftype, count, val in tags:
+        if val is not None and len(val) > 4:
+            value_pos[tag] = extra_off + len(extra)
+            extra += val
+
+    data_off = extra_off + len(extra)
+    strip_offsets = []
+    p = data_off
+    for s in strips:
+        strip_offsets.append(p)
+        p += len(s)
+    extra[0:4 * nstrips] = struct.pack(bo + "I" * nstrips, *strip_offsets)
+
+    out = _io.BytesIO()
+    out.write((b"II" if bo == "<" else b"MM") + struct.pack(bo + "H", 42))
+    out.write(struct.pack(bo + "I", ifd_off))
+    out.write(struct.pack(bo + "H", n))
+    for tag, ftype, count, val in tags:
+        out.write(struct.pack(bo + "HHI", tag, ftype, count))
+        if tag == _STRIP_OFFSETS:
+            if nstrips == 1:
+                out.write(struct.pack(bo + "I", strip_offsets[0]))
+            else:
+                out.write(struct.pack(bo + "I", offsets_pos))
+        elif tag == _STRIP_BYTE_COUNTS:
+            if nstrips == 1:
+                out.write(struct.pack(bo + "I", len(strips[0])))
+            else:
+                out.write(struct.pack(bo + "I", counts_pos))
+        elif len(val) <= 4:
+            out.write(val + b"\0" * (4 - len(val)))
+        else:
+            out.write(struct.pack(bo + "I", value_pos[tag]))
+    out.write(struct.pack(bo + "I", 0))  # next IFD
+    out.write(bytes(extra))
+    for s in strips:
+        out.write(s)
+    return out.getvalue()
+
+
+# ------------------------------------------------------------------ spark
+
+_GRID_SCHEMA = T.StructType([
+    T.StructField("path", T.StringType()),
+    T.StructField("row", T.LongType()),
+    T.StructField("col", T.LongType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def read_geotiff_config(path: str) -> GridConfig:
+    """Driver-side header read of ONE file (cheap — bytes are small here;
+    on object storage you'd range-read the header)."""
+    with open(path, "rb") as f:
+        cfg, _ = decode_geotiff(f.read())
+    return cfg
+
+
+def read_geotiff(
+    spark: SparkSession, path: str, drop_nodata: bool = False, batch_rows: int = 256
+) -> DataFrame:
+    """Distributed decode: one task per .tif file -> (path, row, col, value).
+
+    Each file decodes independently inside ``mapInPandas`` and is yielded
+    in row-band batches so a large tile never materializes as one pandas
+    frame. A tiled 100-TB raster = many files = full parallelism.
+    """
+    bf = spark.read.format("binaryFile").load(path)
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for p, content in zip(pdf["path"], pdf["content"]):
+                cfg, arr = decode_geotiff(bytes(content))
+                rows, cols = arr.shape
+                cc = np.arange(cols, dtype=np.int64)
+                for r0 in range(0, rows, batch_rows):
+                    band = arr[r0:r0 + batch_rows]
+                    nb = band.shape[0]
+                    out = pd.DataFrame({
+                        "path": p,
+                        "row": np.repeat(np.arange(r0, r0 + nb, dtype=np.int64), cols),
+                        "col": np.tile(cc, nb),
+                        "value": band.ravel(),
+                    })
+                    if drop_nodata:
+                        out = out[out["value"] != cfg.nodata]
+                    yield out
+
+    return bf.select("path", "content").mapInPandas(_decode, schema=_GRID_SCHEMA)
+
+
+def _grid_from_df(df: DataFrame, cfg: GridConfig, dtype: str) -> np.ndarray:
+    pdf = df.select("row", "col", "value").toPandas()
+    arr = np.full((cfg.rows, cfg.cols), cfg.nodata, dtype=dtype)
+    arr[pdf["row"].to_numpy(), pdf["col"].to_numpy()] = pdf["value"].to_numpy()
+    return arr
+
+
+def write_geotiff(
+    df: DataFrame, cfg: GridConfig, path: str, dtype: str = "f4", compression: int = 8
+) -> None:
+    """Single-file writer: assembles the grid driver-side. Fine for
+    summaries/small rasters; use :func:`write_geotiff_tiles` at scale."""
+    arr = _grid_from_df(df, cfg, dtype)
+    with open(path, "wb") as f:
+        f.write(encode_geotiff(arr, cfg, compression=compression))
+
+
+def write_geotiff_tiles(
+    df: DataFrame,
+    cfg: GridConfig,
+    out_dir: str,
+    tile_rows: int = 1024,
+    dtype: str = "f4",
+    compression: int = 8,
+) -> list[str]:
+    """Partitioned writer: one GeoTIFF per horizontal band, encoded on the
+    executors (groupBy band -> applyInPandas encode+write). Bands carry
+    their own tiepoint so the set mosaics back exactly; this is the shape
+    a 1000-executor job writes (many tiles to shared storage), mirroring
+    the tiled layouts the reference reads (geotiff/mod.rs tile path)."""
+    os.makedirs(out_dir, exist_ok=True)
+    nodata = float(cfg.nodata)
+    rows, cols = cfg.rows, cfg.cols
+    north, west = cfg.north, cfg.west
+    res_x, res_y = cfg.res_x, cfg.res_y
+
+    out_schema = T.StructType([
+        T.StructField("band", T.LongType()),
+        T.StructField("file", T.StringType()),
+        T.StructField("rows", T.LongType()),
+    ])
+
+    def _write_band(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        band = int(key[0])
+        r0 = band * tile_rows
+        nb = min(tile_rows, rows - r0)
+        arr = np.full((nb, cols), nodata, dtype=dtype)
+        arr[pdf["row"].to_numpy() - r0, pdf["col"].to_numpy()] = pdf["value"].to_numpy()
+        bcfg = GridConfig(rows=nb, cols=cols, north=north - r0 * res_y, west=west,
+                          res_x=res_x, res_y=res_y, nodata=nodata)
+        fp = os.path.join(out_dir, f"band_{band:06d}.tif")
+        with open(fp, "wb") as f:
+            f.write(encode_geotiff(arr, bcfg, compression=compression))
+        return pd.DataFrame({"band": [band], "file": [fp], "rows": [nb]})
+
+    manifest = (
+        df.withColumn("_band", (F.col("row") / F.lit(tile_rows)).cast("long"))
+        .groupBy("_band")
+        .applyInPandas(_write_band, schema=out_schema)
+        .collect()
+    )
+    return [r["file"] for r in sorted(manifest, key=lambda r: r["band"])]

@@ -1,0 +1,274 @@
+"""ESRI Shapefile codec (.shp/.shx/.dbf): Point, PolyLine, Polygon.
+
+Record layout follows the spec fields the reference parses
+(src/vector/shapefile/mod.rs:37-66: file code 9994 big-endian, shape
+type little-endian, per-record BE header + LE content) and the hole
+convention matches src/vector/shapefile/geometry.rs:305+ — a polygon
+part is a hole iff its ring winds counter-clockwise (y-up), the same
+convention the engine's vector layers use (sources/vectors.py).
+
+Attribute table: dBase III (.dbf) with C (text) and N/F (numeric)
+fields — the subset the reference's AttributeField reader covers.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from whitebox_tools_spark.sources.vectors import PolygonFeature
+
+SHP_POINT = 1
+SHP_POLYLINE = 3
+SHP_POLYGON = 5
+
+
+@dataclass
+class ShapeRecord:
+    parts: list  # list[np.ndarray (n,2)]
+    shape_type: int
+    attrs: dict = field(default_factory=dict)
+
+
+def _signed_area(ring: np.ndarray) -> float:
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def ring_is_hole(ring: np.ndarray) -> bool:
+    """Shapefile spec: CW shells, CCW holes (y-up) — CCW = positive area."""
+    return _signed_area(ring) > 0.0
+
+
+# ------------------------------------------------------------------ .dbf
+
+def _encode_dbf(records: list[dict], fields: list[tuple[str, str, int, int]]) -> bytes:
+    """fields: (name, type 'C'|'N'|'F', length, decimals)."""
+    n = len(records)
+    hdr_size = 32 + 32 * len(fields) + 1
+    rec_size = 1 + sum(f[2] for f in fields)
+    out = bytearray()
+    out += struct.pack("<B3BIHH20x", 3, 126, 1, 1, n, hdr_size, rec_size)
+    for name, ftype, ln, dec in fields:
+        out += struct.pack("<11sc4xBB14x", name.encode("ascii")[:11],
+                           ftype.encode("ascii"), ln, dec)
+    out += b"\x0d"
+    for rec in records:
+        out += b" "
+        for name, ftype, ln, dec in fields:
+            v = rec.get(name, "")
+            if ftype == "C":
+                out += str(v)[:ln].ljust(ln).encode("ascii", "replace")
+            else:
+                s = f"{float(v):.{dec}f}" if dec else str(int(v))
+                out += s[:ln].rjust(ln).encode("ascii")
+    out += b"\x1a"
+    return bytes(out)
+
+
+def _decode_dbf(data: bytes) -> list[dict]:
+    n, hdr_size, rec_size = struct.unpack_from("<IHH", data, 4)
+    fields = []
+    pos = 32
+    while data[pos] != 0x0D:
+        name = data[pos:pos + 11].split(b"\0")[0].decode("ascii")
+        ftype = chr(data[pos + 11])
+        ln = data[pos + 16]
+        dec = data[pos + 17]
+        fields.append((name, ftype, ln, dec))
+        pos += 32
+    out = []
+    for i in range(n):
+        rpos = hdr_size + i * rec_size
+        if data[rpos:rpos + 1] == b"*":  # deleted
+            continue
+        rec = {}
+        fpos = rpos + 1
+        for name, ftype, ln, dec in fields:
+            raw = data[fpos:fpos + ln].decode("ascii", "replace").strip()
+            fpos += ln
+            if ftype in ("N", "F"):
+                rec[name] = (float(raw) if (dec or "." in raw) else int(raw)) if raw else None
+            else:
+                rec[name] = raw
+        out.append(rec)
+    return out
+
+
+# ------------------------------------------------------------------ .shp
+
+def _shp_header(shape_type: int, bbox: tuple, file_len_words: int) -> bytes:
+    h = bytearray(100)
+    struct.pack_into(">i", h, 0, 9994)  # file code, mod.rs:37
+    struct.pack_into(">i", h, 24, file_len_words)
+    struct.pack_into("<i", h, 28, 1000)  # version
+    struct.pack_into("<i", h, 32, shape_type)
+    struct.pack_into("<4d", h, 36, *bbox)  # xmin ymin xmax ymax
+    return bytes(h)
+
+
+def encode_shapefile(
+    records: list[ShapeRecord],
+    fields: list[tuple[str, str, int, int]] | None = None,
+) -> tuple[bytes, bytes, bytes]:
+    """Encode -> (.shp bytes, .shx bytes, .dbf bytes)."""
+    if not records:
+        raise ValueError("empty shapefile not supported")
+    shape_type = records[0].shape_type
+    contents = []
+    for rec in records:
+        if rec.shape_type != shape_type:
+            raise ValueError("mixed shape types")
+        if shape_type == SHP_POINT:
+            (pt,) = rec.parts
+            body = struct.pack("<i2d", SHP_POINT, float(pt[0, 0]), float(pt[0, 1]))
+        else:
+            pts = np.vstack(rec.parts)
+            starts, acc = [], 0
+            for part in rec.parts:
+                starts.append(acc)
+                acc += len(part)
+            body = struct.pack(
+                "<i4d2i", shape_type,
+                float(pts[:, 0].min()), float(pts[:, 1].min()),
+                float(pts[:, 0].max()), float(pts[:, 1].max()),
+                len(rec.parts), len(pts),
+            )
+            body += struct.pack(f"<{len(starts)}i", *starts)
+            body += np.ascontiguousarray(pts, dtype="<f8").tobytes()
+        contents.append(body)
+
+    allp = np.vstack([np.vstack(r.parts) for r in records])
+    bbox = (float(allp[:, 0].min()), float(allp[:, 1].min()),
+            float(allp[:, 0].max()), float(allp[:, 1].max()))
+
+    shp = bytearray()
+    shx = bytearray()
+    offset_words = 50  # header = 100 bytes
+    for i, body in enumerate(contents):
+        shx += struct.pack(">2i", offset_words, len(body) // 2)
+        shp += struct.pack(">2i", i + 1, len(body) // 2)  # 1-based record num
+        shp += body
+        offset_words += 4 + len(body) // 2
+    shp_bytes = _shp_header(shape_type, bbox, offset_words) + bytes(shp)
+    shx_bytes = _shp_header(shape_type, bbox, 50 + 4 * len(contents)) + bytes(shx)
+
+    if fields is None:
+        keys = sorted({k for r in records for k in r.attrs})
+        fields = []
+        for k in keys:
+            vals = [r.attrs.get(k) for r in records]
+            if all(isinstance(v, (int, float, type(None))) for v in vals):
+                anyf = any(isinstance(v, float) for v in vals)
+                fields.append((k, "N", 24, 6 if anyf else 0))
+            else:
+                ln = max(1, min(254, max(len(str(v)) for v in vals)))
+                fields.append((k, "C", ln, 0))
+        if not fields:
+            fields = [("FID", "N", 9, 0)]
+            for i, r in enumerate(records):
+                r.attrs["FID"] = i
+    dbf_bytes = _encode_dbf([r.attrs for r in records], fields)
+    return shp_bytes, shx_bytes, dbf_bytes
+
+
+def decode_shapefile(shp: bytes, dbf: bytes | None = None) -> list[ShapeRecord]:
+    (file_code,) = struct.unpack_from(">i", shp, 0)
+    if file_code != 9994:
+        raise ValueError("not a shapefile (file code != 9994)")
+    (file_len_words,) = struct.unpack_from(">i", shp, 24)
+    (shape_type,) = struct.unpack_from("<i", shp, 32)
+    attrs = _decode_dbf(dbf) if dbf else None
+
+    records = []
+    pos = 100
+    end = min(len(shp), file_len_words * 2)
+    while pos + 8 <= end:
+        _, content_words = struct.unpack_from(">2i", shp, pos)
+        pos += 8
+        (stype,) = struct.unpack_from("<i", shp, pos)
+        if stype == 0:  # null shape
+            pos += content_words * 2
+            continue
+        if stype == SHP_POINT:
+            x, y = struct.unpack_from("<2d", shp, pos + 4)
+            parts = [np.array([[x, y]])]
+        elif stype in (SHP_POLYLINE, SHP_POLYGON):
+            nparts, npoints = struct.unpack_from("<2i", shp, pos + 36)
+            starts = list(struct.unpack_from(f"<{nparts}i", shp, pos + 44))
+            pts = np.frombuffer(shp, dtype="<f8", count=npoints * 2,
+                                offset=pos + 44 + 4 * nparts).reshape(-1, 2)
+            bounds = starts + [npoints]
+            parts = [pts[bounds[i]:bounds[i + 1]].copy() for i in range(nparts)]
+        else:
+            raise ValueError(f"unsupported shape type {stype}")
+        rec = ShapeRecord(parts=parts, shape_type=stype)
+        if attrs is not None and len(records) < len(attrs):
+            rec.attrs = attrs[len(records)]
+        records.append(rec)
+        pos += content_words * 2
+    return records
+
+
+# ------------------------------------------------------------------ file + spark
+
+def write_shapefile(records: list[ShapeRecord], base_path: str) -> None:
+    """base_path without extension; writes .shp/.shx/.dbf."""
+    shp, shx, dbf = encode_shapefile(records)
+    for ext, data in ((".shp", shp), (".shx", shx), (".dbf", dbf)):
+        with open(base_path + ext, "wb") as f:
+            f.write(data)
+
+
+def _vector_schema(attr_names: list[str]) -> T.StructType:
+    fields = [
+        T.StructField("fid", T.LongType()),
+        T.StructField("part", T.LongType()),
+        T.StructField("is_hole", T.BooleanType()),
+        T.StructField("xs", T.ArrayType(T.DoubleType())),
+        T.StructField("ys", T.ArrayType(T.DoubleType())),
+    ]
+    fields += [T.StructField(a, T.StringType()) for a in attr_names]
+    return T.StructType(fields)
+
+
+def read_shapefile(spark: SparkSession, base_path: str) -> DataFrame:
+    """Read .shp(+.dbf) into the engine's relational vector form:
+    (fid, part, is_hole, xs, ys, <attrs as strings>). Decoded driver-side
+    (a clip/overlay layer is small by construction — the reference also
+    holds the whole shapefile in memory, gis_analysis/clip.rs) then
+    parallelized; point/line layers that are *data* belong in parquet."""
+    with open(base_path + ".shp", "rb") as f:
+        shp = f.read()
+    dbf = None
+    try:
+        with open(base_path + ".dbf", "rb") as f:
+            dbf = f.read()
+    except FileNotFoundError:
+        pass
+    records = decode_shapefile(shp, dbf)
+    attr_names = sorted({k for r in records for k in r.attrs})
+    rows = []
+    for fid, rec in enumerate(records):
+        for pi, part in enumerate(rec.parts):
+            hole = rec.shape_type == SHP_POLYGON and ring_is_hole(part)
+            rows.append((fid, pi, hole, [float(v) for v in part[:, 0]],
+                         [float(v) for v in part[:, 1]],
+                         *[str(rec.attrs.get(a, "")) for a in attr_names]))
+    return spark.createDataFrame(rows, schema=_vector_schema(attr_names))
+
+
+def records_to_features(records: list[ShapeRecord]) -> list[PolygonFeature]:
+    """Bridge into the engine's broadcast polygon-layer form."""
+    feats = []
+    for fid, rec in enumerate(records):
+        holes = [ring_is_hole(p) for p in rec.parts]
+        feats.append(PolygonFeature(fid=fid, rings=[np.asarray(p, dtype=np.float64)
+                                                    for p in rec.parts],
+                                    holes=holes, attrs=dict(rec.attrs)))
+    return feats
