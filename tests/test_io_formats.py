@@ -283,3 +283,46 @@ def test_print_geotiff_tags():
     assert tags["ImageLength"] == (CFG.rows,)
     assert tags["ModelPixelScaleTag"][:2] == (CFG.res_x, CFG.res_y)
     assert float(tags["GDAL_NODATA"][0]) == CFG.nodata
+
+
+# ------------------------------------------------------------------ whitebox
+
+def test_whitebox_raster_roundtrip():
+    from whitebox_tools_spark.io import whitebox_raster as wb
+    g = _demo_grid("f8")
+    for dtype, atol in (("double", 0), ("float", 1e-4), ("integer", 0.5)):
+        src = np.round(g) if dtype == "integer" else g
+        header, data = wb.encode_whitebox(src, CFG, data_type=dtype)
+        cfg2, g2 = wb.decode_whitebox(header, data)
+        assert (cfg2.rows, cfg2.cols) == (CFG.rows, CFG.cols)
+        assert cfg2.north == CFG.north and cfg2.west == CFG.west
+        assert abs(cfg2.res_x - CFG.res_x) < 1e-9
+        if atol:
+            np.testing.assert_allclose(g2, src, atol=atol)
+        else:
+            np.testing.assert_array_equal(g2, src)
+
+
+def test_whitebox_raster_big_endian():
+    from whitebox_tools_spark.io import whitebox_raster as wb
+    g = _demo_grid("f8")
+    header, data = wb.encode_whitebox(g, CFG, data_type="double", byteorder=">")
+    assert "BIG_ENDIAN" in header
+    _, g2 = wb.decode_whitebox(header, data)
+    np.testing.assert_array_equal(g2, g)
+
+
+def test_whitebox_raster_spark(spark, tmp_path):
+    from whitebox_tools_spark.io import whitebox_raster as wb
+    g = _demo_grid("f8")
+    tif = str(tmp_path / "a.tif")
+    with open(tif, "wb") as f:
+        f.write(geotiff.encode_geotiff(g, CFG))
+    df = geotiff.read_geotiff(spark, tif)
+    base = str(tmp_path / "dem")
+    wb.write_whitebox(df, CFG, base)
+    back = wb.read_whitebox(spark, base + ".tas")
+    assert back.count() == CFG.rows * CFG.cols
+    a = df.select("row", "col", "value")
+    b = back.select("row", "col", "value")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

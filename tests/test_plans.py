@@ -164,6 +164,10 @@ BNLJ_ALLOWED = {
     # are an equi-join; audited round 3 when the driver-resident DEM
     # was replaced by this fully distributed pipeline.
     "viewshed", "visibility_index",
+    # IVF ANN: corpus/queries crossJoin an explicitly broadcast 16-row
+    # centroid frame (Lloyd assignment + probe ranking); the candidate
+    # generation itself is the cluster-id equi-join — audited round 3.
+    "ivf_topk",
 }
 
 

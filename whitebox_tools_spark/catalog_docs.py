@@ -285,8 +285,25 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", F.round("cos", 6).alias("cos"))
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second 100-TB ANN path: IVF coarse quantizer (deterministic
+    distributed k-means, IVF_LISTS=16, IVF_ITERS=2 Lloyd rounds with 6-dp
+    centroid rounding) + cluster equi-join probe (IVF_PROBE=4) + exact
+    re-rank. The oracle unrolls the same two Lloyd iterations in SQL."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.pmod("vec_id", F.lit(ANN_QMOD)) == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = ann.ivf_topk(emb, queries, k=ANN_K)
+    return out.select(
+        "qid", "vec_id", F.round("cos", 6).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 QUERIES["lsh_topk"] = q_lsh_topk
 QUERIES["embed_near_dup"] = q_embed_near_dup
+QUERIES["ivf_topk"] = q_ivf_topk
 
 
 def _sig_sql(v: str) -> str:
@@ -414,3 +431,59 @@ SELECT m.doc_id, CAST(g.i AS BIGINT) AS frame_idx,
 FROM m, range(0, 7) g(i)
 WHERE g.i < length(m.hx) // 32
 """
+def _ivf_oracle() -> str:
+    """Unrolled 2-iteration Lloyd + probe, mirroring operators.ann.ivf_*
+    expression-for-expression (same init, same 6-dp centroid rounding,
+    same (d2, cl) tie order, same cosine shape as ann_topk)."""
+    import whitebox_tools_spark.operators.ann as _a
+
+    DIM1 = _a.DIM + 1
+    d2 = lambda vv, cc: (
+        f"list_sum(list_transform(range(1, {DIM1}), "
+        f"i -> ({vv}[i] - {cc}[i]) * ({vv}[i] - {cc}[i])))"
+    )
+    it = """
+d{J} AS (SELECT e.vec_id, c.cl, {D2} AS d2 FROM e CROSS JOIN c{I} c),
+a{J} AS (SELECT vec_id, cl FROM (
+           SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+           FROM d{J}) WHERE rn = 1),
+m{J} AS (SELECT a{J}.cl, i, round(avg(e.v[i]), 6) AS m
+         FROM a{J} JOIN e USING (vec_id) CROSS JOIN range(1, {DIM1}) t(i)
+         GROUP BY a{J}.cl, i),
+c{J} AS (SELECT cl, list(m ORDER BY i) AS cent FROM m{J} GROUP BY cl)"""
+    iters = "".join(
+        "," + it.format(J=j + 1, I=j, DIM1=DIM1, D2=d2("e.v", "c.cent"))
+        for j in range(_a.IVF_ITERS)
+    )
+    fin = _a.IVF_ITERS
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS nrm FROM e),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl, v AS cent
+       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_a.IVF_LISTS})){iters},
+df AS (SELECT e.vec_id, c.cl, {d2("e.v", "c.cent")} AS d2 FROM e CROSS JOIN c{fin} c),
+af AS (SELECT vec_id, cl FROM (
+         SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+         FROM df) WHERE rn = 1),
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % {ANN_QMOD} = 0),
+pd AS (SELECT q.qid, c.cl, {d2("q.qv", "c.cent")} AS d2 FROM q CROSS JOIN c{fin} c),
+probe AS (SELECT qid, cl FROM (
+            SELECT qid, cl, row_number() OVER (PARTITION BY qid ORDER BY d2, cl) AS rn
+            FROM pd) WHERE rn <= {_a.IVF_PROBE}),
+cand AS (SELECT probe.qid, af.vec_id FROM probe JOIN af USING (cl)
+         WHERE probe.qid <> af.vec_id),
+p AS (SELECT cand.qid, cand.vec_id,
+             list_sum(list_transform(range(1, {DIM1}), i -> qn.v[i] * cn.v[i]))
+               / (sqrt(qn.nrm) * sqrt(cn.nrm)) AS cosr
+      FROM cand JOIN n qn ON qn.vec_id = cand.qid
+                JOIN n cn ON cn.vec_id = cand.vec_id),
+r AS (SELECT qid, vec_id, cosr,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cosr DESC, vec_id)
+                  AS INT) AS rank
+      FROM p)
+SELECT qid, vec_id, round(cosr, 6) AS cos, rank FROM r WHERE rank <= {ANN_K}
+"""
+
+
+ORACLE_SQL["ivf_topk"] = _ivf_oracle()
+

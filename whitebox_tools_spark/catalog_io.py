@@ -20,9 +20,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from whitebox_tools_spark import derive
-from whitebox_tools_spark.catalog_grid import GRID, _oracle_block, _PTS_CTE
-from whitebox_tools_spark.io import ascii_grid, geotiff, las, shapefile
+from whitebox_tools_spark.catalog_grid import (
+    GRID,
+    _oracle_block,
+    _oracle_points_raster,
+    _PTS_CTE,
+)
+from whitebox_tools_spark.io import ascii_grid, geotiff, las, shapefile, whitebox_raster
 from whitebox_tools_spark.operators.gridding import block_grid
+from whitebox_tools_spark.operators.raster import points_to_raster
 from whitebox_tools_spark.sources import vectors
 from whitebox_tools_spark.sources.tables import documents
 
@@ -55,6 +61,20 @@ def q_arcascii_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(d, "grid.asc")
     ascii_grid.write_arcascii(grid, GRID, path)
     back = ascii_grid.read_arcascii(spark, path, drop_nodata=True)
+    return back.select(
+        F.col("row").alias("cell_row"), F.col("col").alias("cell_col"), "value"
+    )
+
+
+def q_whitebox_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """points-to-raster max grid -> Whitebox GAT .dep/.tas (the
+    reference's native format, whitebox_raster.rs) -> distributed decode."""
+    pts = _docs_geo(spark, sf_dir)
+    grid = points_to_raster(pts, GRID, assign="max")
+    d = tempfile.mkdtemp(prefix="wts_wbr_")
+    base = os.path.join(d, "grid")
+    whitebox_raster.write_whitebox(grid, GRID, base, data_type="double")
+    back = whitebox_raster.read_whitebox(spark, base + ".tas", drop_nodata=True)
     return back.select(
         F.col("row").alias("cell_row"), F.col("col").alias("cell_col"), "value"
     )
@@ -161,6 +181,7 @@ def _shapefile_oracle() -> str:
 QUERIES = {
     "geotiff_roundtrip": q_geotiff_roundtrip,
     "arcascii_roundtrip": q_arcascii_roundtrip,
+    "whitebox_roundtrip": q_whitebox_roundtrip,
     "las_roundtrip": q_las_roundtrip,
     "shapefile_roundtrip": q_shapefile_roundtrip,
 }
@@ -168,6 +189,7 @@ QUERIES = {
 ORACLE_SQL = {
     "geotiff_roundtrip": _ORACLE_GEOTIFF,
     "arcascii_roundtrip": _ORACLE_ARCASCII,
+    "whitebox_roundtrip": _oracle_points_raster("max"),
     "las_roundtrip": _ORACLE_LAS,
     "shapefile_roundtrip": _shapefile_oracle(),
 }

@@ -35,6 +35,12 @@ from whitebox_tools_spark.io.las import (  # noqa: F401
     write_las,
     write_las_tiles,
 )
+from whitebox_tools_spark.io.whitebox_raster import (  # noqa: F401
+    decode_whitebox,
+    encode_whitebox,
+    read_whitebox,
+    write_whitebox,
+)
 from whitebox_tools_spark.io.shapefile import (  # noqa: F401
     decode_shapefile,
     encode_shapefile,

@@ -198,3 +198,117 @@ def embedding_near_dup_pairs(
     )
     cos = cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return cand.withColumn("cos", cos).where(F.col("cos") >= threshold).select("a", "b", "cos")
+
+
+# ------------------------------------------------------------------- IVF
+
+IVF_LISTS = 16  # coarse-quantizer centroids (k-means lists)
+IVF_ITERS = 2  # Lloyd iterations (fixed, unrolled in the SQL oracle)
+IVF_PROBE = 4  # clusters probed per query
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    n_list: int = IVF_LISTS,
+    iters: int = IVF_ITERS,
+    vec: str = "embedding",
+    record: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: deterministic k-means, fully distributed.
+
+    - init: the ``n_list`` vectors with the smallest record ids (cluster
+      id = rank of the seed id) — reproducible in any engine;
+    - each Lloyd iteration: assignment is a broadcast-join argmin
+      (corpus x 16 centroids, whole-stage codegen), the update is a
+      posexplode + per-(cluster, dim) partial-aggregated mean — both are
+      single map-side-combinable shuffles, the right 100-TB shape (no
+      driver-side k-means, no per-row Python);
+    - centroid means are rounded to 6 dp each iteration so the SQL
+      oracle (which sums in a different order) lands on identical bits.
+
+    Returns (centroids(cl, cent), assigned(record, cl, _cv, _cn)).
+    """
+    c = corpus.select(
+        F.col(record), as_double(F.col(vec)).alias("_cv")
+    ).withColumn("_cn", norm2(F.col("_cv")))
+    w_init = Window.orderBy(record)
+    cents = (
+        c.orderBy(record)
+        .limit(n_list)
+        .select((F.row_number().over(w_init) - 1).alias("cl"), F.col("_cv").alias("cent"))
+    )
+    w_assign = Window.partitionBy(record).orderBy("d2", "cl")
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        return (
+            c.crossJoin(F.broadcast(centroids))
+            .withColumn("d2", _sq_dist(F.col("_cv"), F.col("cent")))
+            .withColumn("_rn", F.row_number().over(w_assign))
+            .where(F.col("_rn") == 1)
+            .select(record, "cl", "_cv", "_cn")
+        )
+
+    for _ in range(iters):
+        a = assign(cents)
+        cents = (
+            a.select("cl", F.posexplode("_cv").alias("pos", "x"))
+            .groupBy("cl", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("cl")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm")
+            )
+            .select("cl", F.expr("transform(_pm, s -> s.m)").alias("cent"))
+        )
+    return cents, assign(cents)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_list: int = IVF_LISTS,
+    n_probe: int = IVF_PROBE,
+    iters: int = IVF_ITERS,
+    vec: str = "embedding",
+    record: str = "vec_id",
+    qrecord: str = "qid",
+) -> DataFrame:
+    """IVF approximate cosine top-k: probe the ``n_probe`` nearest
+    centroid lists, candidates come from one cluster-id equi-join (never
+    a corpus cross join), exact re-rank inside the probed lists.
+
+    The second 100-TB scale path next to :func:`lsh_topk`: the index is
+    a plain (record, cl) table, probing shuffles only on the 16-value
+    cluster key (AQE splits hot lists), and recall/cost trades via
+    ``n_probe``. Output: (qid, vec_id, cos, rank), self-match excluded.
+    """
+    cents, assigned = ivf_index(corpus, n_list, iters, vec, record)
+    q = queries.select(
+        F.col(qrecord), as_double(F.col(vec)).alias("_qv")
+    ).withColumn("_qn", norm2(F.col("_qv")))
+    w_probe = Window.partitionBy(qrecord).orderBy("d2", "cl")
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("d2", _sq_dist(F.col("_qv"), F.col("cent")))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .where(F.col("_rn") <= n_probe)
+        .select(qrecord, "cl", "_qv", "_qn")
+    )
+    cand = probed.join(assigned, "cl").where(F.col(qrecord) != F.col(record))
+    cos = cosine(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn"))
+    w = Window.partitionBy(qrecord).orderBy(F.col("cos").desc(), F.col(record))
+    return (
+        cand.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qrecord, record, "cos", "rank")
+    )
