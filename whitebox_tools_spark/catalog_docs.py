@@ -487,3 +487,71 @@ SELECT qid, vec_id, round(cosr, 6) AS cos, rank FROM r WHERE rank <= {ANN_K}
 
 ORACLE_SQL["ivf_topk"] = _ivf_oracle()
 
+
+# ------------------------------------------------------- span invariant
+
+
+def q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule per-row invariant as a driver row: attach the
+    deterministic interleaved span array to every document, push it
+    THROUGH the PIP clip pipeline (sources/docs.py spans ride along the
+    join), and emit the canonical offset-ordered (kind, text, media_ref)
+    sequence string. The oracle rebuilds the same spans arithmetically in
+    SQL over the clip predicate — a hash match means the engine preserved
+    span kind/content/order for every surviving document."""
+    from whitebox_tools_spark.operators.pip import clip_points
+    from whitebox_tools_spark.sources import docs as docs_src
+    from whitebox_tools_spark.sources import vectors as _v
+
+    from whitebox_tools_spark import derive as _d
+
+    geo = _d.with_geometry(documents(spark, sf_dir), "doc_id").withColumn(
+        "spans", docs_src.spans_col(F.col("doc_id"))
+    )
+    clipped = clip_points(geo, _v.rect_layer(), "semi")
+    return clipped.select(
+        "doc_id", docs_src.span_flat("spans").alias("span_seq")
+    )
+
+
+QUERIES["span_invariant"] = q_span_invariant
+
+
+def _span_invariant_oracle() -> str:
+    from whitebox_tools_spark.sources import docs as docs_src
+    from whitebox_tools_spark.sources import vectors as _v
+
+    m31 = docs_src._M31
+    a_ns, b_ns = docs_src._A_NS, docs_src._B_NS
+    a_k, b_k = docs_src._A_KIND, docs_src._B_KIND
+    mix = lambda e: f"((({e}) % {m31}) * {a_ns} + {b_ns}) % {m31}"
+    mixk = lambda e: f"((({e}) % {m31}) * {a_k} + {b_k}) % {m31}"
+    # span j of doc i, flattened as kind US coalesce(text) US coalesce(ref)
+    piece = (
+        f"CASE WHEN ({mixk('doc_id * 7 + j')}) % 3 = 0 "
+        f"THEN 'media' || chr(31) || chr(0) || chr(31) || "
+        f"     'm://' || CAST(doc_id AS VARCHAR) || '/' || CAST(j AS VARCHAR) "
+        f"ELSE 'text' || chr(31) || "
+        f"     't-' || CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR) || "
+        f"     chr(31) || chr(0) END"
+    )
+    return f"""
+WITH {{pts}},
+keep AS (SELECT doc_id FROM pts WHERE {{pred}}),
+flat AS (SELECT doc_id,
+                array_to_string(
+                  list_transform(range(0, CAST(({mix('doc_id')}) % 6 + 1 AS BIGINT)),
+                                 j -> {piece}),
+                  chr(30)) AS span_seq
+         FROM keep)
+SELECT doc_id, span_seq FROM flat
+""".format(pts=_SPAN_PTS_CTE, pred=_v.rect_layer_sql_predicate())
+
+
+from whitebox_tools_spark import derive as _derive  # noqa: E402
+
+_SPAN_PTS_CTE = (
+    f"pts AS (SELECT doc_id, {_derive.sql_geometry_select('doc_id')} FROM documents)"
+)
+
+ORACLE_SQL["span_invariant"] = _span_invariant_oracle()

@@ -41,6 +41,17 @@ def synth_docs(spark: SparkSession, n_docs: int, partitions: int | None = None) 
     """
     rng = spark.range(0, n_docs, numPartitions=partitions)
     i = F.col("id")
+    return rng.select(
+        F.format_string("doc-%012d", i).alias("doc_id"),
+        i.alias("doc_num"),
+        spans_col(i).alias("spans"),
+    )
+
+
+def spans_col(i: Column) -> Column:
+    """The span array for document number ``i`` — the same arithmetic as
+    :func:`synth_docs`, factored so spans can attach to ANY id column
+    (e.g. the driver's documents.doc_id) and be transcribed in SQL."""
     n_spans = (_mix(i, _A_NS, _B_NS) % 6 + 1).cast("int")
 
     def span(j: Column):
@@ -55,11 +66,7 @@ def synth_docs(spark: SparkSession, n_docs: int, partitions: int | None = None) 
             (j * 16 + hij % 16).cast("int").alias("offset"),
         )
 
-    return rng.select(
-        F.format_string("doc-%012d", i).alias("doc_id"),
-        i.alias("doc_num"),
-        F.transform(F.sequence(F.lit(0), n_spans - 1), span).alias("spans"),
-    )
+    return F.transform(F.sequence(F.lit(0), n_spans - 1), span)
 
 
 def span_signature(spans: Column | str = "spans") -> Column:
@@ -94,6 +101,36 @@ def span_signature(spans: Column | str = "spans") -> Column:
         "\x1e",
     )
     return F.sha2(flat, 256)
+
+
+def span_flat(spans: Column | str = "spans") -> Column:
+    """The canonical offset-ordered delimited string itself (pre-hash) —
+    used where the comparison should see the sequence content, e.g. the
+    driver's span_invariant oracle row."""
+    c = F.col(spans) if isinstance(spans, str) else spans
+    ordered = F.array_sort(
+        F.transform(
+            c,
+            lambda s: F.struct(
+                s["offset"].alias("offset"),
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+            ),
+        )
+    )
+    return F.array_join(
+        F.transform(
+            ordered,
+            lambda s: F.concat_ws(
+                "\x1f",
+                s["kind"],
+                F.coalesce(s["text"], F.lit("\x00")),
+                F.coalesce(s["media_ref"], F.lit("\x00")),
+            ),
+        ),
+        "\x1e",
+    )
 
 
 def check_span_equality(source: DataFrame, output: DataFrame, key: str = "doc_id") -> int:
