@@ -83,6 +83,8 @@ HEADLINE = [
     # LLM-pipeline ops
     "exact_dedup", "minhash_pairs", "simhash_pairs", "token_stats",
     "quality", "lang_id", "ann_topk", "lsh_topk", "media_meta",
+    # round-3 additions: IVF ANN scale path, native codecs, span invariant
+    "ivf_topk", "geotiff_roundtrip", "las_roundtrip", "span_invariant",
 ]
 
 

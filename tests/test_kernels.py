@@ -198,3 +198,44 @@ class TestIDW:
 
     def test_min_points(self):
         assert idw_value([10.0], [1.0], 2.0, 2) is None
+
+
+class TestUnionEnclosedVoid:
+    """ADVICE r2 (medium): A|B that encloses a void must emit the void as
+    a hole ring, not a shell — the U-shape capped by a bar case (rings of
+    area 116 and 36; the correct net union area is 116 - 36 = 80)."""
+
+    def test_u_shape_capped_by_bar(self):
+        import numpy as np
+
+        from whitebox_tools_spark.kernels.clip import gh_clip, polygon_area
+
+        # U: 10x10 outer with a 6x8 notch opening upward (area 100-48=52)
+        u = np.array([
+            [0, 0], [10, 0], [10, 10], [8, 10], [8, 2],
+            [2, 2], [2, 10], [0, 10], [0, 0],
+        ], dtype=float)
+        # bar caps the notch from above: y in [8, 12], x in [-1, 11]
+        bar = np.array([
+            [-1, 8], [11, 8], [11, 12], [-1, 12], [-1, 8],
+        ], dtype=float)
+        out = gh_clip(u, bar, "union")
+        shells = [r for r, h in out if not h]
+        holes = [r for r, h in out if h]
+        assert len(shells) == 1
+        assert len(holes) == 1
+        net = sum(polygon_area(r) for r in shells) - sum(
+            polygon_area(r) for r in holes
+        )
+        # U (52) + bar (48) - overlap (2 columns x 2 rows x ... ) computed
+        # independently: union area by half-open rasterization
+        xs, ys = np.meshgrid(np.arange(-1, 11, 0.25) + 0.125,
+                             np.arange(0, 12, 0.25) + 0.125)
+        from whitebox_tools_spark.kernels.clip import point_in_poly
+
+        in_u = point_in_poly(xs.ravel(), ys.ravel(), u)
+        in_b = point_in_poly(xs.ravel(), ys.ravel(), bar)
+        mc = (in_u | in_b).mean() * (12 * 12)
+        assert abs(net - mc) < 1.5  # MC grid tolerance
+        # and the void is genuinely interior to the shell
+        assert polygon_area(holes[0]) > 0
