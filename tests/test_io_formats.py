@@ -326,3 +326,18 @@ def test_whitebox_raster_spark(spark, tmp_path):
     a = df.select("row", "col", "value")
     b = back.select("row", "col", "value")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_convert_raster_format(spark, tmp_path):
+    from whitebox_tools_spark.io import convert
+    g = _demo_grid("f8")
+    tif = str(tmp_path / "a.tif")
+    with open(tif, "wb") as f:
+        f.write(geotiff.encode_geotiff(g, CFG))
+    cfg = convert.convert_raster_format(spark, tif, str(tmp_path / "b.asc"))
+    assert (cfg.rows, cfg.cols) == (CFG.rows, CFG.cols)
+    convert.convert_raster_format(spark, str(tmp_path / "b.asc"), str(tmp_path / "c.tas"))
+    _, df = convert.read_raster(spark, str(tmp_path / "c.tas"))
+    a = geotiff.read_geotiff(spark, tif).select("row", "col", "value")
+    b = df.select("row", "col", "value")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

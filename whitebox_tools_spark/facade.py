@@ -32,7 +32,7 @@ def to_snakecase(name: str) -> str:
 
 _SNAKE_TO_TOOL: dict[str, str] = {to_snakecase(k): k for k in TOOLS}
 
-_PATH_RE = re.compile(r"\b((?:operators|kernels|sources)\.[A-Za-z0-9_]+\.[A-Za-z0-9_]+)")
+_PATH_RE = re.compile(r"\b((?:operators|kernels|sources|io)\.[A-Za-z0-9_]+\.[A-Za-z0-9_]+)")
 
 
 def _resolve(engine: str) -> Callable:
