@@ -245,20 +245,27 @@ def ivf_index(
         .limit(n_list)
         .select((F.row_number().over(w_init) - 1).alias("cl"), F.col("_cv").alias("cent"))
     )
-    w_assign = Window.partitionBy(record).orderBy("d2", "cl")
-
     def assign(centroids: DataFrame) -> DataFrame:
+        # argmin by (d2, cl) as a min_by aggregation, NOT a row_number
+        # window: partial (map-side) combine instead of a full sort
+        # shuffle of corpus x n_list rows — the shape that survives a
+        # 10^12-row corpus.
         return (
             c.crossJoin(F.broadcast(centroids))
             .withColumn("d2", _sq_dist(F.col("_cv"), F.col("cent")))
-            .withColumn("_rn", F.row_number().over(w_assign))
-            .where(F.col("_rn") == 1)
-            .select(record, "cl", "_cv", "_cn")
+            .groupBy(record)
+            .agg(
+                F.min_by(
+                    F.struct("cl", "_cv", "_cn"), F.struct("d2", "cl")
+                ).alias("_w")
+            )
+            .select(record, "_w.cl", "_w._cv", "_w._cn")
         )
 
+    spark = corpus.sparkSession
     for _ in range(iters):
         a = assign(cents)
-        cents = (
+        new_cents = (
             a.select("cl", F.posexplode("_cv").alias("pos", "x"))
             .groupBy("cl", "pos")
             .agg(F.round(F.avg("x"), 6).alias("m"))
@@ -267,6 +274,13 @@ def ivf_index(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm")
             )
             .select("cl", F.expr("transform(_pm, s -> s.m)").alias("cent"))
+        )
+        # materialize the n_list-row centroid frame as a LocalRelation so
+        # each Lloyd round is ONE pass over the corpus — without this the
+        # lazy lineage re-runs every earlier round inside the next one
+        # (collecting n_list rows is not a driver-scale hazard)
+        cents = spark.createDataFrame(
+            new_cents.collect(), schema="cl long, cent array<double>"
         )
     return cents, assign(cents)
 
