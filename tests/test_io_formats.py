@@ -341,3 +341,73 @@ def test_convert_raster_format(spark, tmp_path):
     a = geotiff.read_geotiff(spark, tif).select("row", "col", "value")
     b = df.select("row", "col", "value")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+# ----------------------------------------------------------- simple formats
+
+def test_simple_grid_roundtrips():
+    from whitebox_tools_spark.io import simple_grids as sg
+    g = _demo_grid("f8")
+    # GRASS ASCII (lossless repr)
+    cfg, g2 = sg.decode_grass(sg.encode_grass(g, CFG))
+    assert (cfg.rows, cfg.cols, cfg.north, cfg.west) == (CFG.rows, CFG.cols, CFG.north, CFG.west)
+    np.testing.assert_array_equal(g2, g)
+    # Surfer ASCII: nodata remaps to 1.71041e38, bottom-to-top storage
+    cfg, g2 = sg.decode_surfer_ascii(sg.encode_surfer_ascii(g, CFG))
+    assert cfg.nodata == sg.SURFER_NODATA
+    assert g2[0, 0] == sg.SURFER_NODATA  # the CFG.nodata cell remapped
+    np.testing.assert_array_equal(g2[g != CFG.nodata], g[g != CFG.nodata])
+    # Surfer 7 binary
+    cfg, g2 = sg.decode_surfer7(sg.encode_surfer7(g, CFG))
+    assert (cfg.rows, cfg.cols) == (CFG.rows, CFG.cols)
+    assert abs(cfg.north - CFG.north) < 1e-9
+    np.testing.assert_array_equal(g2[g != CFG.nodata], g[g != CFG.nodata])
+    # ArcBinary f32
+    header, data = sg.encode_arcbinary(g, CFG)
+    cfg, g2 = sg.decode_arcbinary(header, data)
+    np.testing.assert_allclose(g2, g, atol=1e-3)
+    # Idrisi real
+    header, data = sg.encode_idrisi(g, CFG)
+    cfg, g2 = sg.decode_idrisi(header, data)
+    assert (cfg.rows, cfg.cols) == (CFG.rows, CFG.cols)
+    np.testing.assert_allclose(g2, g, atol=1e-3)
+    # SAGA double (lossless), bottom-up .sdat
+    header, data = sg.encode_saga(g, CFG, data_format="double")
+    cfg, g2 = sg.decode_saga(header, data)
+    assert (cfg.rows, cfg.cols) == (CFG.rows, CFG.cols)
+    assert abs(cfg.north - CFG.north) < 1e-9
+    np.testing.assert_array_equal(g2, g)
+
+
+def test_simple_grid_rejects_garbage():
+    from whitebox_tools_spark.io import simple_grids as sg
+    with pytest.raises(ValueError):
+        sg.decode_surfer_ascii("not a grid\n1 2\n")
+    with pytest.raises(ValueError):
+        sg.decode_surfer7(b"\0" * 100)
+    with pytest.raises(ValueError):
+        sg.decode_idrisi("columns : 4\n", b"")
+
+
+def test_convert_all_formats_chain(spark, tmp_path):
+    """tif -> grd(surfer7) -> flt -> rst -> grass -> asc, values preserved
+    to f4 precision through the f4-bound links."""
+    from whitebox_tools_spark.io import convert
+    g = _demo_grid("f4").astype(np.float64)  # f4-representable values
+    tif = str(tmp_path / "a.tif")
+    with open(tif, "wb") as f:
+        f.write(geotiff.encode_geotiff(g, CFG, compression=1))
+    chain = ["b.grd", "c.flt", "d.rst", "e.grass", "g.sgrd", "f.asc"]
+    src = tif
+    for name in chain:
+        dst = str(tmp_path / name)
+        convert.convert_raster_format(spark, src, dst)
+        src = dst
+    cfg, df = convert.read_raster(spark, src)
+    assert (cfg.rows, cfg.cols) == (CFG.rows, CFG.cols)
+    got = {(r["row"], r["col"]): r["value"] for r in df.collect()}
+    mismatch = sum(
+        1 for r in range(CFG.rows) for c in range(CFG.cols)
+        if g[r, c] != CFG.nodata and abs(got[(r, c)] - g[r, c]) > 1e-3
+    )
+    assert mismatch == 0

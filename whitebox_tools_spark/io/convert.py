@@ -9,7 +9,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from whitebox_tools_spark.io import ascii_grid, geotiff, whitebox_raster
+from whitebox_tools_spark.io import ascii_grid, geotiff, simple_grids, whitebox_raster
 from whitebox_tools_spark.operators.gridding import GridConfig
 
 
@@ -29,7 +29,68 @@ def read_raster(spark: SparkSession, path: str) -> tuple[GridConfig, DataFrame]:
         with open(base + ".tas", "rb") as f:
             cfg, _ = whitebox_raster.decode_whitebox(header, f.read())
         return cfg, whitebox_raster.read_whitebox(spark, base + ".tas")
+    if ext == ".grd":
+        # Surfer ASCII vs Surfer 7 binary, sniffed on the 4-byte magic the
+        # way the reference does (raster/mod.rs get_raster_type_from_file)
+        with open(path, "rb") as f:
+            magic = f.read(4)
+        if magic == b"DSAA":
+            with open(path) as f:
+                cfg, grid = simple_grids.decode_surfer_ascii(f.read())
+        else:
+            with open(path, "rb") as f:
+                cfg, grid = simple_grids.decode_surfer7(f.read())
+        return cfg, _grid_df(spark, grid)
+    if ext == ".flt":
+        base = os.path.splitext(path)[0]
+        with open(base + ".hdr") as f:
+            header = f.read()
+        with open(base + ".flt", "rb") as f:
+            cfg, grid = simple_grids.decode_arcbinary(header, f.read())
+        return cfg, _grid_df(spark, grid)
+    if ext in (".rst", ".rdc"):
+        base = os.path.splitext(path)[0]
+        with open(base + ".rdc") as f:
+            header = f.read()
+        with open(base + ".rst", "rb") as f:
+            cfg, grid = simple_grids.decode_idrisi(header, f.read())
+        return cfg, _grid_df(spark, grid)
+    if ext == ".grass":
+        with open(path) as f:
+            cfg, grid = simple_grids.decode_grass(f.read())
+        return cfg, _grid_df(spark, grid)
+    if ext in (".sgrd", ".sdat"):
+        base = os.path.splitext(path)[0]
+        with open(base + ".sgrd") as f:
+            header = f.read()
+        with open(base + ".sdat", "rb") as f:
+            cfg, grid = simple_grids.decode_saga(header, f.read())
+        return cfg, _grid_df(spark, grid)
     raise ValueError(f"unsupported raster extension {ext!r}")
+
+
+def _grid_df(spark: SparkSession, grid) -> DataFrame:
+    """Small-grid bridge: numpy -> (row, col, value) via Arrow."""
+    import numpy as np
+    import pandas as pd
+
+    rows, cols = grid.shape
+    return spark.createDataFrame(
+        pd.DataFrame({
+            "row": np.repeat(np.arange(rows, dtype=np.int64), cols),
+            "col": np.tile(np.arange(cols, dtype=np.int64), rows),
+            "value": grid.ravel().astype(float),
+        })
+    )
+
+
+def _grid_np(df: DataFrame, cfg: GridConfig):
+    import numpy as np
+
+    pdf = df.select("row", "col", "value").toPandas()
+    arr = np.full((cfg.rows, cfg.cols), cfg.nodata, dtype=np.float64)
+    arr[pdf["row"].to_numpy(), pdf["col"].to_numpy()] = pdf["value"].to_numpy()
+    return arr
 
 
 def write_raster(df: DataFrame, cfg: GridConfig, path: str) -> None:
@@ -40,6 +101,33 @@ def write_raster(df: DataFrame, cfg: GridConfig, path: str) -> None:
         ascii_grid.write_arcascii(df, cfg, path)
     elif ext in (".tas", ".dep"):
         whitebox_raster.write_whitebox(df, cfg, os.path.splitext(path)[0])
+    elif ext == ".grd":
+        with open(path, "wb") as f:
+            f.write(simple_grids.encode_surfer7(_grid_np(df, cfg), cfg))
+    elif ext == ".flt":
+        header, data = simple_grids.encode_arcbinary(_grid_np(df, cfg), cfg)
+        base = os.path.splitext(path)[0]
+        with open(base + ".hdr", "w") as f:
+            f.write(header)
+        with open(base + ".flt", "wb") as f:
+            f.write(data)
+    elif ext in (".rst", ".rdc"):
+        header, data = simple_grids.encode_idrisi(_grid_np(df, cfg), cfg)
+        base = os.path.splitext(path)[0]
+        with open(base + ".rdc", "w") as f:
+            f.write(header)
+        with open(base + ".rst", "wb") as f:
+            f.write(data)
+    elif ext == ".grass":
+        with open(path, "w") as f:
+            f.write(simple_grids.encode_grass(_grid_np(df, cfg), cfg))
+    elif ext in (".sgrd", ".sdat"):
+        header, data = simple_grids.encode_saga(_grid_np(df, cfg), cfg, data_format="double")
+        base = os.path.splitext(path)[0]
+        with open(base + ".sgrd", "w") as f:
+            f.write(header)
+        with open(base + ".sdat", "wb") as f:
+            f.write(data)
     else:
         raise ValueError(f"unsupported raster extension {ext!r}")
 
