@@ -411,3 +411,69 @@ def test_convert_all_formats_chain(spark, tmp_path):
         if g[r, c] != CFG.nodata and abs(got[(r, c)] - g[r, c]) > 1e-3
     )
     assert mismatch == 0
+
+
+@pytest.mark.parametrize("fmt", [2, 3])
+def test_las_rgb_formats(fmt):
+    pdf = _demo_points(200)
+    rng = np.random.default_rng(5)
+    for ch in ("red", "green", "blue"):
+        pdf[ch] = rng.integers(0, 65536, len(pdf))
+    data = las.encode_las(pdf, point_format=fmt)
+    (out,) = list(las.decode_las(data))
+    for ch in ("red", "green", "blue"):
+        np.testing.assert_array_equal(out[ch], pdf[ch])
+    if fmt == 3:
+        np.testing.assert_array_equal(out["gps_time"], pdf["gps_time"])
+    np.testing.assert_allclose(out["x"], pdf["x"], atol=5e-4)
+
+
+def test_geotiff_packbits_and_lzw_decode():
+    """Reader parity with the reference's NONE/PACKBITS/LZW/DEFLATE set:
+    hand-build strips in both compressions and decode."""
+    import struct as _struct
+    from whitebox_tools_spark.io.geotiff import _unpackbits, _unlzw
+
+    # PackBits: literal + run + literal
+    packed = bytes([2, 10, 20, 30]) + bytes([257 - 100, 7]) + bytes([0, 99])
+    assert _unpackbits(packed) == bytes([10, 20, 30]) + bytes([7] * 100) + bytes([99])
+
+    # LZW: encode a small byte string with a minimal TIFF-LZW encoder,
+    # decode with the reader
+    def lzw_encode(data: bytes) -> bytes:
+        CLEAR, EOI = 256, 257
+        # emit (code, width) pairs with TIFF early-change widths
+        pairs = []
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        width = 9
+        pairs.append((CLEAR, width))
+        w = b""
+        for ch in data:
+            wc = w + bytes([ch])
+            if wc in table:
+                w = wc
+            else:
+                pairs.append((table[w], width))
+                table[wc] = next_code
+                next_code += 1
+                if next_code == (1 << width) - 1 and width < 12:
+                    width += 1
+                w = bytes([ch])
+        if w:
+            pairs.append((table[w], width))
+        pairs.append((EOI, width))
+        out = bytearray()
+        buf = nbits = 0
+        for c, wd in pairs:
+            buf = (buf << wd) | c
+            nbits += wd
+            while nbits >= 8:
+                out.append((buf >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+        if nbits:
+            out.append((buf << (8 - nbits)) & 0xFF)
+        return bytes(out)
+
+    payload = b"TOBEORNOTTOBEORTOBEORNOT" * 20 + bytes(range(256))
+    assert _unlzw(lzw_encode(payload)) == payload

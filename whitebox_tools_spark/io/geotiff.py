@@ -6,13 +6,15 @@ rasters, src/raster/geotiff/mod.rs:214 read_geotiff / :1564 write_geotiff):
   default with "MM" available for cross-endian tests;
 - one sample per pixel; BitsPerSample 8/16/32/64 with SampleFormat
   uint/int/float;
-- strip or tile layout; Compression 1 (none) or 8 (zlib deflate);
+- strip or tile layout; Compression 1 (none), 5 (LZW, early-change),
+  8/32946 (zlib deflate), 32773 (PackBits) — the reference's full
+  decoder set (geotiff/mod.rs:424-432); the writer emits none/deflate;
 - georeferencing via ModelPixelScaleTag (33550) + ModelTiepointTag
   (33922) and nodata via GDAL_NODATA (42113) — the same three tags the
   reference keys on (geotiff/mod.rs:475,520,526).
 
 Out of scope (rejected with a clear error, like the reference's
-unsupported-variant errors): BigTIFF, multi-band, palette, JPEG/LZW
+unsupported-variant errors): BigTIFF, multi-band, palette, JPEG
 compression, horizontal-differencing predictor.
 """
 
@@ -89,11 +91,78 @@ def _read_ifd_entries(buf: bytes, off: int, bo: str) -> dict[int, tuple]:
     return entries
 
 
+def _unpackbits(chunk: bytes) -> bytes:
+    """PackBits RLE (TIFF 6.0 §9; reference geotiff/mod.rs PACKBITS arm)."""
+    out = bytearray()
+    i, n = 0, len(chunk)
+    while i < n:
+        h = chunk[i]
+        i += 1
+        if h < 128:  # literal run of h+1 bytes
+            out += chunk[i:i + h + 1]
+            i += h + 1
+        elif h > 128:  # repeat next byte 257-h times
+            out += chunk[i:i + 1] * (257 - h)
+            i += 1
+        # h == 128: no-op
+    return bytes(out)
+
+
+def _unlzw(chunk: bytes) -> bytes:
+    """TIFF-variant LZW (MSB-first codes, early-change; TIFF 6.0 §13 —
+    the reference decoder's LZW arm, geotiff/mod.rs:424-432)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    width = 9
+    reset()
+    buf = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in chunk:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (buf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                reset()
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            # early-change: the decoder lags the encoder's table by one
+            # entry, so it widens at size 2^w - 2 (libtiff's maxcode-1)
+            if len(table) + 2 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
 def _decompress(chunk: bytes, compression: int) -> bytes:
     if compression == 1:
         return chunk
     if compression == 8 or compression == 32946:  # deflate (Adobe / legacy)
         return zlib.decompress(chunk)
+    if compression == 32773:  # PackBits
+        return _unpackbits(chunk)
+    if compression == 5:  # LZW
+        return _unlzw(chunk)
     raise ValueError(f"unsupported TIFF compression {compression}")
 
 

@@ -1,4 +1,4 @@
-"""LAS point-cloud codec (LAS 1.2, point formats 0 and 1), numpy-vectorized.
+"""LAS point-cloud codec (LAS 1.2, point formats 0-3), numpy-vectorized.
 
 Header + point layouts follow the spec fields the reference parses
 (src/lidar/las.rs:558-640: version at 24, header_size u16@94,
@@ -28,7 +28,10 @@ _PT0 = np.dtype([
     ("scan_angle", "i1"), ("user_data", "u1"), ("point_source_id", "<u2"),
 ])
 _PT1 = np.dtype(_PT0.descr + [("gps_time", "<f8")])
-_FORMATS = {0: _PT0, 1: _PT1}
+_RGB = [("red", "<u2"), ("green", "<u2"), ("blue", "<u2")]
+_PT2 = np.dtype(_PT0.descr + _RGB)
+_PT3 = np.dtype(_PT1.descr + _RGB)
+_FORMATS = {0: _PT0, 1: _PT1, 2: _PT2, 3: _PT3}
 
 
 def _header_bytes(
@@ -91,8 +94,11 @@ def encode_las(pdf: pd.DataFrame, point_format: int = 1) -> bytes:
     rec["classification"] = _opt("classification").astype(np.uint8)
     rec["scan_angle"] = _opt("scan_angle").astype(np.int8)
     rec["point_source_id"] = _opt("point_source_id").astype(np.uint16)
-    if point_format == 1:
+    if point_format in (1, 3):
         rec["gps_time"] = _opt("gps_time", 0.0).astype(np.float64)
+    if point_format in (2, 3):
+        for ch in ("red", "green", "blue"):
+            rec[ch] = _opt(ch).astype(np.uint16)
 
     mins = (float(x.min()) if n else 0.0, float(y.min()) if n else 0.0,
             float(z.min()) if n else 0.0)
@@ -150,7 +156,13 @@ def decode_las(data: bytes, batch_points: int = 1 << 20) -> Iterator[pd.DataFram
             "scan_angle": rec["scan_angle"].astype(np.int32),
             "point_source_id": rec["point_source_id"].astype(np.int32),
             "gps_time": rec["gps_time"].astype(np.float64)
-            if point_format == 1 else np.full(cnt, np.nan),
+            if point_format in (1, 3) else np.full(cnt, np.nan),
+            "red": rec["red"].astype(np.int32)
+            if point_format in (2, 3) else np.zeros(cnt, np.int32),
+            "green": rec["green"].astype(np.int32)
+            if point_format in (2, 3) else np.zeros(cnt, np.int32),
+            "blue": rec["blue"].astype(np.int32)
+            if point_format in (2, 3) else np.zeros(cnt, np.int32),
         })
 
 
@@ -166,6 +178,9 @@ _LAS_SCHEMA = T.StructType([
     T.StructField("scan_angle", T.IntegerType()),
     T.StructField("point_source_id", T.IntegerType()),
     T.StructField("gps_time", T.DoubleType()),
+    T.StructField("red", T.IntegerType()),
+    T.StructField("green", T.IntegerType()),
+    T.StructField("blue", T.IntegerType()),
 ])
 
 
