@@ -477,3 +477,30 @@ def test_geotiff_packbits_and_lzw_decode():
 
     payload = b"TOBEORNOTTOBEORTOBEORNOT" * 20 + bytes(range(256))
     assert _unlzw(lzw_encode(payload)) == payload
+
+
+def test_shapefile_multipoint_and_z(tmp_path):
+    line = np.array([[0, 0], [5, 5], [10, 3]], dtype=float)
+    zvals = np.array([1.5, 2.5, 3.5])
+    recs = [shapefile.ShapeRecord(parts=[line], shape_type=shapefile.SHP_POLYLINE_Z,
+                                  zs=[zvals])]
+    base = str(tmp_path / "lz")
+    shapefile.write_shapefile(recs, base)
+    got = shapefile.decode_shapefile(open(base + ".shp", "rb").read())
+    np.testing.assert_array_equal(got[0].parts[0], line)
+    np.testing.assert_array_equal(got[0].zs[0], zvals)
+
+    mp = np.array([[1, 2], [3, 4], [5, 6]], dtype=float)
+    recs = [shapefile.ShapeRecord(parts=[mp], shape_type=shapefile.SHP_MULTIPOINT)]
+    base = str(tmp_path / "mp")
+    shapefile.write_shapefile(recs, base)
+    got = shapefile.decode_shapefile(open(base + ".shp", "rb").read())
+    np.testing.assert_array_equal(got[0].parts[0], mp)
+
+    recs = [shapefile.ShapeRecord(parts=[np.array([[7.0, 8.0]])],
+                                  shape_type=shapefile.SHP_POINT_Z,
+                                  zs=[np.array([9.0])])]
+    base = str(tmp_path / "pz")
+    shapefile.write_shapefile(recs, base)
+    got = shapefile.decode_shapefile(open(base + ".shp", "rb").read())
+    assert got[0].parts[0][0, 0] == 7.0 and got[0].zs[0][0] == 9.0

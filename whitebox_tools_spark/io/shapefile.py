@@ -26,6 +26,13 @@ from whitebox_tools_spark.sources.vectors import PolygonFeature
 SHP_POINT = 1
 SHP_POLYLINE = 3
 SHP_POLYGON = 5
+SHP_MULTIPOINT = 8
+SHP_POINT_Z = 11
+SHP_POLYLINE_Z = 13
+SHP_POLYGON_Z = 15
+
+_Z_TYPES = {SHP_POINT_Z: SHP_POINT, SHP_POLYLINE_Z: SHP_POLYLINE,
+            SHP_POLYGON_Z: SHP_POLYGON}
 
 
 @dataclass
@@ -33,6 +40,7 @@ class ShapeRecord:
     parts: list  # list[np.ndarray (n,2)]
     shape_type: int
     attrs: dict = field(default_factory=dict)
+    zs: list | None = None  # per-part z arrays for the *Z shape types
 
 
 def _signed_area(ring: np.ndarray) -> float:
@@ -127,12 +135,27 @@ def encode_shapefile(
         if shape_type == SHP_POINT:
             (pt,) = rec.parts
             body = struct.pack("<i2d", SHP_POINT, float(pt[0, 0]), float(pt[0, 1]))
+        elif shape_type == SHP_POINT_Z:
+            (pt,) = rec.parts
+            z = float(rec.zs[0][0]) if rec.zs else 0.0
+            body = struct.pack("<i4d", SHP_POINT_Z, float(pt[0, 0]), float(pt[0, 1]), z, 0.0)
+        elif shape_type == SHP_MULTIPOINT:
+            pts = np.vstack(rec.parts)
+            body = struct.pack(
+                "<i4di",
+                SHP_MULTIPOINT,
+                float(pts[:, 0].min()), float(pts[:, 1].min()),
+                float(pts[:, 0].max()), float(pts[:, 1].max()),
+                len(pts),
+            )
+            body += np.ascontiguousarray(pts, dtype="<f8").tobytes()
         else:
             pts = np.vstack(rec.parts)
             starts, acc = [], 0
             for part in rec.parts:
                 starts.append(acc)
                 acc += len(part)
+            base = _Z_TYPES.get(shape_type, shape_type)
             body = struct.pack(
                 "<i4d2i", shape_type,
                 float(pts[:, 0].min()), float(pts[:, 1].min()),
@@ -141,6 +164,13 @@ def encode_shapefile(
             )
             body += struct.pack(f"<{len(starts)}i", *starts)
             body += np.ascontiguousarray(pts, dtype="<f8").tobytes()
+            if base != shape_type:  # *Z: z range + z values + m range + ms
+                zf = (np.concatenate([np.asarray(z, dtype="<f8") for z in rec.zs])
+                      if rec.zs else np.zeros(len(pts)))
+                body += struct.pack("<2d", float(zf.min()), float(zf.max()))
+                body += np.ascontiguousarray(zf, dtype="<f8").tobytes()
+                body += struct.pack("<2d", 0.0, 0.0)
+                body += np.zeros(len(pts), dtype="<f8").tobytes()
         contents.append(body)
 
     allp = np.vstack([np.vstack(r.parts) for r in records])
@@ -195,19 +225,33 @@ def decode_shapefile(shp: bytes, dbf: bytes | None = None) -> list[ShapeRecord]:
         if stype == 0:  # null shape
             pos += content_words * 2
             continue
+        zs = None
         if stype == SHP_POINT:
             x, y = struct.unpack_from("<2d", shp, pos + 4)
             parts = [np.array([[x, y]])]
-        elif stype in (SHP_POLYLINE, SHP_POLYGON):
+        elif stype == SHP_POINT_Z:
+            x, y, z, _m = struct.unpack_from("<4d", shp, pos + 4)
+            parts = [np.array([[x, y]])]
+            zs = [np.array([z])]
+        elif stype == SHP_MULTIPOINT:
+            (npoints,) = struct.unpack_from("<i", shp, pos + 36)
+            pts = np.frombuffer(shp, dtype="<f8", count=npoints * 2,
+                                offset=pos + 40).reshape(-1, 2)
+            parts = [pts.copy()]
+        elif stype in (SHP_POLYLINE, SHP_POLYGON, SHP_POLYLINE_Z, SHP_POLYGON_Z):
             nparts, npoints = struct.unpack_from("<2i", shp, pos + 36)
             starts = list(struct.unpack_from(f"<{nparts}i", shp, pos + 44))
             pts = np.frombuffer(shp, dtype="<f8", count=npoints * 2,
                                 offset=pos + 44 + 4 * nparts).reshape(-1, 2)
             bounds = starts + [npoints]
             parts = [pts[bounds[i]:bounds[i + 1]].copy() for i in range(nparts)]
+            if stype in (SHP_POLYLINE_Z, SHP_POLYGON_Z):
+                zoff = pos + 44 + 4 * nparts + 16 * npoints + 16  # skip z range
+                zf = np.frombuffer(shp, dtype="<f8", count=npoints, offset=zoff)
+                zs = [zf[bounds[i]:bounds[i + 1]].copy() for i in range(nparts)]
         else:
             raise ValueError(f"unsupported shape type {stype}")
-        rec = ShapeRecord(parts=parts, shape_type=stype)
+        rec = ShapeRecord(parts=parts, shape_type=stype, zs=zs)
         if attrs is not None and len(records) < len(attrs):
             rec.attrs = attrs[len(records)]
         records.append(rec)
@@ -256,7 +300,7 @@ def read_shapefile(spark: SparkSession, base_path: str) -> DataFrame:
     rows = []
     for fid, rec in enumerate(records):
         for pi, part in enumerate(rec.parts):
-            hole = rec.shape_type == SHP_POLYGON and ring_is_hole(part)
+            hole = rec.shape_type in (SHP_POLYGON, SHP_POLYGON_Z) and ring_is_hole(part)
             rows.append((fid, pi, hole, [float(v) for v in part[:, 0]],
                          [float(v) for v in part[:, 1]],
                          *[str(rec.attrs.get(a, "")) for a in attr_names]))
