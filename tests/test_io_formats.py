@@ -504,3 +504,27 @@ def test_shapefile_multipoint_and_z(tmp_path):
     shapefile.write_shapefile(recs, base)
     got = shapefile.decode_shapefile(open(base + ".shp", "rb").read())
     assert got[0].parts[0][0, 0] == 7.0 and got[0].zs[0][0] == 9.0
+
+
+def test_write_overlay_shapefile(spark, tmp_path):
+    """intersect_geom rings -> .shp -> read back: vertex sets + hole
+    flags survive, attrs carry the source fids."""
+    import __spark_entry__ as m
+
+    df = m.queries()["intersect_geom"](spark, "/root/testdata/sf0.001")
+    base = str(tmp_path / "ix")
+    n = shapefile.write_overlay_shapefile(df, base)
+    assert n >= 1
+    got = shapefile.decode_shapefile(open(base + ".shp", "rb").read(),
+                                     open(base + ".dbf", "rb").read())
+    assert len(got) == n
+    # every record's shells precede holes and windings encode the flags
+    pdf = df.toPandas()
+    src_keys = {(a, b) for a, b in zip(pdf["fid_a"], pdf["fid_b"])}
+    for rec in got:
+        holes = [shapefile.ring_is_hole(p) for p in rec.parts]
+        assert holes == sorted(holes)  # shells first
+        assert (rec.attrs["FID_A"], rec.attrs["FID_B"]) in src_keys
+    # total vertex count preserved (up to ring closure duplicates)
+    n_src = sum(len(p) - 1 for rec in got for p in rec.parts)
+    assert n_src == len(pdf)

@@ -316,3 +316,53 @@ def records_to_features(records: list[ShapeRecord]) -> list[PolygonFeature]:
                                                     for p in rec.parts],
                                     holes=holes, attrs=dict(rec.attrs)))
     return feats
+
+
+def _orient(ring: np.ndarray, hole: bool) -> np.ndarray:
+    """Enforce spec winding (CW shells, CCW holes, y-up) so the hole flag
+    survives the codec's winding-based classification on re-read."""
+    if ring_is_hole(ring) != hole:
+        return ring[::-1].copy()
+    return ring
+
+
+def write_overlay_shapefile(df: DataFrame, base_path: str) -> int:
+    """Export an overlay geometry result (the engine's per-vertex ring
+    rows: fid_a, [fid_b,] part, is_hole, vi, x, y — the schema of
+    intersect_geom / union_geom / erase_geom / dissolve_geom) as a
+    Polygon shapefile; one record per (fid_a, fid_b) feature, parts in
+    ring order, windings normalized to the spec. Returns the record
+    count. Overlay layers are small by construction (they derive from a
+    broadcastable polygon layer), so the collect is not a scale hazard."""
+    cols = df.columns
+    has_b = "fid_b" in cols
+    keys = ["fid_a", "fid_b"] if has_b else ["fid_a"]
+    pdf = df.toPandas().sort_values(keys + ["part", "vi"])
+    records: list[ShapeRecord] = []
+    for key, feat in pdf.groupby(keys, dropna=False, sort=True):
+        parts, holes = [], []
+        for (_, hole), ring in feat.groupby(["part", "is_hole"], sort=True):
+            r = np.column_stack([ring["x"].to_numpy(), ring["y"].to_numpy()])
+            if len(r) < 3:
+                continue
+            if not (r[0] == r[-1]).all():
+                r = np.vstack([r, r[:1]])
+            parts.append(_orient(r, bool(hole)))
+            holes.append(bool(hole))
+        if not parts:
+            continue
+        # shells first, then holes, preserving part order within each
+        order = sorted(range(len(parts)), key=lambda i: (holes[i],))
+        key_t = key if isinstance(key, tuple) else (key,)
+        attrs = {"FID_A": int(key_t[0])}
+        if has_b:
+            attrs["FID_B"] = -1 if pd.isna(key_t[1]) else int(key_t[1])
+        records.append(ShapeRecord(
+            parts=[parts[i] for i in order],
+            shape_type=SHP_POLYGON,
+            attrs=attrs,
+        ))
+    if not records:
+        return 0
+    write_shapefile(records, base_path)
+    return len(records)
