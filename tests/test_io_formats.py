@@ -528,3 +528,13 @@ def test_write_overlay_shapefile(spark, tmp_path):
     # total vertex count preserved (up to ring closure duplicates)
     n_src = sum(len(p) - 1 for rec in got for p in rec.parts)
     assert n_src == len(pdf)
+
+
+def test_shapefile_prj_sidecar(tmp_path):
+    wkt = 'PROJCS["demo",GEOGCS["GCS_WGS_1984"]]'
+    recs = [shapefile.ShapeRecord(parts=[np.array([[1.0, 2.0]])],
+                                  shape_type=shapefile.SHP_POINT, attrs={"ID": 1})]
+    base = str(tmp_path / "p")
+    shapefile.write_shapefile(recs, base, prj=wkt)
+    assert shapefile.read_projection(base) == wkt
+    assert shapefile.read_projection(str(tmp_path / "missing")) is None

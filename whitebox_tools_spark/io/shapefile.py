@@ -261,12 +261,28 @@ def decode_shapefile(shp: bytes, dbf: bytes | None = None) -> list[ShapeRecord]:
 
 # ------------------------------------------------------------------ file + spark
 
-def write_shapefile(records: list[ShapeRecord], base_path: str) -> None:
-    """base_path without extension; writes .shp/.shx/.dbf."""
+def write_shapefile(
+    records: list[ShapeRecord], base_path: str, prj: str | None = None
+) -> None:
+    """base_path without extension; writes .shp/.shx/.dbf (+ .prj WKT
+    sidecar when given — the reference's Shapefile.projection field,
+    src/vector/shapefile/mod.rs:113)."""
     shp, shx, dbf = encode_shapefile(records)
     for ext, data in ((".shp", shp), (".shx", shx), (".dbf", dbf)):
         with open(base_path + ext, "wb") as f:
             f.write(data)
+    if prj:
+        with open(base_path + ".prj", "w") as f:
+            f.write(prj)
+
+
+def read_projection(base_path: str) -> str | None:
+    """The .prj WKT sidecar text, or None when absent."""
+    try:
+        with open(base_path + ".prj") as f:
+            return f.read()
+    except FileNotFoundError:
+        return None
 
 
 def _vector_schema(attr_names: list[str]) -> T.StructType:
