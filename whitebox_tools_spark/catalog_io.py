@@ -80,6 +80,39 @@ def q_whitebox_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_surfer7_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """points-to-raster min grid -> Surfer 7 binary .grd (f8 DATA
+    section, bottom-to-top) -> decode. Empty cells carry Surfer's forced
+    1.71041e38 nodata (raster/mod.rs:227-231) and are filtered."""
+    from whitebox_tools_spark.io import convert, simple_grids
+
+    pts = _docs_geo(spark, sf_dir)
+    grid = points_to_raster(pts, GRID, assign="min")
+    d = tempfile.mkdtemp(prefix="wts_grd_")
+    path = os.path.join(d, "grid.grd")
+    convert.write_raster(grid, GRID, path)
+    _, back = convert.read_raster(spark, path)
+    return back.where(F.col("value") != F.lit(simple_grids.SURFER_NODATA)).select(
+        F.col("row").alias("cell_row"), F.col("col").alias("cell_col"), "value"
+    )
+
+
+def q_grass_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """points-to-raster first grid -> GRASS ASCII -> decode (repr() full
+    precision, lossless f8)."""
+    from whitebox_tools_spark.io import convert
+
+    pts = _docs_geo(spark, sf_dir)
+    grid = points_to_raster(pts, GRID, assign="first")
+    d = tempfile.mkdtemp(prefix="wts_grass_")
+    path = os.path.join(d, "grid.grass")
+    convert.write_raster(grid, GRID, path)
+    _, back = convert.read_raster(spark, path)
+    return back.where(F.col("value") != F.lit(GRID.nodata)).select(
+        F.col("row").alias("cell_row"), F.col("col").alias("cell_col"), "value"
+    )
+
+
 # f8 roundtrips are lossless, so the oracles are the block oracles verbatim.
 _ORACLE_GEOTIFF = _oracle_block("max")
 _ORACLE_ARCASCII = _oracle_block("min")
@@ -182,6 +215,8 @@ QUERIES = {
     "geotiff_roundtrip": q_geotiff_roundtrip,
     "arcascii_roundtrip": q_arcascii_roundtrip,
     "whitebox_roundtrip": q_whitebox_roundtrip,
+    "surfer7_roundtrip": q_surfer7_roundtrip,
+    "grass_roundtrip": q_grass_roundtrip,
     "las_roundtrip": q_las_roundtrip,
     "shapefile_roundtrip": q_shapefile_roundtrip,
 }
@@ -190,6 +225,8 @@ ORACLE_SQL = {
     "geotiff_roundtrip": _ORACLE_GEOTIFF,
     "arcascii_roundtrip": _ORACLE_ARCASCII,
     "whitebox_roundtrip": _oracle_points_raster("max"),
+    "surfer7_roundtrip": _oracle_points_raster("min"),
+    "grass_roundtrip": _oracle_points_raster("first"),
     "las_roundtrip": _ORACLE_LAS,
     "shapefile_roundtrip": _shapefile_oracle(),
 }
