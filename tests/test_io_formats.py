@@ -538,3 +538,17 @@ def test_shapefile_prj_sidecar(tmp_path):
     shapefile.write_shapefile(recs, base, prj=wkt)
     assert shapefile.read_projection(base) == wkt
     assert shapefile.read_projection(str(tmp_path / "missing")) is None
+
+
+def test_geotiff_multiband_roundtrip():
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(CFG.rows, CFG.cols, 3)).astype("u1")
+    data = geotiff.encode_geotiff(rgb, CFG, compression=8, rows_per_strip=8)
+    tags = geotiff.print_geotiff_tags(data)
+    assert tags["SamplesPerPixel"] == (3,)
+    assert tags["PhotometricInterpretation"] == (2,)
+    cfg2, back = geotiff.decode_geotiff_multi(data)
+    assert back.shape == (CFG.rows, CFG.cols, 3)
+    np.testing.assert_array_equal(back, rgb.astype(np.float64))
+    with pytest.raises(ValueError):
+        geotiff.decode_geotiff(data)  # single-band API refuses multiband

@@ -167,8 +167,20 @@ def _decompress(chunk: bytes, compression: int) -> bytes:
 
 
 def decode_geotiff(data: bytes) -> tuple[GridConfig, np.ndarray]:
-    """Decode GeoTIFF bytes -> (GridConfig, 2-D float64 array, NaN=nodata
-    left as the raw nodata value so callers choose the sentinel policy)."""
+    """Decode single-band GeoTIFF bytes -> (GridConfig, 2-D float64)."""
+    cfg, arr = decode_geotiff_multi(data)
+    if arr.shape[2] != 1:
+        raise ValueError(
+            f"multi-band file ({arr.shape[2]} samples/pixel); use decode_geotiff_multi"
+        )
+    return cfg, arr[:, :, 0]
+
+
+def decode_geotiff_multi(data: bytes) -> tuple[GridConfig, np.ndarray]:
+    """Decode GeoTIFF bytes -> (GridConfig, (h, w, samples) float64 array;
+    nodata left as the raw value so callers choose the sentinel policy).
+    Chunky (PlanarConfig 1) layout, equal bits/format across samples —
+    the reference's RGB(A) composite shape."""
     magic = data[:2]
     if magic == b"II":
         bo = "<"
@@ -190,9 +202,10 @@ def decode_geotiff(data: bytes) -> tuple[GridConfig, np.ndarray]:
     compression = int(tags.get(_COMPRESSION, (1,))[0])
     spp = int(tags.get(_SAMPLES_PER_PIXEL, (1,))[0])
     sfmt = int(tags.get(_SAMPLE_FORMAT, (1,))[0])
+    planar = int(tags.get(_PLANAR_CONFIG, (1,))[0])
     predictor = int(tags.get(_PREDICTOR, (1,))[0])
-    if spp != 1:
-        raise ValueError(f"only single-band GeoTIFF supported (got {spp} samples/pixel)")
+    if spp > 1 and planar != 1:
+        raise ValueError("only chunky (PlanarConfiguration=1) multiband supported")
     if predictor != 1:
         raise ValueError(f"TIFF predictor {predictor} not supported")
     key = (sfmt, bits)
@@ -200,7 +213,7 @@ def decode_geotiff(data: bytes) -> tuple[GridConfig, np.ndarray]:
         raise ValueError(f"unsupported sample format/bits {key}")
     dt = np.dtype(bo + _DTYPES[key])
 
-    grid = np.empty((height, width), dtype=dt)
+    grid = np.empty((height, width, spp), dtype=dt)
     if _TILE_OFFSETS in tags:
         tw = int(tags[_TILE_WIDTH][0])
         th = int(tags[_TILE_LENGTH][0])
@@ -209,7 +222,9 @@ def decode_geotiff(data: bytes) -> tuple[GridConfig, np.ndarray]:
         tiles_across = math.ceil(width / tw)
         for idx, (o, c) in enumerate(zip(offs, cnts)):
             raw = _decompress(data[o:o + c], compression)
-            tile = np.frombuffer(raw, dtype=dt, count=tw * th).reshape(th, tw)
+            tile = np.frombuffer(raw, dtype=dt, count=tw * th * spp).reshape(
+                th, tw, spp
+            )
             r0 = (idx // tiles_across) * th
             c0 = (idx % tiles_across) * tw
             grid[r0:min(r0 + th, height), c0:min(c0 + tw, width)] = (
@@ -223,9 +238,9 @@ def decode_geotiff(data: bytes) -> tuple[GridConfig, np.ndarray]:
         for o, c in zip(offs, cnts):
             raw = _decompress(data[o:o + c], compression)
             nrows = min(rps, height - r)
-            grid[r:r + nrows] = np.frombuffer(raw, dtype=dt, count=nrows * width).reshape(
-                nrows, width
-            )
+            grid[r:r + nrows] = np.frombuffer(
+                raw, dtype=dt, count=nrows * width * spp
+            ).reshape(nrows, width, spp)
             r += nrows
     arr = grid.astype(np.float64)
 
@@ -291,13 +306,16 @@ def encode_geotiff(
     rows_per_strip: int = 64,
     byteorder: str = "<",
 ) -> bytes:
-    """Encode a 2-D numpy array as single-band GeoTIFF bytes (strips)."""
-    if grid.ndim != 2:
-        raise ValueError("grid must be 2-D")
+    """Encode a numpy array as GeoTIFF bytes (strips): 2-D -> single
+    band; 3-D (h, w, s) -> s samples/pixel, chunky (PlanarConfig 1) —
+    the layout the reference's RGB composites use."""
+    if grid.ndim not in (2, 3):
+        raise ValueError("grid must be 2-D or 3-D (h, w, samples)")
     sfmt, bits = _np_to_tiff_type(grid)
     bo = byteorder
     grid = np.ascontiguousarray(grid, dtype=grid.dtype.newbyteorder(bo))
-    height, width = grid.shape
+    height, width = grid.shape[:2]
+    spp = 1 if grid.ndim == 2 else grid.shape[2]
     rps = min(rows_per_strip, height)
     nstrips = math.ceil(height / rps)
 
@@ -321,15 +339,23 @@ def encode_geotiff(
 
     _long(_IMAGE_WIDTH, width)
     _long(_IMAGE_LENGTH, height)
-    _short(_BITS_PER_SAMPLE, bits)
+    if spp == 1:
+        _short(_BITS_PER_SAMPLE, bits)
+    else:
+        tags.append((_BITS_PER_SAMPLE, 3, spp,
+                     struct.pack(bo + "H" * spp, *([bits] * spp))))
     _short(_COMPRESSION, compression)
-    _short(_PHOTOMETRIC, 1)
+    _short(_PHOTOMETRIC, 2 if spp >= 3 else 1)
     tags.append((_STRIP_OFFSETS, 4, nstrips, None))  # patched below
-    _short(_SAMPLES_PER_PIXEL, 1)
+    _short(_SAMPLES_PER_PIXEL, spp)
     _long(_ROWS_PER_STRIP, rps)
     tags.append((_STRIP_BYTE_COUNTS, 4, nstrips, None))
     _short(_PLANAR_CONFIG, 1)
-    _short(_SAMPLE_FORMAT, sfmt)
+    if spp == 1:
+        _short(_SAMPLE_FORMAT, sfmt)
+    else:
+        tags.append((_SAMPLE_FORMAT, 3, spp,
+                     struct.pack(bo + "H" * spp, *([sfmt] * spp))))
     tags.append((_MODEL_PIXEL_SCALE, 12, 3, scale))
     tags.append((_MODEL_TIEPOINT, 12, 6, tie))
     tags.append((_GDAL_NODATA, 2, len(nodata_ascii), nodata_ascii))
