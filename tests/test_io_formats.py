@@ -552,3 +552,101 @@ def test_geotiff_multiband_roundtrip():
     np.testing.assert_array_equal(back, rgb.astype(np.float64))
     with pytest.raises(ValueError):
         geotiff.decode_geotiff(data)  # single-band API refuses multiband
+
+
+# ------------------------------------------------------ LAS 1.3/1.4 formats
+
+
+@pytest.mark.parametrize("fmt,minor", [(4, 3), (5, 3), (6, 4), (7, 4),
+                                       (8, 4), (9, 4), (10, 4)])
+def test_las_extended_formats(fmt, minor):
+    """Formats 4-10 roundtrip: header version auto-selected, record sizes
+    per spec, i16 scan angle + 4-bit returns + u8 class for 6-10."""
+    pdf = _demo_points(300)
+    rng = np.random.default_rng(7)
+    if fmt >= 6:
+        pdf["scan_angle"] = rng.integers(-15000, 15000, len(pdf))
+        pdf["classification"] = rng.integers(0, 256, len(pdf))
+        pdf["return_num"] = rng.integers(1, 16, len(pdf))
+        pdf["num_returns"] = np.full(len(pdf), 15)
+    if fmt in (5, 7, 8, 10):
+        for ch in ("red", "green", "blue"):
+            pdf[ch] = rng.integers(0, 65536, len(pdf))
+    if fmt in (8, 10):
+        pdf["nir"] = rng.integers(0, 65536, len(pdf))
+    data = las.encode_las(pdf, point_format=fmt)
+    info = las.las_info(data)
+    assert info["version"] == (1, minor)
+    assert info["point_format"] == fmt
+    assert info["record_length"] == {4: 57, 5: 63, 6: 30, 7: 36,
+                                     8: 38, 9: 59, 10: 67}[fmt]
+    assert info["n_points"] == len(pdf)
+    (out,) = list(las.decode_las(data))
+    np.testing.assert_allclose(out["x"], pdf["x"], atol=5e-4)
+    np.testing.assert_allclose(out["z"], pdf["z"], atol=5e-4)
+    np.testing.assert_array_equal(out["scan_angle"], pdf["scan_angle"])
+    np.testing.assert_array_equal(out["classification"], pdf["classification"])
+    np.testing.assert_array_equal(out["return_num"], pdf["return_num"])
+    np.testing.assert_array_equal(out["num_returns"], pdf["num_returns"])
+    np.testing.assert_array_equal(out["gps_time"], pdf["gps_time"])
+    if fmt in (5, 7, 8, 10):
+        for ch in ("red", "green", "blue"):
+            np.testing.assert_array_equal(out[ch], pdf[ch])
+    if fmt in (8, 10):
+        np.testing.assert_array_equal(out["nir"], pdf["nir"])
+    else:
+        assert (out["nir"] == 0).all()
+
+
+def test_las_fmt4_to_fmt0_downgrade():
+    """fmt 4 (1.3, waveform slots) -> decode -> re-encode fmt 0 (1.2):
+    coordinates survive unchanged because re-quantization of already-
+    quantized values is stable under the tie-free floor(+0.5) rule."""
+    pdf = _demo_points(400)
+    d4 = las.encode_las(pdf, point_format=4)
+    (mid,) = list(las.decode_las(d4))
+    d0 = las.encode_las(mid, point_format=0)
+    info = las.las_info(d0)
+    assert info["version"] == (1, 2) and info["point_format"] == 0
+    (out,) = list(las.decode_las(d0))
+    np.testing.assert_array_equal(out["x"], mid["x"])
+    np.testing.assert_array_equal(out["y"], mid["y"])
+    np.testing.assert_array_equal(out["z"], mid["z"])
+    np.testing.assert_array_equal(out["intensity"], mid["intensity"])
+    assert out["gps_time"].isna().all()  # fmt 0 drops GPS time
+
+
+def test_las_wkt_vlr_carrythrough():
+    wkt = 'PROJCS["demo",GEOGCS["WGS 84"]]'
+    pdf = _demo_points(50)
+    data = las.encode_las(pdf, point_format=6, wkt=wkt)
+    assert las.las_wkt(data) == wkt
+    info = las.las_info(data)
+    (vlr,) = info["vlrs"]
+    assert vlr["user_id"] == "LASF_Projection"
+    assert vlr["record_id"] == las.WKT_CRS_RECORD_ID
+    # global-encoding WKT bit set for 1.4 (spec table 3)
+    import struct as _s
+    assert _s.unpack_from("<H", data, 6)[0] & 16
+    # points still decode with the VLR block in between
+    (out,) = list(las.decode_las(data))
+    assert len(out) == 50
+    np.testing.assert_allclose(out["x"], pdf["x"], atol=5e-4)
+
+
+def test_las_version_format_validation():
+    pdf = _demo_points(10)
+    with pytest.raises(ValueError, match="requires LAS 1.4"):
+        las.encode_las(pdf, point_format=6, version=(1, 2))
+    with pytest.raises(ValueError, match="unsupported LAS point format"):
+        las.encode_las(pdf, point_format=11)
+    with pytest.raises(ValueError, match="unsupported LAS version"):
+        las.encode_las(pdf, point_format=0, version=(2, 0))
+
+
+def test_las_int32_overflow_guard():
+    """An axis extent beyond ~2.1e6 units cannot fit i32 at scale 0.001:
+    the encoder must raise, not wrap (ADVICE r3)."""
+    pdf = pd.DataFrame({"x": [0.0, 3.0e6], "y": [0.0, 1.0], "z": [0.0, 1.0]})
+    with pytest.raises(ValueError, match="exceeds int32"):
+        las.encode_las(pdf)

@@ -121,6 +121,15 @@ _ORACLE_ARCASCII = _oracle_block("min")
 # ---------------------------------------------------------------- las codec
 
 
+def _quant_sql(col: str, off: str) -> str:
+    """DuckDB fragment reproducing the encoder's tie-free i32 quantization
+    (floor(v/scale + 0.5), io/las.py _quantize) at the 0.001 scale."""
+    return (
+        f"CAST(floor(({col} - {off}) / CAST(0.001 AS DOUBLE) + 0.5) AS BIGINT)"
+        f" * CAST(0.001 AS DOUBLE) + {off}"
+    )
+
+
 def q_las_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents points -> LAS 1.2 fmt 1 -> distributed decode.
 
@@ -147,11 +156,268 @@ _ORACLE_LAS = f"""
 WITH {_PTS_CTE},
 mn AS (SELECT floor(min(x)) AS ox, floor(min(y)) AS oy, floor(min(z)) AS oz FROM pts)
 SELECT doc_id AS did,
-       CAST(CAST(round((x - ox) / 0.001) AS BIGINT) AS DOUBLE) * CAST(0.001 AS DOUBLE) + ox AS x,
-       CAST(CAST(round((y - oy) / 0.001) AS BIGINT) AS DOUBLE) * CAST(0.001 AS DOUBLE) + oy AS y,
-       CAST(CAST(round((z - oz) / 0.001) AS BIGINT) AS DOUBLE) * CAST(0.001 AS DOUBLE) + oz AS z,
+       {_quant_sql("x", "ox")} AS x,
+       {_quant_sql("y", "oy")} AS y,
+       {_quant_sql("z", "oz")} AS z,
        CAST(doc_id % 4096 AS INTEGER) AS intensity
 FROM pts CROSS JOIN mn
+"""
+
+
+_WKT_FIXTURE = (
+    'PROJCS["WGS 84 / UTM zone 18N",GEOGCS["WGS 84",DATUM["WGS_1984",'
+    'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+    'UNIT["degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],'
+    'UNIT["metre",1]]'
+)
+
+
+def q_las14_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents points -> LAS 1.4 point format 6 (extended record: i16
+    scan angle, 4-bit return counts, full u8 classification, WKT CRS VLR)
+    -> distributed decode.
+
+    scan_angle spans +/-15000 to prove the i16 path (an i8 codec would
+    wrap), classification spans the full 0-255 byte, and wkt_ok pins the
+    VLR surviving the byte roundtrip (las.rs:950-978 extended arms;
+    header.rs:143-150 1.4 extended header; vlr.rs record 2112).
+    """
+    pts = _docs_geo(spark, sf_dir).select(
+        "x", "y", "z",
+        F.col("doc_id").cast("double").alias("gps_time"),
+        (F.pmod(F.col("doc_id"), F.lit(30001)) - F.lit(15000))
+        .cast("int").alias("scan_angle"),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("int").alias("classification"),
+        (F.pmod(F.col("doc_id"), F.lit(15)) + F.lit(1)).cast("int").alias("return_num"),
+    )
+    d = tempfile.mkdtemp(prefix="wts_las14_")
+    path = os.path.join(d, "pts14.las")
+    las.write_las(pts, path, point_format=6, wkt=_WKT_FIXTURE)
+    with open(path, "rb") as f:
+        raw = f.read()
+    info = las.las_info(raw)
+    wkt_ok = int(
+        info["wkt"] == _WKT_FIXTURE
+        and info["version"] == (1, 4)
+        and info["point_format"] == 6
+    )
+    back = las.read_las(spark, path)
+    return back.select(
+        F.col("gps_time").cast("long").alias("did"),
+        "x", "y", "z", "scan_angle", "classification", "return_num",
+        F.lit(wkt_ok).alias("wkt_ok"),
+    )
+
+
+_ORACLE_LAS14 = f"""
+WITH {_PTS_CTE},
+mn AS (SELECT floor(min(x)) AS ox, floor(min(y)) AS oy, floor(min(z)) AS oz FROM pts)
+SELECT doc_id AS did,
+       {_quant_sql("x", "ox")} AS x,
+       {_quant_sql("y", "oy")} AS y,
+       {_quant_sql("z", "oz")} AS z,
+       CAST(doc_id % 30001 - 15000 AS INTEGER) AS scan_angle,
+       CAST(doc_id % 256 AS INTEGER) AS classification,
+       CAST(doc_id % 15 + 1 AS INTEGER) AS return_num,
+       CAST(1 AS INTEGER) AS wkt_ok
+FROM pts CROSS JOIN mn
+"""
+
+
+def q_ascii_to_las(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AsciiToLas (ascii_to_las.rs): xyz text -> spark.read.csv ->
+    encode_las -> distributed decode. The CSV hop is exact (shortest-
+    repr floats parse back bit-identical), so the oracle is the LAS
+    quantization alone."""
+    pts = _docs_geo(spark, sf_dir).select("doc_id", "x", "y", "z")
+    d = tempfile.mkdtemp(prefix="wts_a2l_")
+    csv_path = os.path.join(d, "pts.csv")
+    pts.toPandas().to_csv(csv_path, index=False)
+    df = spark.read.csv(csv_path, header=True, inferSchema=True)
+    las_path = os.path.join(d, "pts.las")
+    las.write_las(
+        df.select("x", "y", "z", F.col("doc_id").cast("double").alias("gps_time")),
+        las_path,
+        point_format=1,
+    )
+    back = las.read_las(spark, las_path)
+    return back.select(
+        F.col("gps_time").cast("long").alias("did"), "x", "y", "z"
+    )
+
+
+_ORACLE_ASCII_TO_LAS = f"""
+WITH {_PTS_CTE},
+mn AS (SELECT floor(min(x)) AS ox, floor(min(y)) AS oy, floor(min(z)) AS oz FROM pts)
+SELECT doc_id AS did,
+       {_quant_sql("x", "ox")} AS x,
+       {_quant_sql("y", "oy")} AS y,
+       {_quant_sql("z", "oz")} AS z
+FROM pts CROSS JOIN mn
+"""
+
+
+def q_las_to_shapefile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LasToShapefile (las_to_shapefile.rs): LAS -> point-record .shp
+    with the point id in the DBF and the LAS WKT CRS carried through to
+    the .prj sidecar (prj_ok pins the carry-through)."""
+    pts = _docs_geo(spark, sf_dir).select(
+        "x", "y", "z", F.col("doc_id").cast("double").alias("gps_time")
+    )
+    d = tempfile.mkdtemp(prefix="wts_l2s_")
+    las_path = os.path.join(d, "pts.las")
+    las.write_las(pts, las_path, point_format=1, wkt=_WKT_FIXTURE)
+    with open(las_path, "rb") as f:
+        crs = las.las_wkt(f.read())
+    decoded = (
+        las.read_las(spark, las_path)
+        .select(F.col("gps_time").cast("long").alias("did"), "x", "y")
+        .toPandas()
+        .sort_values("did")
+    )
+    import numpy as np
+
+    recs = [
+        shapefile.ShapeRecord(
+            parts=[np.array([[r.x, r.y]])],
+            shape_type=shapefile.SHP_POINT,
+            attrs={"DID": int(r.did)},
+        )
+        for r in decoded.itertuples()
+    ]
+    base = os.path.join(d, "pts_shp")
+    shapefile.write_shapefile(recs, base, prj=crs)
+    prj_ok = int(shapefile.read_projection(base) == _WKT_FIXTURE)
+    out = shapefile.read_shapefile(spark, base)
+    return out.select(
+        F.col("DID").cast("long").alias("did"),
+        F.element_at("xs", 1).alias("x"),
+        F.element_at("ys", 1).alias("y"),
+        F.lit(prj_ok).alias("prj_ok"),
+    )
+
+
+_ORACLE_LAS_TO_SHP = f"""
+WITH {_PTS_CTE},
+mn AS (SELECT floor(min(x)) AS ox, floor(min(y)) AS oy FROM pts)
+SELECT doc_id AS did,
+       {_quant_sql("x", "ox")} AS x,
+       {_quant_sql("y", "oy")} AS y,
+       CAST(1 AS INTEGER) AS prj_ok
+FROM pts CROSS JOIN mn
+"""
+
+
+def q_las_to_multipoint_shapefile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LasToMultipointShapefile (las_to_multipoint_shapefile.rs): LAS ->
+    one MultiPoint record per group (here doc_id % 8), vertices in id
+    order; per-record vertex count + coordinate sums certify every
+    vertex survived both codecs."""
+    pts = _docs_geo(spark, sf_dir).select(
+        "x", "y", "z", F.col("doc_id").cast("double").alias("gps_time")
+    )
+    d = tempfile.mkdtemp(prefix="wts_l2m_")
+    las_path = os.path.join(d, "pts.las")
+    las.write_las(pts, las_path, point_format=1)
+    decoded = (
+        las.read_las(spark, las_path)
+        .select(F.col("gps_time").cast("long").alias("did"), "x", "y")
+        .toPandas()
+        .sort_values("did")
+    )
+    import numpy as np
+
+    decoded["grp"] = decoded["did"] % 8
+    recs = [
+        shapefile.ShapeRecord(
+            parts=[np.column_stack([sub["x"].to_numpy(), sub["y"].to_numpy()])],
+            shape_type=shapefile.SHP_MULTIPOINT,
+            attrs={"GRP": int(g)},
+        )
+        for g, sub in decoded.groupby("grp", sort=True)
+    ]
+    base = os.path.join(d, "pts_mp")
+    shapefile.write_shapefile(recs, base)
+    out = shapefile.read_shapefile(spark, base)
+    # per-vertex rows (exact f8, no float-sum ordering hazard): vertex
+    # position within each record is the id rank, pinned by the oracle's
+    # row_number — a hash match proves vertex ORDER survived, not just
+    # the vertex set
+    ex = out.select(
+        F.col("GRP").cast("int").alias("grp"),
+        F.posexplode(F.arrays_zip("xs", "ys")).alias("pos", "pt"),
+    )
+    return ex.select(
+        "grp", "pos",
+        F.col("pt.xs").alias("x"),
+        F.col("pt.ys").alias("y"),
+    )
+
+
+_ORACLE_LAS_TO_MP = f"""
+WITH {_PTS_CTE},
+mn AS (SELECT floor(min(x)) AS ox, floor(min(y)) AS oy FROM pts),
+q AS (
+  SELECT doc_id,
+         {_quant_sql("x", "ox")} AS x,
+         {_quant_sql("y", "oy")} AS y
+  FROM pts CROSS JOIN mn)
+SELECT CAST(doc_id % 8 AS INTEGER) AS grp,
+       CAST(row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - 1
+            AS INTEGER) AS pos,
+       x, y
+FROM q
+"""
+
+
+# ------------------------------------------------------- geotiff tag dump
+
+
+def q_print_geotiff_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrintGeoTiffTags (print_geotiff_tags.rs): named IFD dump of an
+    engine-written f8 uncompressed GeoTIFF, decoded distributed. Every
+    emitted tag value is spec-derivable from the write call (20x20 f8,
+    strip layout, GRID georeference), so the oracle transcribes the TIFF
+    6.0 / GeoTIFF spec — StripOffsets (a layout detail) is excluded."""
+    import pandas as pd
+
+    pts = _docs_geo(spark, sf_dir).select("x", "y", "z")
+    grid = block_grid(pts, GRID, stat="max")
+    d = tempfile.mkdtemp(prefix="wts_tags_")
+    path = os.path.join(d, "grid.tif")
+    geotiff.write_geotiff(grid, GRID, path, dtype="f8", compression=1)
+    bf = spark.read.format("binaryFile").load(path)
+
+    def _dump(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                tags = geotiff.print_geotiff_tags(bytes(content))
+                rows = [
+                    (k, ",".join(str(v) for v in vals))
+                    for k, vals in tags.items()
+                    if k != "StripOffsets"
+                ]
+                yield pd.DataFrame(rows, columns=["tag", "val"])
+
+    return bf.select("content").mapInPandas(_dump, "tag string, val string")
+
+
+_ORACLE_TIFF_TAGS = """
+SELECT tag, val FROM (VALUES
+  ('ImageWidth', '20'),
+  ('ImageLength', '20'),
+  ('BitsPerSample', '64'),
+  ('Compression', '1'),
+  ('PhotometricInterpretation', '1'),
+  ('SamplesPerPixel', '1'),
+  ('RowsPerStrip', '20'),
+  ('StripByteCounts', '3200'),
+  ('PlanarConfiguration', '1'),
+  ('SampleFormat', '3'),
+  ('ModelPixelScaleTag', '50.0,50.0,0.0'),
+  ('ModelTiepointTag', '0.0,0.0,0.0,0.0,1000.0,0.0'),
+  ('GDAL_NODATA', '-32768.0')
+) t(tag, val)
 """
 
 
@@ -218,6 +484,11 @@ QUERIES = {
     "surfer7_roundtrip": q_surfer7_roundtrip,
     "grass_roundtrip": q_grass_roundtrip,
     "las_roundtrip": q_las_roundtrip,
+    "las14_roundtrip": q_las14_roundtrip,
+    "ascii_to_las": q_ascii_to_las,
+    "las_to_shapefile": q_las_to_shapefile,
+    "las_to_multipoint_shapefile": q_las_to_multipoint_shapefile,
+    "print_geotiff_tags": q_print_geotiff_tags,
     "shapefile_roundtrip": q_shapefile_roundtrip,
 }
 
@@ -228,5 +499,10 @@ ORACLE_SQL = {
     "surfer7_roundtrip": _oracle_points_raster("min"),
     "grass_roundtrip": _oracle_points_raster("first"),
     "las_roundtrip": _ORACLE_LAS,
+    "las14_roundtrip": _ORACLE_LAS14,
+    "ascii_to_las": _ORACLE_ASCII_TO_LAS,
+    "las_to_shapefile": _ORACLE_LAS_TO_SHP,
+    "las_to_multipoint_shapefile": _ORACLE_LAS_TO_MP,
+    "print_geotiff_tags": _ORACLE_TIFF_TAGS,
     "shapefile_roundtrip": _shapefile_oracle(),
 }

@@ -1,11 +1,25 @@
-"""LAS point-cloud codec (LAS 1.2, point formats 0-3), numpy-vectorized.
+"""LAS point-cloud codec (LAS 1.2/1.3/1.4, point formats 0-10), numpy-vectorized.
 
 Header + point layouts follow the spec fields the reference parses
 (src/lidar/las.rs:558-640: version at 24, header_size u16@94,
-offset_to_points u32@96, point_format u8@104, scale/offset f64 triples)
-and the writer uses the reference's default scale factors 0.001
-(las.rs:152-154). Decoding is one structured-dtype ``np.frombuffer`` —
-no per-point Python.
+offset_to_points u32@96, point_format u8@104, scale/offset f64 triples;
+src/lidar/header.rs:143-150,205: the 1.3+ extended block — waveform
+start u64, EVLR offset/count, 64-bit point counts) and the point-record
+dispatch mirrors las.rs:354-421 / the decode arms at las.rs:856-1027:
+formats 0-5 carry an i8 scan angle and 3-bit return counts; the 1.4
+extended formats 6-10 carry an i16 scan angle, 4-bit return counts and
+a full u8 classification. The writer uses the reference's default scale
+factors 0.001 (las.rs:152-154). Decoding is one structured-dtype
+``np.frombuffer`` — no per-point Python.
+
+VLRs (src/lidar/vlr.rs: reserved u16, user_id 16s, record_id u16,
+record_length u16, description 32s, payload) are parsed into dicts and
+a WKT CRS (record_id 2112, mandatory for the 1.4 extended formats) can
+be written and carried through to shapefile ``.prj`` sidecars.
+
+Quantization is tie-free on purpose: ``floor(v/scale + 0.5)`` on both
+the encoder and the DuckDB oracle, so no coordinate can straddle a
+banker's-rounding tie.
 """
 
 from __future__ import annotations
@@ -20,18 +34,129 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_HEADER_SIZE = 227  # LAS 1.2
+# header sizes by (major, minor): 1.2 = 227; 1.3 adds the waveform-start
+# u64 (235); 1.4 adds EVLR offset/count + 64-bit point counts (375).
+_HEADER_SIZES = {(1, 0): 227, (1, 1): 227, (1, 2): 227, (1, 3): 235, (1, 4): 375}
 
 _PT0 = np.dtype([
     ("xi", "<i4"), ("yi", "<i4"), ("zi", "<i4"),
     ("intensity", "<u2"), ("flags", "u1"), ("classification", "u1"),
     ("scan_angle", "i1"), ("user_data", "u1"), ("point_source_id", "<u2"),
 ])
-_PT1 = np.dtype(_PT0.descr + [("gps_time", "<f8")])
+_GPS = [("gps_time", "<f8")]
 _RGB = [("red", "<u2"), ("green", "<u2"), ("blue", "<u2")]
+_NIR = [("nir", "<u2")]
+# waveform packet descriptor (formats 4/5/9/10): index u1, offset u8,
+# size u4, return-point location f4, parametric dx/dy/dz f4 each
+_WAVE = [("wf_index", "u1"), ("wf_offset", "<u8"), ("wf_size", "<u4"),
+         ("wf_return_pt", "<f4"), ("wf_xt", "<f4"), ("wf_yt", "<f4"),
+         ("wf_zt", "<f4")]
+# LAS 1.4 extended record core (formats 6-10): 4-bit return counts in
+# "returns", classification-flags/scanner-channel byte, full u8 class,
+# i16 scan angle AFTER user_data (las.rs:950 reads i16)
+_PT6 = np.dtype([
+    ("xi", "<i4"), ("yi", "<i4"), ("zi", "<i4"),
+    ("intensity", "<u2"), ("returns", "u1"), ("flags2", "u1"),
+    ("classification", "u1"), ("user_data", "u1"),
+    ("scan_angle", "<i2"), ("point_source_id", "<u2"),
+]).descr + _GPS
+
+_PT1 = np.dtype(_PT0.descr + _GPS)
 _PT2 = np.dtype(_PT0.descr + _RGB)
 _PT3 = np.dtype(_PT1.descr + _RGB)
-_FORMATS = {0: _PT0, 1: _PT1, 2: _PT2, 3: _PT3}
+_FORMATS = {
+    0: _PT0,
+    1: _PT1,
+    2: _PT2,
+    3: _PT3,
+    4: np.dtype(_PT1.descr + _WAVE),
+    5: np.dtype(_PT3.descr + _WAVE),
+    6: np.dtype(_PT6),
+    7: np.dtype(_PT6 + _RGB),
+    8: np.dtype(_PT6 + _RGB + _NIR),
+    9: np.dtype(_PT6 + _WAVE),
+    10: np.dtype(_PT6 + _RGB + _NIR + _WAVE),
+}
+# minimum LAS minor version per point format (formats 4/5 arrived in
+# 1.3 with waveform support; 6-10 are the 1.4 extended records)
+_MIN_MINOR = {0: 2, 1: 2, 2: 2, 3: 2, 4: 3, 5: 3, 6: 4, 7: 4, 8: 4, 9: 4, 10: 4}
+_EXTENDED = frozenset({6, 7, 8, 9, 10})
+_HAS_GPS = frozenset({1, 3, 4, 5, 6, 7, 8, 9, 10})
+_HAS_RGB = frozenset({2, 3, 5, 7, 8, 10})
+_HAS_NIR = frozenset({8, 10})
+_HAS_WAVE = frozenset({4, 5, 9, 10})
+
+_VLR_HEADER = struct.Struct("<H16sHH32s")  # vlr.rs field order
+WKT_CRS_RECORD_ID = 2112  # OGC coordinate system WKT (LAS 1.4 spec table 13)
+
+
+def encode_vlrs(vlrs: list[dict]) -> bytes:
+    """Encode VLR dicts ({user_id, record_id, description, data}) to the
+    on-disk block that sits between the header and the point records."""
+    out = bytearray()
+    for v in vlrs:
+        data = v.get("data", b"")
+        out += _VLR_HEADER.pack(
+            int(v.get("reserved", 0)),
+            str(v.get("user_id", "")).encode("ascii", "replace")[:16],
+            int(v["record_id"]),
+            len(data),
+            str(v.get("description", "")).encode("ascii", "replace")[:32],
+        )
+        out += data
+    return bytes(out)
+
+
+def parse_vlrs(data: bytes) -> list[dict]:
+    """Parse the VLR block into dicts (payload kept as raw bytes)."""
+    (header_size,) = struct.unpack_from("<H", data, 94)
+    (n_vlrs,) = struct.unpack_from("<I", data, 100)
+    vlrs = []
+    pos = header_size
+    for _ in range(n_vlrs):
+        reserved, user_id, record_id, rec_len, desc = _VLR_HEADER.unpack_from(data, pos)
+        pos += _VLR_HEADER.size
+        vlrs.append({
+            "reserved": reserved,
+            "user_id": user_id.split(b"\0")[0].decode("ascii", "replace"),
+            "record_id": record_id,
+            "description": desc.split(b"\0")[0].decode("ascii", "replace"),
+            "data": data[pos:pos + rec_len],
+        })
+        pos += rec_len
+    return vlrs
+
+
+def las_wkt(data: bytes) -> str | None:
+    """The WKT CRS carried in VLR record 2112, or None."""
+    for v in parse_vlrs(data):
+        if v["record_id"] == WKT_CRS_RECORD_ID:
+            return v["data"].split(b"\0")[0].decode("utf-8", "replace")
+    return None
+
+
+def las_info(data: bytes) -> dict:
+    """Header summary (version, format, counts, scales/offsets, VLRs)."""
+    if data[:4] != b"LASF":
+        raise ValueError("not a LAS file")
+    (header_size,) = struct.unpack_from("<H", data, 94)
+    (offset_to_points,) = struct.unpack_from("<I", data, 96)
+    (n_points,) = struct.unpack_from("<I", data, 107)
+    vmaj, vmin = data[24], data[25]
+    if vmin >= 4 and n_points == 0:
+        (n_points,) = struct.unpack_from("<Q", data, 247)
+    return {
+        "version": (vmaj, vmin),
+        "header_size": header_size,
+        "offset_to_points": offset_to_points,
+        "point_format": data[104] & 0x3F,
+        "record_length": struct.unpack_from("<H", data, 105)[0],
+        "n_points": n_points,
+        "scales": struct.unpack_from("<3d", data, 131),
+        "offsets": struct.unpack_from("<3d", data, 155),
+        "vlrs": parse_vlrs(data),
+        "wkt": las_wkt(data),
+    }
 
 
 def _header_bytes(
@@ -41,34 +166,79 @@ def _header_bytes(
     offsets: tuple[float, float, float],
     mins: tuple[float, float, float],
     maxs: tuple[float, float, float],
+    version: tuple[int, int],
+    vlr_bytes: bytes,
+    n_vlrs: int,
+    wkt_flag: bool,
 ) -> bytes:
     rec_len = _FORMATS[point_format].itemsize
-    h = bytearray(_HEADER_SIZE)
+    hsize = _HEADER_SIZES[version]
+    h = bytearray(hsize)
     h[0:4] = b"LASF"
-    h[24] = 1  # version major
-    h[25] = 2  # version minor
+    if wkt_flag:
+        struct.pack_into("<H", h, 6, 1 << 4)  # global encoding: WKT bit
+    h[24], h[25] = version
     sysid = b"whitebox_tools_spark"
     h[26:26 + len(sysid)] = sysid
-    struct.pack_into("<H", h, 94, _HEADER_SIZE)
-    struct.pack_into("<I", h, 96, _HEADER_SIZE)  # offset to points (no VLRs)
-    struct.pack_into("<I", h, 100, 0)  # number of VLRs
+    struct.pack_into("<H", h, 94, hsize)
+    struct.pack_into("<I", h, 96, hsize + len(vlr_bytes))  # offset to points
+    struct.pack_into("<I", h, 100, n_vlrs)
     h[104] = point_format
     struct.pack_into("<H", h, 105, rec_len)
-    struct.pack_into("<I", h, 107, n_points)
-    struct.pack_into("<I", h, 111, n_points)  # returns-by-pulse[0]
+    # legacy 32-bit counts: zero for the extended formats (1.4 spec §2.3)
+    legacy = 0 if point_format in _EXTENDED else n_points
+    struct.pack_into("<I", h, 107, legacy)
+    struct.pack_into("<I", h, 111, legacy)  # legacy returns-by-pulse[0]
     struct.pack_into("<3d", h, 131, *scales)
     struct.pack_into("<3d", h, 155, *offsets)
     # spec order: max_x min_x max_y min_y max_z min_z
     struct.pack_into("<6d", h, 179, maxs[0], mins[0], maxs[1], mins[1], maxs[2], mins[2])
+    if version[1] >= 3:
+        struct.pack_into("<Q", h, 227, 0)  # start of waveform data
+    if version[1] >= 4:
+        struct.pack_into("<Q", h, 235, 0)  # start of first EVLR
+        struct.pack_into("<I", h, 243, 0)  # number of EVLRs
+        struct.pack_into("<Q", h, 247, n_points)
+        struct.pack_into("<Q", h, 255, n_points)  # points-by-return[0]
     return bytes(h)
 
 
-def encode_las(pdf: pd.DataFrame, point_format: int = 1) -> bytes:
+def _quantize(v: np.ndarray, offset: float, scale: float) -> np.ndarray:
+    """Tie-free coordinate quantization: floor(v/scale + 0.5), validated
+    to fit the spec's i32 field (raises instead of wrapping)."""
+    q = np.floor((v - offset) / scale + 0.5).astype(np.int64)
+    if len(q) and (q.min() < -(2**31) or q.max() > 2**31 - 1):
+        raise ValueError(
+            f"coordinate extent exceeds int32 at scale {scale} "
+            f"(scaled range [{q.min()}, {q.max()}]); widen the scale factor"
+        )
+    return q
+
+
+def encode_las(
+    pdf: pd.DataFrame,
+    point_format: int = 1,
+    wkt: str | None = None,
+    version: tuple[int, int] | None = None,
+) -> bytes:
     """Encode a pandas frame (x,y,z required; intensity, classification,
-    return_num, num_returns, scan_angle, point_source_id, gps_time
-    optional) as LAS 1.2 bytes."""
+    return_num, num_returns, scan_angle, point_source_id, gps_time,
+    red/green/blue, nir optional) as LAS bytes.
+
+    The version defaults to the lowest that supports the point format
+    (0-3 -> 1.2, 4-5 -> 1.3, 6-10 -> 1.4). ``wkt`` writes an OGC WKT CRS
+    VLR (record 2112) and sets the 1.4 global-encoding WKT bit.
+    """
     if point_format not in _FORMATS:
         raise ValueError(f"unsupported LAS point format {point_format}")
+    if version is None:
+        version = (1, _MIN_MINOR[point_format])
+    if version not in _HEADER_SIZES:
+        raise ValueError(f"unsupported LAS version {version}")
+    if version[1] < _MIN_MINOR[point_format]:
+        raise ValueError(
+            f"point format {point_format} requires LAS 1.{_MIN_MINOR[point_format]}+"
+        )
     n = len(pdf)
     x = pdf["x"].to_numpy(np.float64)
     y = pdf["y"].to_numpy(np.float64)
@@ -80,38 +250,65 @@ def encode_las(pdf: pd.DataFrame, point_format: int = 1) -> bytes:
         float(np.floor(z.min())) if n else 0.0,
     )
     rec = np.zeros(n, dtype=_FORMATS[point_format])
-    rec["xi"] = np.round((x - offsets[0]) / scales[0]).astype(np.int64)
-    rec["yi"] = np.round((y - offsets[1]) / scales[1]).astype(np.int64)
-    rec["zi"] = np.round((z - offsets[2]) / scales[2]).astype(np.int64)
+    rec["xi"] = _quantize(x, offsets[0], scales[0])
+    rec["yi"] = _quantize(y, offsets[1], scales[1])
+    rec["zi"] = _quantize(z, offsets[2], scales[2])
 
     def _opt(col, default=0):
         return pdf[col].to_numpy() if col in pdf.columns else np.full(n, default)
 
     rec["intensity"] = _opt("intensity").astype(np.uint16)
-    ret = np.clip(_opt("return_num", 1).astype(np.int64), 0, 7)
-    nret = np.clip(_opt("num_returns", 1).astype(np.int64), 0, 7)
-    rec["flags"] = (ret | (nret << 3)).astype(np.uint8)
     rec["classification"] = _opt("classification").astype(np.uint8)
-    rec["scan_angle"] = _opt("scan_angle").astype(np.int8)
     rec["point_source_id"] = _opt("point_source_id").astype(np.uint16)
-    if point_format in (1, 3):
+    if point_format in _EXTENDED:
+        ret = np.clip(_opt("return_num", 1).astype(np.int64), 0, 15)
+        nret = np.clip(_opt("num_returns", 1).astype(np.int64), 0, 15)
+        rec["returns"] = (ret | (nret << 4)).astype(np.uint8)
+        rec["scan_angle"] = _opt("scan_angle").astype(np.int16)
+    else:
+        ret = np.clip(_opt("return_num", 1).astype(np.int64), 0, 7)
+        nret = np.clip(_opt("num_returns", 1).astype(np.int64), 0, 7)
+        rec["flags"] = (ret | (nret << 3)).astype(np.uint8)
+        rec["scan_angle"] = _opt("scan_angle").astype(np.int8)
+    if point_format in _HAS_GPS:
         rec["gps_time"] = _opt("gps_time", 0.0).astype(np.float64)
-    if point_format in (2, 3):
+    if point_format in _HAS_RGB:
         for ch in ("red", "green", "blue"):
             rec[ch] = _opt(ch).astype(np.uint16)
+    if point_format in _HAS_NIR:
+        rec["nir"] = _opt("nir").astype(np.uint16)
+    # waveform packets (formats 4/5/9/10) are structurally present but
+    # zeroed — the reference reads them yet no tool consumes waveform
+    # samples (las.rs wave_packet pass-through)
 
     mins = (float(x.min()) if n else 0.0, float(y.min()) if n else 0.0,
             float(z.min()) if n else 0.0)
     maxs = (float(x.max()) if n else 0.0, float(y.max()) if n else 0.0,
             float(z.max()) if n else 0.0)
-    return _header_bytes(n, point_format, scales, offsets, mins, maxs) + rec.tobytes()
+    vlrs = []
+    if wkt is not None:
+        vlrs.append({
+            "user_id": "LASF_Projection",
+            "record_id": WKT_CRS_RECORD_ID,
+            "description": "OGC WKT CRS",
+            "data": wkt.encode("utf-8") + b"\0",
+        })
+    vlr_bytes = encode_vlrs(vlrs)
+    header = _header_bytes(
+        n, point_format, scales, offsets, mins, maxs, version,
+        vlr_bytes, len(vlrs), wkt_flag=wkt is not None and version[1] >= 4,
+    )
+    return header + vlr_bytes + rec.tobytes()
 
 
 def decode_las(data: bytes, batch_points: int = 1 << 20) -> Iterator[pd.DataFrame]:
     """Decode LAS bytes, yielding pandas batches (never one giant frame).
 
     Columns: x,y,z,intensity,return_num,num_returns,classification,
-    scan_angle,point_source_id,gps_time (NaN for format 0).
+    scan_angle,point_source_id,gps_time (NaN for format 0),
+    red/green/blue/nir (0 where the format lacks them). scan_angle is the
+    raw stored value — i8 for formats 0-5, i16 for 6-10, matching the
+    reference's i16 in-memory field (las.rs:765 vs :950).
     """
     if data[:4] != b"LASF":
         raise ValueError("not a LAS file")
@@ -132,6 +329,7 @@ def decode_las(data: bytes, batch_points: int = 1 << 20) -> Iterator[pd.DataFram
     dt = _FORMATS[point_format]
     if rec_len < dt.itemsize:
         raise ValueError(f"record length {rec_len} < format {point_format} size")
+    extended = point_format in _EXTENDED
 
     for start in range(0, n_points, batch_points):
         cnt = min(batch_points, n_points - start)
@@ -144,25 +342,34 @@ def decode_las(data: bytes, batch_points: int = 1 << 20) -> Iterator[pd.DataFram
                                "offsets": [dt.fields[n][1] for n in dt.names],
                                "itemsize": rec_len})
             rec = np.frombuffer(data, dtype=padded, count=cnt, offset=off)
-        flags = rec["flags"]
+        if extended:
+            returns = rec["returns"]
+            ret_num = (returns & 0xF).astype(np.int32)
+            num_ret = ((returns >> 4) & 0xF).astype(np.int32)
+        else:
+            flags = rec["flags"]
+            ret_num = (flags & 0x7).astype(np.int32)
+            num_ret = ((flags >> 3) & 0x7).astype(np.int32)
         yield pd.DataFrame({
             "x": rec["xi"] * sx + ox,
             "y": rec["yi"] * sy + oy,
             "z": rec["zi"] * sz + oz,
             "intensity": rec["intensity"].astype(np.int32),
-            "return_num": (flags & 0x7).astype(np.int32),
-            "num_returns": ((flags >> 3) & 0x7).astype(np.int32),
+            "return_num": ret_num,
+            "num_returns": num_ret,
             "classification": rec["classification"].astype(np.int32),
             "scan_angle": rec["scan_angle"].astype(np.int32),
             "point_source_id": rec["point_source_id"].astype(np.int32),
             "gps_time": rec["gps_time"].astype(np.float64)
-            if point_format in (1, 3) else np.full(cnt, np.nan),
+            if point_format in _HAS_GPS else np.full(cnt, np.nan),
             "red": rec["red"].astype(np.int32)
-            if point_format in (2, 3) else np.zeros(cnt, np.int32),
+            if point_format in _HAS_RGB else np.zeros(cnt, np.int32),
             "green": rec["green"].astype(np.int32)
-            if point_format in (2, 3) else np.zeros(cnt, np.int32),
+            if point_format in _HAS_RGB else np.zeros(cnt, np.int32),
             "blue": rec["blue"].astype(np.int32)
-            if point_format in (2, 3) else np.zeros(cnt, np.int32),
+            if point_format in _HAS_RGB else np.zeros(cnt, np.int32),
+            "nir": rec["nir"].astype(np.int32)
+            if point_format in _HAS_NIR else np.zeros(cnt, np.int32),
         })
 
 
@@ -181,6 +388,7 @@ _LAS_SCHEMA = T.StructType([
     T.StructField("red", T.IntegerType()),
     T.StructField("green", T.IntegerType()),
     T.StructField("blue", T.IntegerType()),
+    T.StructField("nir", T.IntegerType()),
 ])
 
 
@@ -199,12 +407,14 @@ def read_las(spark: SparkSession, path: str) -> DataFrame:
     return bf.select("path", "content").mapInPandas(_decode, schema=_LAS_SCHEMA)
 
 
-def write_las(df: DataFrame, path: str, point_format: int = 1) -> None:
+def write_las(
+    df: DataFrame, path: str, point_format: int = 1, wkt: str | None = None
+) -> None:
     """Single-file writer (driver-side collect). Use :func:`write_las_tiles`
     for the partitioned scale path."""
     pdf = df.toPandas()
     with open(path, "wb") as f:
-        f.write(encode_las(pdf, point_format))
+        f.write(encode_las(pdf, point_format, wkt=wkt))
 
 
 def write_las_tiles(
