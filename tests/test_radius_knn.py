@@ -149,3 +149,41 @@ class TestSalting:
         )
         assert salted.exceptAll(plain).count() == 0
         assert plain.exceptAll(salted).count() == 0
+
+
+def test_knn_join_loop_fallback_via_histogram_guard(spark):
+    """max_hist_cells below the occupancy must route to the loop strategy
+    (single-scan LIMIT sentinel, VERDICT r3 item 5) and still return the
+    same neighbours as the stats path."""
+    n_pts, n_q, k, radius = 120, 10, 4, 30.0
+    ids = np.arange(n_pts)
+    px, py = derive.np_coord(ids, "x"), derive.np_coord(ids, "y")
+    qids = np.arange(n_q) + 70_000
+    qx, qy = derive.np_coord(qids, "x"), derive.np_coord(qids, "y")
+    pts = spark.createDataFrame(
+        [(int(i), float(a), float(b)) for i, a, b in zip(ids, px, py)],
+        "pid long, x double, y double",
+    )
+    qs = spark.createDataFrame(
+        [(int(i), float(a), float(b)) for i, a, b in zip(qids, qx, qy)],
+        "qid long, x double, y double",
+    )
+    stats = knn_join(pts, qs, k=k, radius=radius).select(
+        "qid", "pid_p", "dist").collect()
+    looped = knn_join(pts, qs, k=k, radius=radius, max_hist_cells=1).select(
+        "qid", "pid_p", "dist").collect()
+    canon = lambda rows: sorted(
+        (r["qid"], r["pid_p"], round(r["dist"], 9)) for r in rows)
+    assert canon(looped) == canon(stats)
+
+
+def test_cell_histogram_sentinel():
+    from whitebox_tools_spark.operators.radius_join import _cell_histogram
+    from pyspark.sql import SparkSession
+    spark = SparkSession.getActiveSession()
+    pts = spark.createDataFrame(
+        [(float(i * 100), 0.0) for i in range(8)], "x double, y double")
+    # 8 points in 8 distinct cells at radius 30
+    assert _cell_histogram(pts, 30.0, "x", "y", max_cells=4) is None
+    h = _cell_histogram(pts, 30.0, "x", "y", max_cells=100)
+    assert sum(h.values()) == 8 and len(h) == 8

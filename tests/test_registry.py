@@ -33,3 +33,24 @@ def test_coverage_floor():
     assert (
         s["exact"] + s.get("engine", 0) + s.get("deviating", 0) + s["expr"] >= 400
     )
+
+
+def test_no_engine_status_io_tools_remain():
+    """Round-4 gate: the four io tools that were 'engine' (pytest-only)
+    now carry oracle rows; no io.* tool may regress to oracle-less."""
+    for name in ("AsciiToLas", "LasToShapefile", "LasToMultipointShapefile",
+                 "PrintGeoTiffTags"):
+        assert TOOLS[name]["status"] == "exact", name
+        assert TOOLS[name].get("queries"), name
+
+
+def test_registry_notes_match_code():
+    """Note-hygiene pins (VERDICT r3 item 8): the notes must describe the
+    actual implementation, not an approximation of it."""
+    # PercentageContrastStretch uses exact percentile(), not approx
+    note = TOOLS["PercentageContrastStretch"]["engine"]
+    assert "percentile_approx" not in note
+    assert "percentile" in note
+    # io rows state their format envelope truthfully
+    assert "0-10" in TOOLS["LasToAscii"]["engine"]  # LAS point formats
+    assert "BigTIFF" in TOOLS["ConvertRasterFormat"]["engine"]

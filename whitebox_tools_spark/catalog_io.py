@@ -370,6 +370,67 @@ FROM q
 """
 
 
+def q_bigtiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """block-max grid -> classic GeoTIFF -> decode -> re-encode as
+    BigTIFF (version 43, 8-byte offsets, LONG8 strip tables) ->
+    distributed decode. A hash match against the same block oracle as
+    geotiff_roundtrip certifies the version-43 writer + reader pair
+    (reference read path geotiff/mod.rs:50-62)."""
+    pts = _docs_geo(spark, sf_dir).select("x", "y", "z")
+    grid = block_grid(pts, GRID, stat="max")
+    d = tempfile.mkdtemp(prefix="wts_btif_")
+    classic = os.path.join(d, "grid.tif")
+    geotiff.write_geotiff(grid, GRID, classic, dtype="f8")
+    with open(classic, "rb") as f:
+        cfg, arr = geotiff.decode_geotiff(f.read())
+    big_path = os.path.join(d, "grid_big.tif")
+    with open(big_path, "wb") as f:
+        f.write(geotiff.encode_geotiff(arr, cfg, big=True))
+    back = geotiff.read_geotiff(spark, big_path, drop_nodata=True)
+    return back.select(
+        F.col("row").alias("cell_row"), F.col("col").alias("cell_col"), "value"
+    )
+
+
+def q_rgb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CreateColourComposite -> 4-sample u8 RGBA GeoTIFF (the reference
+    writes PI_RGB, geotiff/mod.rs:1967-1975) -> distributed multiband
+    decode -> repack to the engine/reference f64 convention
+    (a<<24|b<<16|g<<8|r, raster/mod.rs:574-600). Alpha=255 marks data
+    cells (the composite always sets it), 0 marks empty cells, so the
+    filter needs no join. Oracle: the colour_composite oracle verbatim."""
+    from whitebox_tools_spark.catalog_color import _bands
+    from whitebox_tools_spark.operators import color as co
+    import numpy as np
+
+    comp = co.create_colour_composite(*_bands(spark, sf_dir))
+    pdf = comp.toPandas()
+    v = pdf["value"].to_numpy(np.int64)
+    arr = np.zeros((GRID.rows, GRID.cols, 4), dtype=np.uint8)
+    r_, c_ = pdf["row"].to_numpy(), pdf["col"].to_numpy()
+    arr[r_, c_, 0] = v & 255
+    arr[r_, c_, 1] = (v >> 8) & 255
+    arr[r_, c_, 2] = (v >> 16) & 255
+    arr[r_, c_, 3] = (v >> 24) & 255
+    d = tempfile.mkdtemp(prefix="wts_rgb_")
+    path = os.path.join(d, "rgb.tif")
+    with open(path, "wb") as f:
+        f.write(geotiff.encode_geotiff(arr, GRID, compression=8))
+    back = geotiff.read_geotiff_bands(spark, path)
+    agg = back.groupBy("row", "col").agg(
+        F.sum(F.when(F.col("band") == 0, F.col("value"))).alias("r"),
+        F.sum(F.when(F.col("band") == 1, F.col("value"))).alias("g"),
+        F.sum(F.when(F.col("band") == 2, F.col("value"))).alias("b"),
+        F.sum(F.when(F.col("band") == 3, F.col("value"))).alias("a"),
+    )
+    return agg.where(F.col("a") == 255).select(
+        F.col("row").alias("cell_row"),
+        F.col("col").alias("cell_col"),
+        (F.lit(255.0 * 16777216.0) + F.col("b") * 65536.0
+         + F.col("g") * 256.0 + F.col("r")).alias("value"),
+    )
+
+
 # ------------------------------------------------------- geotiff tag dump
 
 
@@ -429,14 +490,21 @@ def q_shapefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle transcribes the fixture literally, so a hash match means
     the codec preserved every vertex, the ring order, the CW/CCW hole
-    flag, and the DBF numeric attribute.
+    flag, and the DBF numeric + Date (D, YYYYMMDD) + Logical (L)
+    attributes (reference FieldData::Date/Bool, attributes.rs:60-67).
     """
+    import datetime as _dt
+
     feats = vectors.rect_layer()
     recs = [
         shapefile.ShapeRecord(
             parts=list(f.rings),
             shape_type=shapefile.SHP_POLYGON,
-            attrs={"ZONE": int(f.attrs["zone"])},
+            attrs={
+                "ZONE": int(f.attrs["zone"]),
+                "EVEN": int(f.attrs["zone"]) % 2 == 0,
+                "SINCE": _dt.date(2020, 1, 1 + int(f.attrs["zone"]) % 28),
+            },
         )
         for f in feats
     ]
@@ -453,32 +521,50 @@ def q_shapefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("ys", 1).alias("y0"),
         F.round(F.aggregate("xs", F.lit(0.0), lambda a, v: a + v), 6).alias("xsum"),
         F.col("ZONE").cast("int").alias("zone"),
+        F.col("EVEN").alias("even"),
+        F.col("SINCE").alias("since"),
     )
 
 
 def _shapefile_oracle() -> str:
+    import datetime as _dt
+
     rows = []
     for fid, f in enumerate(vectors.rect_layer()):
+        zone = int(f.attrs["zone"])
+        even = "True" if zone % 2 == 0 else "False"
+        since = _dt.date(2020, 1, 1 + zone % 28).strftime("%Y%m%d")
         for part, ring in enumerate(f.rings):
             hole = 1 if f.holes[part] else 0
             xsum = round(float(ring[:, 0].sum()), 6)
             rows.append(
                 f"({fid}, {part}, {hole}, {len(ring)}, "
                 f"{float(ring[0, 0])!r}, {float(ring[0, 1])!r}, {xsum!r}, "
-                f"{int(f.attrs['zone'])})"
+                f"{zone}, '{even}', '{since}')"
             )
     return (
         "SELECT CAST(fid AS BIGINT) AS fid, CAST(part AS BIGINT) AS part, "
         "CAST(hole AS INTEGER) AS hole, CAST(nv AS INTEGER) AS nv, "
         "CAST(x0 AS DOUBLE) AS x0, CAST(y0 AS DOUBLE) AS y0, "
-        "CAST(xsum AS DOUBLE) AS xsum, CAST(zone AS INTEGER) AS zone FROM (VALUES "
+        "CAST(xsum AS DOUBLE) AS xsum, CAST(zone AS INTEGER) AS zone, "
+        "even, since FROM (VALUES "
         + ", ".join(rows)
-        + ") t(fid, part, hole, nv, x0, y0, xsum, zone)"
+        + ") t(fid, part, hole, nv, x0, y0, xsum, zone, even, since)"
     )
+
+
+def _colour_composite_oracle() -> str:
+    """rgb_roundtrip must return exactly what colour_composite returns —
+    reuse its oracle verbatim (deferred import keeps module load light)."""
+    from whitebox_tools_spark.catalog_color import ORACLE_SQL as _color_oracles
+
+    return _color_oracles["colour_composite"]
 
 
 QUERIES = {
     "geotiff_roundtrip": q_geotiff_roundtrip,
+    "bigtiff_roundtrip": q_bigtiff_roundtrip,
+    "rgb_roundtrip": q_rgb_roundtrip,
     "arcascii_roundtrip": q_arcascii_roundtrip,
     "whitebox_roundtrip": q_whitebox_roundtrip,
     "surfer7_roundtrip": q_surfer7_roundtrip,
@@ -494,10 +580,12 @@ QUERIES = {
 
 ORACLE_SQL = {
     "geotiff_roundtrip": _ORACLE_GEOTIFF,
+    "bigtiff_roundtrip": _ORACLE_GEOTIFF,
     "arcascii_roundtrip": _ORACLE_ARCASCII,
     "whitebox_roundtrip": _oracle_points_raster("max"),
     "surfer7_roundtrip": _oracle_points_raster("min"),
     "grass_roundtrip": _oracle_points_raster("first"),
+    "rgb_roundtrip": _colour_composite_oracle(),
     "las_roundtrip": _ORACLE_LAS,
     "las14_roundtrip": _ORACLE_LAS14,
     "ascii_to_las": _ORACLE_ASCII_TO_LAS,

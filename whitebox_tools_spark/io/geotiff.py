@@ -9,13 +9,16 @@ rasters, src/raster/geotiff/mod.rs:214 read_geotiff / :1564 write_geotiff):
 - strip or tile layout; Compression 1 (none), 5 (LZW, early-change),
   8/32946 (zlib deflate), 32773 (PackBits) — the reference's full
   decoder set (geotiff/mod.rs:424-432); the writer emits none/deflate;
+- BigTIFF (version 43, the reference's geotiff/mod.rs:50-62 read path):
+  read and write — same IFD walk with 8-byte offsets/counts and LONG8
+  strip tables;
 - georeferencing via ModelPixelScaleTag (33550) + ModelTiepointTag
   (33922) and nodata via GDAL_NODATA (42113) — the same three tags the
   reference keys on (geotiff/mod.rs:475,520,526).
 
 Out of scope (rejected with a clear error, like the reference's
-unsupported-variant errors): BigTIFF, multi-band, palette, JPEG
-compression, horizontal-differencing predictor.
+unsupported-variant errors): palette, JPEG compression,
+horizontal-differencing predictor.
 """
 
 from __future__ import annotations
@@ -56,9 +59,11 @@ _MODEL_PIXEL_SCALE = 33550
 _MODEL_TIEPOINT = 33922
 _GDAL_NODATA = 42113
 
-# TIFF field types -> (struct code, size)
+# TIFF field types -> (struct code, size); 16/17/18 are the BigTIFF
+# 8-byte LONG8/SLONG8/IFD8 types (BigTIFF spec, version 43)
 _FIELD = {1: ("B", 1), 2: ("c", 1), 3: ("H", 2), 4: ("I", 4), 5: ("II", 8),
-          6: ("b", 1), 8: ("h", 2), 9: ("i", 4), 11: ("f", 4), 12: ("d", 8)}
+          6: ("b", 1), 8: ("h", 2), 9: ("i", 4), 11: ("f", 4), 12: ("d", 8),
+          16: ("Q", 8), 17: ("q", 8), 18: ("Q", 8)}
 
 _DTYPES = {  # (sample_format, bits) -> numpy dtype char (endian applied later)
     (1, 8): "u1", (1, 16): "u2", (1, 32): "u4",
@@ -69,18 +74,28 @@ _DTYPES = {  # (sample_format, bits) -> numpy dtype char (endian applied later)
 
 # ------------------------------------------------------------------ decode
 
-def _read_ifd_entries(buf: bytes, off: int, bo: str) -> dict[int, tuple]:
-    (n,) = struct.unpack_from(bo + "H", buf, off)
+def _read_ifd_entries(
+    buf: bytes, off: int, bo: str, big: bool = False
+) -> dict[int, tuple]:
+    """Walk one IFD. ``big`` selects the BigTIFF layout: u8 entry count,
+    20-byte entries (u8 value count), 8-byte inline value area — the same
+    walk with wider offsets (BigTIFF spec §Structure)."""
+    if big:
+        (n,) = struct.unpack_from(bo + "Q", buf, off)
+        base, stride, inline, cnt_code, val_skip = off + 8, 20, 8, "HHQ", 12
+    else:
+        (n,) = struct.unpack_from(bo + "H", buf, off)
+        base, stride, inline, cnt_code, val_skip = off + 2, 12, 4, "HHI", 8
     entries: dict[int, tuple] = {}
     for i in range(n):
-        tag, ftype, count = struct.unpack_from(bo + "HHI", buf, off + 2 + 12 * i)
+        tag, ftype, count = struct.unpack_from(bo + cnt_code, buf, base + stride * i)
         if ftype not in _FIELD:
             continue
         code, size = _FIELD[ftype]
         total = size * count
-        voff = off + 2 + 12 * i + 8
-        if total > 4:
-            (voff,) = struct.unpack_from(bo + "I", buf, voff)
+        voff = base + stride * i + val_skip
+        if total > inline:
+            (voff,) = struct.unpack_from(bo + ("Q" if big else "I"), buf, voff)
         if ftype == 2:  # ASCII
             entries[tag] = (buf[voff:voff + count].split(b"\0")[0].decode("ascii", "replace"),)
         elif ftype == 5:  # RATIONAL
@@ -189,12 +204,17 @@ def decode_geotiff_multi(data: bytes) -> tuple[GridConfig, np.ndarray]:
     else:
         raise ValueError("not a TIFF file (bad byte-order mark)")
     (version,) = struct.unpack_from(bo + "H", data, 2)
-    if version == 43:
-        raise ValueError("BigTIFF is not supported")
-    if version != 42:
+    if version == 43:  # BigTIFF: 8-byte offset size marker, then u8 IFD offset
+        osize, zero = struct.unpack_from(bo + "HH", data, 4)
+        if osize != 8 or zero != 0:
+            raise ValueError(f"bad BigTIFF header (offset size {osize})")
+        (ifd_off,) = struct.unpack_from(bo + "Q", data, 8)
+        tags = _read_ifd_entries(data, ifd_off, bo, big=True)
+    elif version == 42:
+        (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+        tags = _read_ifd_entries(data, ifd_off, bo)
+    else:
         raise ValueError(f"bad TIFF version {version}")
-    (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
-    tags = _read_ifd_entries(data, ifd_off, bo)
 
     width = int(tags[_IMAGE_WIDTH][0])
     height = int(tags[_IMAGE_LENGTH][0])
@@ -283,8 +303,13 @@ def print_geotiff_tags(data: bytes) -> dict[str, tuple]:
     bo = "<" if magic == b"II" else ">" if magic == b"MM" else None
     if bo is None:
         raise ValueError("not a TIFF file")
-    (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
-    tags = _read_ifd_entries(data, ifd_off, bo)
+    (version,) = struct.unpack_from(bo + "H", data, 2)
+    if version == 43:
+        (ifd_off,) = struct.unpack_from(bo + "Q", data, 8)
+        tags = _read_ifd_entries(data, ifd_off, bo, big=True)
+    else:
+        (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+        tags = _read_ifd_entries(data, ifd_off, bo)
     return {_TAG_NAMES.get(t, f"Tag{t}"): v for t, v in sorted(tags.items())}
 
 
@@ -305,12 +330,21 @@ def encode_geotiff(
     compression: int = 8,
     rows_per_strip: int = 64,
     byteorder: str = "<",
+    big: bool = False,
 ) -> bytes:
     """Encode a numpy array as GeoTIFF bytes (strips): 2-D -> single
     band; 3-D (h, w, s) -> s samples/pixel, chunky (PlanarConfig 1) —
-    the layout the reference's RGB composites use."""
+    the layout the reference's RGB composites use. ``big=True`` emits
+    BigTIFF (version 43: 8-byte offsets, 20-byte IFD entries, LONG8
+    strip tables) so files past 4 GiB stay addressable."""
     if grid.ndim not in (2, 3):
         raise ValueError("grid must be 2-D or 3-D (h, w, samples)")
+    if compression not in (1, 8):
+        # the writer only actually compresses deflate; anything else
+        # would mislabel raw strips as compressed (ADVICE r3)
+        raise ValueError(
+            f"writer supports compression 1 (none) or 8 (deflate), got {compression}"
+        )
     sfmt, bits = _np_to_tiff_type(grid)
     bo = byteorder
     grid = np.ascontiguousarray(grid, dtype=grid.dtype.newbyteorder(bo))
@@ -328,11 +362,18 @@ def encode_geotiff(
     scale = struct.pack(bo + "3d", float(cfg.res_x), float(cfg.res_y), 0.0)
     tie = struct.pack(bo + "6d", 0.0, 0.0, 0.0, float(cfg.west), float(cfg.north), 0.0)
 
-    # layout: header(8) | IFD | out-of-line values | strip data
-    tags = []  # (tag, type, count, value_bytes_or_int)
+    # layout: header (8 classic / 16 big) | IFD | out-of-line values |
+    # strip data. BigTIFF widens every offset/count to 8 bytes and uses
+    # LONG8 (type 16) strip tables.
+    off_code = "Q" if big else "I"  # offset/count struct code
+    off_type = 16 if big else 4  # TIFF field type for strip tables
+    esz = 8 if big else 4  # bytes per offset
+    inline = 8 if big else 4  # inline value area size
+
+    tags = []  # (tag, type, count, value_bytes_or_None)
 
     def _short(tag, v):
-        tags.append((tag, 3, 1, struct.pack(bo + "HH", v, 0)))
+        tags.append((tag, 3, 1, struct.pack(bo + "H", v)))
 
     def _long(tag, v):
         tags.append((tag, 4, 1, struct.pack(bo + "I", v)))
@@ -346,10 +387,10 @@ def encode_geotiff(
                      struct.pack(bo + "H" * spp, *([bits] * spp))))
     _short(_COMPRESSION, compression)
     _short(_PHOTOMETRIC, 2 if spp >= 3 else 1)
-    tags.append((_STRIP_OFFSETS, 4, nstrips, None))  # patched below
+    tags.append((_STRIP_OFFSETS, off_type, nstrips, None))  # patched below
     _short(_SAMPLES_PER_PIXEL, spp)
     _long(_ROWS_PER_STRIP, rps)
-    tags.append((_STRIP_BYTE_COUNTS, 4, nstrips, None))
+    tags.append((_STRIP_BYTE_COUNTS, off_type, nstrips, None))
     _short(_PLANAR_CONFIG, 1)
     if spp == 1:
         _short(_SAMPLE_FORMAT, sfmt)
@@ -362,21 +403,25 @@ def encode_geotiff(
     tags.sort(key=lambda t: t[0])
 
     n = len(tags)
-    ifd_off = 8
-    ifd_size = 2 + 12 * n + 4
+    if big:
+        ifd_off = 16
+        ifd_size = 8 + 20 * n + 8  # u8 count, 20-byte entries, u8 next-IFD
+    else:
+        ifd_off = 8
+        ifd_size = 2 + 12 * n + 4
     extra_off = ifd_off + ifd_size
 
     # out-of-line region: strip offsets table, byte counts table, then
-    # any tag value >4 bytes
-    counts_b = struct.pack(bo + "I" * nstrips, *(len(s) for s in strips))
+    # any tag value larger than the inline area
+    counts_b = struct.pack(bo + off_code * nstrips, *(len(s) for s in strips))
     offsets_pos = extra_off
-    counts_pos = offsets_pos + 4 * nstrips
+    counts_pos = offsets_pos + esz * nstrips
     extra = bytearray()
-    extra += b"\0" * (4 * nstrips)  # placeholder for offsets
+    extra += b"\0" * (esz * nstrips)  # placeholder for offsets
     extra += counts_b
     value_pos: dict[int, int] = {}
     for tag, ftype, count, val in tags:
-        if val is not None and len(val) > 4:
+        if val is not None and len(val) > inline:
             value_pos[tag] = extra_off + len(extra)
             extra += val
 
@@ -386,29 +431,34 @@ def encode_geotiff(
     for s in strips:
         strip_offsets.append(p)
         p += len(s)
-    extra[0:4 * nstrips] = struct.pack(bo + "I" * nstrips, *strip_offsets)
+    extra[0:esz * nstrips] = struct.pack(bo + off_code * nstrips, *strip_offsets)
 
     out = _io.BytesIO()
-    out.write((b"II" if bo == "<" else b"MM") + struct.pack(bo + "H", 42))
-    out.write(struct.pack(bo + "I", ifd_off))
-    out.write(struct.pack(bo + "H", n))
+    if big:
+        out.write((b"II" if bo == "<" else b"MM")
+                  + struct.pack(bo + "3H", 43, 8, 0))
+        out.write(struct.pack(bo + "Q", ifd_off))
+        out.write(struct.pack(bo + "Q", n))
+    else:
+        out.write((b"II" if bo == "<" else b"MM") + struct.pack(bo + "H", 42))
+        out.write(struct.pack(bo + "I", ifd_off))
+        out.write(struct.pack(bo + "H", n))
+    cnt_code = "Q" if big else "I"
     for tag, ftype, count, val in tags:
-        out.write(struct.pack(bo + "HHI", tag, ftype, count))
+        out.write(struct.pack(bo + "HH" + cnt_code, tag, ftype, count))
         if tag == _STRIP_OFFSETS:
-            if nstrips == 1:
-                out.write(struct.pack(bo + "I", strip_offsets[0]))
-            else:
-                out.write(struct.pack(bo + "I", offsets_pos))
+            out.write(struct.pack(
+                bo + off_code,
+                strip_offsets[0] if nstrips == 1 else offsets_pos))
         elif tag == _STRIP_BYTE_COUNTS:
-            if nstrips == 1:
-                out.write(struct.pack(bo + "I", len(strips[0])))
-            else:
-                out.write(struct.pack(bo + "I", counts_pos))
-        elif len(val) <= 4:
-            out.write(val + b"\0" * (4 - len(val)))
+            out.write(struct.pack(
+                bo + off_code,
+                len(strips[0]) if nstrips == 1 else counts_pos))
+        elif len(val) <= inline:
+            out.write(val + b"\0" * (inline - len(val)))
         else:
-            out.write(struct.pack(bo + "I", value_pos[tag]))
-    out.write(struct.pack(bo + "I", 0))  # next IFD
+            out.write(struct.pack(bo + off_code, value_pos[tag]))
+    out.write(struct.pack(bo + off_code, 0))  # next IFD
     out.write(bytes(extra))
     for s in strips:
         out.write(s)
@@ -466,6 +516,45 @@ def read_geotiff(
     return bf.select("path", "content").mapInPandas(_decode, schema=_GRID_SCHEMA)
 
 
+_BANDS_SCHEMA = T.StructType([
+    T.StructField("path", T.StringType()),
+    T.StructField("row", T.LongType()),
+    T.StructField("col", T.LongType()),
+    T.StructField("band", T.IntegerType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def read_geotiff_bands(
+    spark: SparkSession, path: str, batch_rows: int = 256
+) -> DataFrame:
+    """Distributed multiband decode -> (path, row, col, band, value),
+    band 0-indexed in sample order (chunky layout). Same one-task-per-file
+    + row-band batching shape as :func:`read_geotiff`."""
+    bf = spark.read.format("binaryFile").load(path)
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for p, content in zip(pdf["path"], pdf["content"]):
+                _, arr = decode_geotiff_multi(bytes(content))
+                rows, cols, spp = arr.shape
+                for r0 in range(0, rows, batch_rows):
+                    block = arr[r0:r0 + batch_rows]
+                    nb = block.shape[0]
+                    yield pd.DataFrame({
+                        "path": p,
+                        "row": np.repeat(
+                            np.arange(r0, r0 + nb, dtype=np.int64), cols * spp),
+                        "col": np.tile(
+                            np.repeat(np.arange(cols, dtype=np.int64), spp), nb),
+                        "band": np.tile(
+                            np.arange(spp, dtype=np.int32), nb * cols),
+                        "value": block.ravel(),
+                    })
+
+    return bf.select("path", "content").mapInPandas(_decode, schema=_BANDS_SCHEMA)
+
+
 def _grid_from_df(df: DataFrame, cfg: GridConfig, dtype: str) -> np.ndarray:
     pdf = df.select("row", "col", "value").toPandas()
     arr = np.full((cfg.rows, cfg.cols), cfg.nodata, dtype=dtype)
@@ -474,13 +563,14 @@ def _grid_from_df(df: DataFrame, cfg: GridConfig, dtype: str) -> np.ndarray:
 
 
 def write_geotiff(
-    df: DataFrame, cfg: GridConfig, path: str, dtype: str = "f4", compression: int = 8
+    df: DataFrame, cfg: GridConfig, path: str, dtype: str = "f4",
+    compression: int = 8, big: bool = False
 ) -> None:
     """Single-file writer: assembles the grid driver-side. Fine for
     summaries/small rasters; use :func:`write_geotiff_tiles` at scale."""
     arr = _grid_from_df(df, cfg, dtype)
     with open(path, "wb") as f:
-        f.write(encode_geotiff(arr, cfg, compression=compression))
+        f.write(encode_geotiff(arr, cfg, compression=compression, big=big))
 
 
 def write_geotiff_tiles(

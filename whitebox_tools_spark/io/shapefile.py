@@ -7,12 +7,15 @@ convention matches src/vector/shapefile/geometry.rs:305+ — a polygon
 part is a hole iff its ring winds counter-clockwise (y-up), the same
 convention the engine's vector layers use (sources/vectors.py).
 
-Attribute table: dBase III (.dbf) with C (text) and N/F (numeric)
-fields — the subset the reference's AttributeField reader covers.
+Attribute table: dBase III (.dbf) with C (text), N/F (numeric),
+D (date, stored YYYYMMDD) and L (logical) fields — the reference's
+FieldData::Int/Real/Text/Date/Bool set
+(src/vector/shapefile/attributes.rs:60-67).
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import struct
 from dataclasses import dataclass, field
 
@@ -56,7 +59,12 @@ def ring_is_hole(ring: np.ndarray) -> bool:
 # ------------------------------------------------------------------ .dbf
 
 def _encode_dbf(records: list[dict], fields: list[tuple[str, str, int, int]]) -> bytes:
-    """fields: (name, type 'C'|'N'|'F', length, decimals)."""
+    """fields: (name, type 'C'|'N'|'F'|'D'|'L', length, decimals).
+
+    Missing/None numerics encode as all spaces (the dBase null), and a
+    numeric whose formatted width exceeds the field length raises instead
+    of silently truncating digits (ADVICE r3). Dates are YYYYMMDD;
+    logicals are T/F with '?' for null."""
     n = len(records)
     hdr_size = 32 + 32 * len(fields) + 1
     rec_size = 1 + sum(f[2] for f in fields)
@@ -69,12 +77,33 @@ def _encode_dbf(records: list[dict], fields: list[tuple[str, str, int, int]]) ->
     for rec in records:
         out += b" "
         for name, ftype, ln, dec in fields:
-            v = rec.get(name, "")
+            v = rec.get(name)
             if ftype == "C":
-                out += str(v)[:ln].ljust(ln).encode("ascii", "replace")
-            else:
-                s = f"{float(v):.{dec}f}" if dec else str(int(v))
-                out += s[:ln].rjust(ln).encode("ascii")
+                out += str(v if v is not None else "")[:ln].ljust(ln).encode(
+                    "ascii", "replace")
+            elif ftype == "D":
+                if v is None or v == "":
+                    out += b" " * ln
+                else:
+                    if isinstance(v, (_dt.date, _dt.datetime)):
+                        s = f"{v.year:04d}{v.month:02d}{v.day:02d}"
+                    else:
+                        s = str(v).replace("-", "")
+                    if len(s) != 8 or not s.isdigit():
+                        raise ValueError(f"field {name}: bad date value {v!r}")
+                    out += s.encode("ascii")
+            elif ftype == "L":
+                out += b"?" if v is None or v == "" else (b"T" if v else b"F")
+            else:  # N / F
+                if v is None or v == "":
+                    out += b" " * ln  # dBase null
+                else:
+                    s = f"{float(v):.{dec}f}" if dec else str(int(v))
+                    if len(s) > ln:
+                        raise ValueError(
+                            f"field {name}: value {s} wider than length {ln}"
+                        )
+                    out += s.rjust(ln).encode("ascii")
     out += b"\x1a"
     return bytes(out)
 
@@ -102,6 +131,10 @@ def _decode_dbf(data: bytes) -> list[dict]:
             fpos += ln
             if ftype in ("N", "F"):
                 rec[name] = (float(raw) if (dec or "." in raw) else int(raw)) if raw else None
+            elif ftype == "D":
+                rec[name] = raw or None  # YYYYMMDD as stored
+            elif ftype == "L":
+                rec[name] = None if raw in ("", "?") else raw in "TtYy"
             else:
                 rec[name] = raw
         out.append(rec)
@@ -127,9 +160,15 @@ def encode_shapefile(
     """Encode -> (.shp bytes, .shx bytes, .dbf bytes)."""
     if not records:
         raise ValueError("empty shapefile not supported")
-    shape_type = records[0].shape_type
+    nonnull = [r for r in records if r.shape_type != 0]
+    if not nonnull:
+        raise ValueError("all-null shapefile not supported")
+    shape_type = nonnull[0].shape_type
     contents = []
     for rec in records:
+        if rec.shape_type == 0:  # Null shape: 4-byte type, no geometry
+            contents.append(struct.pack("<i", 0))
+            continue
         if rec.shape_type != shape_type:
             raise ValueError("mixed shape types")
         if shape_type == SHP_POINT:
@@ -173,7 +212,7 @@ def encode_shapefile(
                 body += np.zeros(len(pts), dtype="<f8").tobytes()
         contents.append(body)
 
-    allp = np.vstack([np.vstack(r.parts) for r in records])
+    allp = np.vstack([np.vstack(r.parts) for r in nonnull])
     bbox = (float(allp[:, 0].min()), float(allp[:, 1].min()),
             float(allp[:, 0].max()), float(allp[:, 1].max()))
 
@@ -193,7 +232,15 @@ def encode_shapefile(
         fields = []
         for k in keys:
             vals = [r.attrs.get(k) for r in records]
-            if all(isinstance(v, (int, float, type(None))) for v in vals):
+            nonnull = [v for v in vals if v is not None]
+            # bool before numeric: bool is an int subclass in Python
+            if nonnull and all(isinstance(v, bool) for v in nonnull):
+                fields.append((k, "L", 1, 0))
+            elif nonnull and all(
+                isinstance(v, (_dt.date, _dt.datetime)) for v in nonnull
+            ):
+                fields.append((k, "D", 8, 0))
+            elif all(isinstance(v, (int, float, type(None))) for v in vals):
                 anyf = any(isinstance(v, float) for v in vals)
                 fields.append((k, "N", 24, 6 if anyf else 0))
             else:
@@ -222,7 +269,15 @@ def decode_shapefile(shp: bytes, dbf: bytes | None = None) -> list[ShapeRecord]:
         _, content_words = struct.unpack_from(">2i", shp, pos)
         pos += 8
         (stype,) = struct.unpack_from("<i", shp, pos)
-        if stype == 0:  # null shape
+        if stype == 0:
+            # null shape: keep a placeholder record IN PLACE so the
+            # positional .dbf attribute assignment below stays aligned —
+            # the reference keeps Null records too
+            # (src/vector/shapefile/mod.rs:291). ADVICE r3 (medium).
+            rec = ShapeRecord(parts=[], shape_type=0)
+            if attrs is not None and len(records) < len(attrs):
+                rec.attrs = attrs[len(records)]
+            records.append(rec)
             pos += content_words * 2
             continue
         zs = None
@@ -327,6 +382,8 @@ def records_to_features(records: list[ShapeRecord]) -> list[PolygonFeature]:
     """Bridge into the engine's broadcast polygon-layer form."""
     feats = []
     for fid, rec in enumerate(records):
+        if rec.shape_type == 0:  # null shapes carry no geometry
+            continue
         holes = [ring_is_hole(p) for p in rec.parts]
         feats.append(PolygonFeature(fid=fid, rings=[np.asarray(p, dtype=np.float64)
                                                     for p in rec.parts],

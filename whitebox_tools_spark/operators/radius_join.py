@@ -86,13 +86,24 @@ def radius_join(
     return out.withColumn("dist", dist)
 
 
-def _cell_histogram(points: DataFrame, radius: float, x: str, y: str) -> dict[int, int]:
-    counts = (
+def _cell_histogram(
+    points: DataFrame, radius: float, x: str, y: str, max_cells: int | None = None
+) -> dict[int, int] | None:
+    """Per-cell occupancy counts in ONE scan of the point table. When
+    ``max_cells`` is given, collects through a LIMIT max_cells+1 sentinel
+    and returns None if the occupancy exceeds it (caller falls back to
+    the distributed loop) — no separate distinct-count pre-pass."""
+    agg = (
         with_cell(points, radius, x, y, prefix="c")
         .groupBy("c_key")
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
     )
+    if max_cells is not None:
+        counts = agg.limit(max_cells + 1).collect()
+        if len(counts) > max_cells:
+            return None
+    else:
+        counts = agg.collect()
     return {r["c_key"]: r["n"] for r in counts}
 
 
@@ -154,16 +165,13 @@ def knn_join(
         return _knn_join_loop(points, queries, k, radius, query_id, x, y, squared)
 
     spark = points.sparkSession
-    # size-guard the driver-side histogram: one row per OCCUPIED cell; if
-    # the occupancy itself is too large to broadcast comfortably, fall
+    # size-guard the driver-side histogram in the SAME single scan that
+    # builds it (LIMIT max_hist_cells+1 sentinel): one row per OCCUPIED
+    # cell; if the occupancy is too large to broadcast comfortably, fall
     # back to the distributed loop strategy instead of OOMing the driver
-    occupied = (
-        with_cell(points, radius, x, y, prefix="c")
-        .select("c_key").distinct().count()
-    )
-    if occupied > max_hist_cells:
+    hist = _cell_histogram(points, radius, x, y, max_cells=max_hist_cells)
+    if hist is None:
         return _knn_join_loop(points, queries, k, radius, query_id, x, y, squared)
-    hist = _cell_histogram(points, radius, x, y)
     bc = spark.sparkContext.broadcast(hist)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
