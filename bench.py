@@ -85,7 +85,21 @@ HEADLINE = [
     "quality", "lang_id", "ann_topk", "lsh_topk", "media_meta",
     # round-3 additions: IVF ANN scale path, native codecs, span invariant
     "ivf_topk", "geotiff_roundtrip", "las_roundtrip", "span_invariant",
+    # round-4 additions: LAS 1.4 extended records, BigTIFF, RGB bridge,
+    # real (BMP) media decode lane
+    "las14_roundtrip", "bigtiff_roundtrip", "rgb_roundtrip",
+    "media_decode_real",
 ]
+
+
+def _loadavg() -> list[float]:
+    """Host 1/5/15-min load — recorded into the JSON so a reader can
+    adjudicate noisy-VM windows without rerunning (VERDICT r3 item 9)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(v) for v in f.read().split()[:3]]
+    except OSError:
+        return []
 
 
 def _run_suite(
@@ -97,6 +111,7 @@ def _run_suite(
     from whitebox_tools_spark.session import get_spark
     from whitebox_tools_spark import api
 
+    load_start = _loadavg()
     spark = get_spark(cores=cores, shuffle_partitions=cores, app=f"bench-{cores}")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -136,6 +151,10 @@ def _run_suite(
         os.environ.get("SPARK_GRAFT_BENCH_DOCS", int(50_000_000 * sf_num / 0.1))
     )
     flagship_sec = _time_flagship(spark, n_docs, cores)
+    # fixed pure-JVM control: a run-to-run drift in THIS number is host
+    # noise, not an engine change — recorded so per-round BENCH files are
+    # self-describing about the VM's condition
+    control_sec = _time_control(spark, cores)
 
     spark.stop()
     return {
@@ -144,6 +163,11 @@ def _run_suite(
         "n_docs": n_docs,
         "flagship_sec": round(flagship_sec, 3),
         "docs_per_sec": round(n_docs / flagship_sec, 1),
+        "host": {
+            "loadavg_start": load_start,
+            "loadavg_end": _loadavg(),
+            "control_sec": round(control_sec, 3),
+        },
     }
 
 
@@ -174,6 +198,7 @@ def main() -> None:
         "n_docs": res["n_docs"],
         "flagship_docs_per_sec": res["docs_per_sec"],
         "cores": args.cores,
+        "host": res["host"],
     }
 
     if args.scaling:

@@ -171,3 +171,45 @@ class TestMedia:
         n = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
         for r in n:
             assert r["n"] == (r["doc_id"] % 7) + 1  # 16*k bytes / 16
+
+
+class TestBmpRealDecode:
+    def test_bmp_codec_roundtrip(self):
+        import numpy as np
+        rng = np.random.default_rng(3)
+        for h, w in ((1, 1), (3, 5), (4, 4), (7, 2)):
+            img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            back = media.decode_bmp(media.encode_bmp(img))
+            np.testing.assert_array_equal(back, img)
+
+    def test_bmp_rejects_unsupported(self):
+        import numpy as np
+        with pytest.raises(ValueError):
+            media.decode_bmp(b"XX" + b"\0" * 60)
+        with pytest.raises(ValueError):
+            media.encode_bmp(np.zeros((2, 2), dtype=np.uint8))  # not 3-channel
+        # 8-bit BMP header -> NotImplementedError, the codec-library hook
+        img = media.encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8))
+        bad = bytearray(img)
+        bad[28] = 8
+        with pytest.raises(NotImplementedError):
+            media.decode_bmp(bytes(bad))
+
+    def test_real_lane_end_to_end(self, spark):
+        m = media.synth_bmp_media(documents(spark, SF_DIR))
+        feats = {r["doc_id"]: r for r in media.decode_image_features(m).collect()}
+        assert feats
+        for did, r in list(feats.items())[:20]:
+            assert r["width"] == 2 + did % 6
+            assert r["height"] == 2 + did % 4
+            # channel means of the closed-form pixel field
+            import numpy as np
+            rr = np.arange(r["height"])[:, None]
+            cc = np.arange(r["width"])[None, :]
+            exp = ((did * 7 + rr * 13 + cc * 29) % 256).mean()
+            assert abs(r["mean_r"] - exp) < 1e-12
+
+    def test_non_bmp_codec_still_raises(self, spark):
+        m = media.synth_media(documents(spark, SF_DIR))  # codec='raw'
+        with pytest.raises(Exception):
+            media.decode_image_features(m).collect()

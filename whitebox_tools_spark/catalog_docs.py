@@ -389,8 +389,21 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL media decode lane end-to-end: deterministic 24-bit BMPs
+    are encoded executor-side (pure numpy), ride a binary column through
+    Arrow, and decode_image_features parses the actual BMP bytes back
+    into per-channel means. The oracle recomputes the closed-form pixel
+    field (id*7 + r*13 + c*29 + ch*57) % 256 in SQL — a hash match
+    certifies the byte codec, not just the plumbing."""
+    m = media.synth_bmp_media(documents(spark, sf_dir))
+    out = media.decode_image_features(m)
+    return out.select("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")
+
+
 QUERIES["media_features"] = q_media_features
 QUERIES["frame_sample"] = q_frame_sample
+QUERIES["media_decode_real"] = q_media_decode_real
 
 # payload bytes are reconstructible from the md5 hex string: byte i is
 # hex chars [2i+1, 2i+2] of repeat(md5(ref), k); max k = 7 -> 112 bytes
@@ -430,6 +443,29 @@ SELECT m.doc_id, CAST(g.i AS BIGINT) AS frame_idx,
        substr(m.hx, CAST(32 * g.i + 1 AS INT), 32) AS frame_hex
 FROM m, range(0, 7) g(i)
 WHERE g.i < length(m.hx) // 32
+"""
+
+# closed-form pixel field of synth_bmp_media, recomputed per channel;
+# sums are exact small integers so AVG is bit-identical across engines
+ORACLE_SQL["media_decode_real"] = """
+WITH d AS (SELECT doc_id,
+                  2 + doc_id % 6 AS w,
+                  2 + doc_id % 4 AS h
+           FROM documents),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (d.doc_id * 7 + r.r * 13 + c.c * 29) % 256 AS pr,
+         (d.doc_id * 7 + r.r * 13 + c.c * 29 + 57) % 256 AS pg,
+         (d.doc_id * 7 + r.r * 13 + c.c * 29 + 114) % 256 AS pb
+  FROM d, range(0, 8) r(r), range(0, 8) c(c)
+  WHERE r.r < d.h AND c.c < d.w)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(sum(pr) AS DOUBLE) / count(*) AS mean_r,
+       CAST(sum(pg) AS DOUBLE) / count(*) AS mean_g,
+       CAST(sum(pb) AS DOUBLE) / count(*) AS mean_b
+FROM px GROUP BY doc_id, w, h
 """
 def _ivf_oracle() -> str:
     """Unrolled 2-iteration Lloyd + probe, mirroring operators.ann.ivf_*
