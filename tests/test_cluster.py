@@ -139,3 +139,49 @@ class TestViewshed:
         assert out[(10, 5)] == 1.0  # before the wall
         assert out[(10, 10)] == 1.0  # wall top visible
         assert out[(10, 15)] == 0.0  # behind the wall
+
+
+class TestViewshedSweep:
+    def _terrain(self, spark, seed=9):
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        z = rng.uniform(0.0, 30.0, (20, 20)).round(2)
+        return spark.createDataFrame(
+            [(r, c, float(z[r, c])) for r in range(20) for c in range(20)],
+            "row long, col long, value double",
+        )
+
+    def test_flat_and_wall(self, spark):
+        from whitebox_tools_spark.operators.cluster import viewshed_sweep
+        flat = spark.createDataFrame(
+            [(r, c, 10.0) for r in range(20) for c in range(20)],
+            "row long, col long, value double",
+        )
+        out = viewshed_sweep(flat, GRID, [(10, 10)])
+        vals = [r["value"] for r in out.collect()]
+        assert len(vals) == 400 and all(v == 1.0 for v in vals)
+        cells = [(r, c, 100.0 if c == 10 else 0.0)
+                 for r in range(20) for c in range(20)]
+        dem = spark.createDataFrame(cells, "row long, col long, value double")
+        got = {(r["row"], r["col"]): r["value"]
+               for r in viewshed_sweep(dem, GRID, [(10, 0)]).collect()}
+        assert got[(10, 5)] == 1.0
+        assert got[(10, 10)] == 1.0
+        assert got[(10, 15)] == 0.0
+
+    def test_agreement_with_sampled_ray(self, spark):
+        """Documented tolerance vs the parity engine: the sweep's bucket
+        discretization differs from nearest-cell ray resampling only on
+        grazing rays — require >= 95% per-cell agreement on random
+        terrain from three viewpoints (measured ~98% on this fixture)."""
+        from whitebox_tools_spark.operators.cluster import viewshed_sweep
+        dem = self._terrain(spark)
+        vps = [(3, 3), (10, 10), (15, 4)]
+        ray = {(r["vp"], r["row"], r["col"]): r["value"]
+               for r in viewshed(dem, GRID, vps).collect()}
+        swp = {(r["vp"], r["row"], r["col"]): r["value"]
+               for r in viewshed_sweep(dem, GRID, vps).collect()}
+        assert set(ray) == set(swp)
+        agree = sum(1 for k in ray if ray[k] == swp[k])
+        frac = agree / len(ray)
+        assert frac >= 0.95, f"sweep agreement {frac:.3f} < 0.95"

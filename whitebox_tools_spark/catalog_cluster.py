@@ -25,7 +25,12 @@ from whitebox_tools_spark.catalog_grid import GRID, _PTS_CTE
 from whitebox_tools_spark.catalog_iter import _Z_CTE, _d8_dir_sql
 from whitebox_tools_spark.operators import hydro, trend
 from whitebox_tools_spark.operators import raster as rop
-from whitebox_tools_spark.operators.cluster import kmeans, strahler_order, viewshed
+from whitebox_tools_spark.operators.cluster import (
+    kmeans,
+    strahler_order,
+    viewshed,
+    viewshed_sweep,
+)
 from whitebox_tools_spark.operators.focal import focal_apply
 from whitebox_tools_spark.operators.hydro import _d8_dir_stencil
 from whitebox_tools_spark.sources.tables import documents
@@ -78,10 +83,25 @@ def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_viewshed_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O(N log N) azimuth-sweep variant (VERDICT r3 item 10): one
+    window pass instead of the per-target ray explode. The oracle
+    transcribes the sweep's exact arithmetic (IEEE division bucketing,
+    running max over strictly-closer cells); parity with the sampled-ray
+    engine is pinned separately by a tolerance test."""
+    return viewshed_sweep(_z_raster(spark, sf_dir), GRID, VIEWPOINTS, STATION_H).select(
+        "vp",
+        F.col("row").alias("cell_row"),
+        F.col("col").alias("cell_col"),
+        "value",
+    )
+
+
 QUERIES = {
     "kmeans": q_kmeans,
     "strahler_order": q_strahler,
     "viewshed": q_viewshed,
+    "viewshed_sweep": q_viewshed_sweep,
 }
 
 
@@ -213,8 +233,69 @@ def _viewshed_sql_mat() -> str:
     return _materialize(_viewshed_sql(), ["pts", "r", "tgt"])
 
 
+def _viewshed_sweep_sql() -> str:
+    """Exact transcription of operators.cluster.viewshed_sweep: same
+    perimeter bucketing (IEEE divisions only — no atan2, whose libm
+    variants differ by ULPs across engines), same blocker interval
+    (halfwidth 0.5/n in off units, exploded over covered buckets), same
+    running-max window over strictly closer cells (RANGE ... 1 PRECEDING
+    on integer n)."""
+    vps = ", ".join(f"({i}, {r}, {c})" for i, (r, c) in enumerate(VIEWPOINTS))
+    nb = 2 * max(GRID.rows, GRID.cols)
+
+    def b(o: str) -> str:  # clamped in-side bucket index of an off value
+        return (
+            f"greatest(0, least(CAST(floor((({o}) + 1.0) / 2.0 "
+            f"* CAST({nb} AS DOUBLE)) AS BIGINT), {nb - 1}))"
+        )
+
+    return f"""WITH {_PTS_CTE},
+{_Z_CTE},
+vps AS (SELECT * FROM (VALUES {vps}) v(vp, vr, vc)),
+vpz AS (SELECT v.vp, v.vr, v.vc, r.value + {STATION_H!r} AS z0
+        FROM vps v JOIN r ON r.cell_row = v.vr AND r.cell_col = v.vc),
+tgt AS (SELECT w.vp, c.cell_row, c.cell_col, c.value AS tz, w.z0,
+               c.cell_row - w.vr AS dr, c.cell_col - w.vc AS dc,
+               greatest(abs(c.cell_row - w.vr), abs(c.cell_col - w.vc)) AS n
+        FROM vpz w CROSS JOIN r c),
+base AS (SELECT vp, cell_row, cell_col, n,
+                CASE WHEN abs(dc) >= abs(dr) AND dc > 0 THEN 0
+                     WHEN abs(dc) >= abs(dr) THEN 1
+                     WHEN dr > 0 THEN 2 ELSE 3 END AS side,
+                CASE WHEN abs(dc) >= abs(dr)
+                     THEN CAST(dr AS DOUBLE) / CAST(abs(dc) AS DOUBLE)
+                     ELSE CAST(dc AS DOUBLE) / CAST(abs(dr) AS DOUBLE) END AS off,
+                (tz - z0) / n AS ang
+         FROM tgt WHERE n >= 1),
+u AS (
+  SELECT vp, n, ang, side * {nb} + g.i AS bucket,
+         CAST(NULL AS BIGINT) AS cell_row, CAST(NULL AS BIGINT) AS cell_col,
+         1 AS is_b
+  FROM base, range(0, {nb}) g(i)
+  WHERE g.i >= {b("off - 0.5 / CAST(n AS DOUBLE)")}
+    AND g.i <= {b("off + 0.5 / CAST(n AS DOUBLE)")}
+  UNION ALL
+  SELECT vp, n, ang, side * {nb} + {b("off")} AS bucket,
+         cell_row, cell_col, 0 AS is_b
+  FROM base),
+mxs AS (SELECT vp, cell_row, cell_col, ang, is_b,
+               max(CASE WHEN is_b = 1 THEN ang END)
+                 OVER (PARTITION BY vp, bucket ORDER BY n
+                       RANGE BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS mx
+        FROM u)
+SELECT vp, cell_row, cell_col,
+       CASE WHEN mx > ang + 1e-12 THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST(1.0 AS DOUBLE) END AS value
+FROM mxs WHERE is_b = 0
+UNION ALL
+SELECT vp, cell_row, cell_col, CAST(1.0 AS DOUBLE) AS value
+FROM tgt WHERE n = 0"""
+
+
 ORACLE_SQL = {
     "kmeans": _kmeans_sql(),
     "strahler_order": _strahler_sql(),
     "viewshed": _viewshed_sql_mat(),
+    "viewshed_sweep": _materialize(_viewshed_sweep_sql(), ["pts", "r", "tgt"]),
 }

@@ -12,6 +12,9 @@ data-dependent iterative families of SURVEY.md §2.7/§2.8).
 - viewshed (terrain_analysis/viewshed.rs): per-viewpoint line-of-sight;
   the sampled rays are one explode + equi-join on the DEM + groupBy —
   fully distributed, no driver-resident DEM, no DEM broadcast.
+- viewshed_sweep: the O(N log N) azimuth-bucketed max-angle sweep
+  variant (one window pass instead of per-target ray samples) for
+  large-radius runs; the sampled-ray engine stays the parity oracle.
 """
 
 from __future__ import annotations
@@ -20,7 +23,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -207,6 +210,114 @@ def viewshed(
         "vp", "row", "col",
         F.when(hidden, F.lit(0.0)).otherwise(F.lit(1.0)).alias("value"),
     )
+
+
+def viewshed_sweep(
+    dem: DataFrame,
+    cfg: GridConfig,
+    viewpoints: list[tuple[int, int]],
+    station_height: float = 2.0,
+    buckets_per_side: int | None = None,
+) -> DataFrame:
+    """Azimuth-bucketed max-angle sweep viewshed — the O(N log N) scale
+    path next to :func:`viewshed`'s sampled-ray parity engine (which is
+    O(N^1.5) samples per viewpoint).
+
+    Directions from each viewpoint are quantized into azimuth buckets
+    (perimeter parameterization off = minor/major — IEEE division/floor
+    only, no atan2, so a SQL oracle reproduces it bit-identically). A
+    cell contributes as a BLOCKER to every bucket its angular extent
+    (halfwidth 0.5/n in off units) covers — exploded rows, O(nb/n) per
+    cell, O(N) total — and as a TARGET to its single center bucket with
+    angle (z - z0)/chebyshev_dist. A target is hidden iff the running
+    max blocker angle over STRICTLY closer cells in its bucket exceeds
+    its own angle: one window over (vp, bucket) ordered by distance —
+    one shuffle + one sort, no per-target ray replay. Agreement with the
+    sampled-ray engine is approximate by construction (bucket intervals
+    vs nearest-cell ray resampling) — pinned by a tolerance test."""
+    spark = dem.sparkSession
+    nb = buckets_per_side or 2 * max(cfg.rows, cfg.cols)
+    vp_df = local_df(
+        spark,
+        [(i, int(r), int(c)) for i, (r, c) in enumerate(viewpoints)],
+        columns=["vp", "vr", "vc"],
+    ).selectExpr("CAST(vp AS INT) AS vp", "vr", "vc")
+    vpz = vp_df.join(
+        dem, (dem["row"] == vp_df["vr"]) & (dem["col"] == vp_df["vc"])
+    ).select("vp", "vr", "vc", (F.col("value") + F.lit(station_height)).alias("z0"))
+    tgt = dem.select("row", "col", F.col("value").alias("tz")).crossJoin(
+        F.broadcast(vpz)
+    )
+    dr = F.col("row") - F.col("vr")
+    dc = F.col("col") - F.col("vc")
+    n = F.greatest(F.abs(dr), F.abs(dc))
+    horiz = F.abs(dc) >= F.abs(dr)
+    side = (
+        F.when(horiz & (dc > 0), F.lit(0))
+        .when(horiz, F.lit(1))
+        .when(dr > 0, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    off = F.when(
+        horiz, dr.cast("double") / F.abs(dc).cast("double")
+    ).otherwise(dc.cast("double") / F.abs(dr).cast("double"))
+    ang = (F.col("tz") - F.col("z0")) / F.col("n")
+    base = (
+        tgt.withColumn("n", n)
+        .where(F.col("n") >= 1)
+        .withColumn("side", side)
+        .withColumn("off", off)
+        .withColumn("ang", ang)
+    )
+
+    def _b(o):  # bucket index within a side, clamped
+        return F.greatest(
+            F.lit(0),
+            F.least(
+                F.floor((o + F.lit(1.0)) / F.lit(2.0) * F.lit(float(nb))),
+                F.lit(nb - 1),
+            ),
+        )
+
+    # a resampled ray (floor(x+0.5)) lands in a blocker cell when it
+    # passes within 0.5 of the cell center at that major distance ->
+    # halfwidth 0.5/n in off units matches the parity engine's geometry
+    half = F.lit(0.5) / F.col("n").cast("double")
+    blockers = base.select(
+        "vp", "n", "ang", "side",
+        F.explode(
+            F.sequence(_b(F.col("off") - half), _b(F.col("off") + half))
+        ).alias("b"),
+    ).select(
+        "vp", "n", "ang",
+        (F.col("side") * F.lit(nb) + F.col("b")).alias("bucket"),
+        F.lit(None).cast("long").alias("row"),
+        F.lit(None).cast("long").alias("col"),
+        F.lit(1).alias("is_b"),
+    )
+    targets = base.select(
+        "vp", "n", "ang",
+        (F.col("side") * F.lit(nb) + _b(F.col("off"))).alias("bucket"),
+        "row", "col", F.lit(0).alias("is_b"),
+    )
+    u = blockers.unionByName(targets)
+    w = (
+        Window.partitionBy("vp", "bucket")
+        .orderBy("n")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    swept = u.withColumn(
+        "mx", F.max(F.when(F.col("is_b") == 1, F.col("ang"))).over(w)
+    ).where(F.col("is_b") == 0)
+    hidden = F.col("mx") > F.col("ang") + F.lit(1e-12)
+    vis = swept.select(
+        "vp", "row", "col",
+        F.when(hidden, F.lit(0.0)).otherwise(F.lit(1.0)).alias("value"),
+    )
+    self_cells = tgt.where(n == 0).select(
+        "vp", "row", "col", F.lit(1.0).alias("value")
+    )
+    return vis.unionByName(self_cells)
 
 
 def modified_kmeans(
