@@ -773,3 +773,37 @@ def test_dbf_null_logical_roundtrip():
                                  [("B", "L", 1, 0)])
     out = shapefile._decode_dbf(data)
     assert [r["B"] for r in out] == [None, True, False]
+
+
+# --------------------------------------------------------------- geokeys
+
+@pytest.mark.parametrize("epsg,key", [(26917, 3072), (4326, 2048)])
+def test_geotiff_epsg_carrythrough(epsg, key):
+    """CRS EPSG rides the GeoKeyDirectory: projected codes under
+    ProjectedCSTypeGeoKey (3072), geographic (EPSG 4xxx block) under
+    GeographicTypeGeoKey (2048) — the reference's minimal key set
+    (geotiff/mod.rs:2274-2460, find_epsg_code geokeys.rs:120-145)."""
+    import dataclasses
+    cfg = dataclasses.replace(CFG, epsg=epsg)
+    data = geotiff.encode_geotiff(_demo_grid(), cfg, rows_per_strip=8)
+    tags = geotiff.print_geotiff_tags(data)
+    d = tags["GeoKeyDirectoryTag"]
+    assert d[:4] == (1, 1, 0, 3)
+    entries = {d[4 + 4 * k]: d[4 + 4 * k + 3] for k in range(d[3])}
+    assert entries[key] == epsg
+    assert entries[1024] == (2 if key == 2048 else 1)
+    assert entries[1025] == 1  # PixelIsArea
+    cfg2, _ = geotiff.decode_geotiff(data)
+    assert cfg2.epsg == epsg
+
+
+@pytest.mark.parametrize("big", [False, True])
+def test_geotiff_epsg_bigtiff_and_default(big):
+    import dataclasses
+    cfg = dataclasses.replace(CFG, epsg=32633)
+    data = geotiff.encode_geotiff(_demo_grid(), cfg, big=big)
+    assert geotiff.decode_geotiff(data)[0].epsg == 32633
+    # no epsg -> no GeoKeyDirectory tag, decode reports 0 (unknown)
+    plain = geotiff.encode_geotiff(_demo_grid(), CFG, big=big)
+    assert "GeoKeyDirectoryTag" not in geotiff.print_geotiff_tags(plain)
+    assert geotiff.decode_geotiff(plain)[0].epsg == 0

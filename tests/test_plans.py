@@ -164,6 +164,10 @@ BNLJ_ALLOWED = {
     # are an equi-join; audited round 3 when the driver-resident DEM
     # was replaced by this fully distributed pipeline.
     "viewshed", "visibility_index",
+    # viewshed_sweep: same audited shape — the only non-equi join is the
+    # DEM crossJoin against the explicitly broadcast <=3-row viewpoint
+    # frame; blockers/targets meet in a window, not a join (round 4).
+    "viewshed_sweep",
     # IVF ANN: corpus/queries crossJoin an explicitly broadcast 16-row
     # centroid frame (Lloyd assignment + probe ranking); the candidate
     # generation itself is the cluster-id equi-join — audited round 3.

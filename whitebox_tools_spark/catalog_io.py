@@ -13,6 +13,7 @@ deterministic because no path appears in the output.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import tempfile
 
@@ -41,15 +42,21 @@ def _docs_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """block-max grid -> GeoTIFF (f8, deflate) -> distributed decode."""
+    """block-max grid -> GeoTIFF (f8, deflate) -> distributed decode.
+    The file is written with a projected CRS (EPSG 26917) riding the
+    GeoKeyDirectory tag; the decoded header's code is emitted per-row so
+    the oracle pins the CRS carry-through alongside the pixel values."""
     pts = _docs_geo(spark, sf_dir).select("x", "y", "z")
     grid = block_grid(pts, GRID, stat="max")
     d = tempfile.mkdtemp(prefix="wts_tif_")
     path = os.path.join(d, "grid.tif")
-    geotiff.write_geotiff(grid, GRID, path, dtype="f8")
+    geotiff.write_geotiff(grid, dataclasses.replace(GRID, epsg=26917),
+                          path, dtype="f8")
     back = geotiff.read_geotiff(spark, path, drop_nodata=True)
+    decoded_epsg = geotiff.read_geotiff_config(path).epsg
     return back.select(
-        F.col("row").alias("cell_row"), F.col("col").alias("cell_col"), "value"
+        F.col("row").alias("cell_row"), F.col("col").alias("cell_col"), "value",
+        F.lit(int(decoded_epsg)).alias("epsg"),
     )
 
 
@@ -113,8 +120,13 @@ def q_grass_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# f8 roundtrips are lossless, so the oracles are the block oracles verbatim.
-_ORACLE_GEOTIFF = _oracle_block("max")
+# f8 roundtrips are lossless, so the oracles are the block oracles verbatim;
+# the GeoTIFF rows additionally pin the GeoKeyDirectory CRS carry-through
+# (the written EPSG must survive decode / re-encode byte-exactly).
+_ORACLE_GEOTIFF = (
+    "SELECT cell_row, cell_col, value, CAST(26917 AS INT) AS epsg "
+    f"FROM ({_oracle_block('max')})"
+)
 _ORACLE_ARCASCII = _oracle_block("min")
 
 
@@ -380,15 +392,20 @@ def q_bigtiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = block_grid(pts, GRID, stat="max")
     d = tempfile.mkdtemp(prefix="wts_btif_")
     classic = os.path.join(d, "grid.tif")
-    geotiff.write_geotiff(grid, GRID, classic, dtype="f8")
+    geotiff.write_geotiff(grid, dataclasses.replace(GRID, epsg=26917),
+                          classic, dtype="f8")
     with open(classic, "rb") as f:
         cfg, arr = geotiff.decode_geotiff(f.read())
     big_path = os.path.join(d, "grid_big.tif")
     with open(big_path, "wb") as f:
+        # re-encode with the DECODED cfg: the epsg column below therefore
+        # certifies the geokey through decode AND the BigTIFF re-encode
         f.write(geotiff.encode_geotiff(arr, cfg, big=True))
     back = geotiff.read_geotiff(spark, big_path, drop_nodata=True)
+    decoded_epsg = geotiff.read_geotiff_config(big_path).epsg
     return back.select(
-        F.col("row").alias("cell_row"), F.col("col").alias("cell_col"), "value"
+        F.col("row").alias("cell_row"), F.col("col").alias("cell_col"), "value",
+        F.lit(int(decoded_epsg)).alias("epsg"),
     )
 
 

@@ -14,7 +14,12 @@ rasters, src/raster/geotiff/mod.rs:214 read_geotiff / :1564 write_geotiff):
   strip tables;
 - georeferencing via ModelPixelScaleTag (33550) + ModelTiepointTag
   (33922) and nodata via GDAL_NODATA (42113) — the same three tags the
-  reference keys on (geotiff/mod.rs:475,520,526).
+  reference keys on (geotiff/mod.rs:475,520,526);
+- CRS via the GeoKeyDirectoryTag (34735): the EPSG code is read with
+  the reference's find_epsg_code scan (geokeys.rs:120-145) into
+  GridConfig.epsg and written back as the reference's minimal key set
+  (GTModelType + GTRasterType PixelIsArea + Geographic/ProjectedCSType,
+  geotiff/mod.rs:2274-2460).
 
 Out of scope (rejected with a clear error, like the reference's
 unsupported-variant errors): palette, JPEG compression,
@@ -57,7 +62,53 @@ _TILE_BYTE_COUNTS = 325
 _SAMPLE_FORMAT = 339
 _MODEL_PIXEL_SCALE = 33550
 _MODEL_TIEPOINT = 33922
+_GEOKEY_DIRECTORY = 34735
 _GDAL_NODATA = 42113
+
+# GeoKey ids (GeoTIFF 1.1 spec §6.2; reference geokeys.rs key tables)
+_GK_MODEL_TYPE = 1024  # 1 = projected, 2 = geographic, 0 = unknown
+_GK_RASTER_TYPE = 1025  # 1 = PixelIsArea (the reference's default)
+_GK_GEOGRAPHIC_TYPE = 2048
+_GK_PROJECTED_CS = 3072
+
+
+def _epsg_from_geokeys(tags: dict) -> int:
+    """EPSG code from the GeoKeyDirectory, mirroring the reference's
+    find_epsg_code scan (geokeys.rs:120-145): any GeographicTypeGeoKey
+    (2048) or ProjectedCSTypeGeoKey (3072) entry carries the code
+    inline; last match wins."""
+    d = tags.get(_GEOKEY_DIRECTORY)
+    if not d or len(d) < 4:
+        return 0
+    nkeys = int(d[3])
+    epsg = 0
+    for k in range(nkeys):
+        off = 4 + k * 4
+        if off + 4 > len(d):
+            break
+        key, loc, _cnt, val = (int(v) for v in d[off:off + 4])
+        if key in (_GK_PROJECTED_CS, _GK_GEOGRAPHIC_TYPE) and loc == 0:
+            epsg = val
+    return epsg
+
+
+def _geokey_directory_values(epsg: int) -> tuple[int, ...]:
+    """GeoKeyDirectory SHORT array for a bare-EPSG CRS: header
+    (KeyDirectoryVersion 1, revision 1.0, nkeys) + GTModelType +
+    GTRasterType(PixelIsArea) + the Geographic/ProjectedCSType key —
+    the same minimal key set the reference writer emits
+    (geotiff/mod.rs:2274-2460). Geographic 2D CRS codes live in the
+    EPSG 4000-4999 block; everything else is written as projected."""
+    geographic = 4000 <= epsg < 5000
+    keys = [
+        (_GK_MODEL_TYPE, 0, 1, 2 if geographic else 1),
+        (_GK_RASTER_TYPE, 0, 1, 1),
+        (_GK_GEOGRAPHIC_TYPE if geographic else _GK_PROJECTED_CS, 0, 1, epsg),
+    ]
+    vals = [1, 1, 0, len(keys)]
+    for entry in keys:
+        vals.extend(entry)
+    return tuple(vals)
 
 # TIFF field types -> (struct code, size); 16/17/18 are the BigTIFF
 # 8-byte LONG8/SLONG8/IFD8 types (BigTIFF spec, version 43)
@@ -279,7 +330,8 @@ def decode_geotiff_multi(data: bytes) -> tuple[GridConfig, np.ndarray]:
         except ValueError:
             pass
     cfg = GridConfig(rows=height, cols=width, north=north, west=west,
-                     res_x=res_x, res_y=res_y, nodata=nodata)
+                     res_x=res_x, res_y=res_y, nodata=nodata,
+                     epsg=_epsg_from_geokeys(tags))
     return cfg, arr
 
 
@@ -399,6 +451,10 @@ def encode_geotiff(
                      struct.pack(bo + "H" * spp, *([sfmt] * spp))))
     tags.append((_MODEL_PIXEL_SCALE, 12, 3, scale))
     tags.append((_MODEL_TIEPOINT, 12, 6, tie))
+    if cfg.epsg:
+        gk = _geokey_directory_values(int(cfg.epsg))
+        tags.append((_GEOKEY_DIRECTORY, 3, len(gk),
+                     struct.pack(bo + "H" * len(gk), *gk)))
     tags.append((_GDAL_NODATA, 2, len(nodata_ascii), nodata_ascii))
     tags.sort(key=lambda t: t[0])
 

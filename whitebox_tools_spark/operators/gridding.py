@@ -47,6 +47,10 @@ class GridConfig:
     res_x: float
     res_y: float
     nodata: float = -32768.0
+    # EPSG code of the CRS, 0 = unknown (reference RasterConfigs
+    # epsg_code, src/raster/mod.rs:1166); carried through the GeoTIFF
+    # codec via the GeoKeyDirectory tag.
+    epsg: int = 0
 
     @property
     def south(self) -> float:
