@@ -88,7 +88,7 @@ HEADLINE = [
     # round-4 additions: LAS 1.4 extended records, BigTIFF, RGB bridge,
     # real (BMP) media decode lane
     "las14_roundtrip", "bigtiff_roundtrip", "rgb_roundtrip",
-    "media_decode_real", "viewshed_sweep",
+    "media_decode_real", "media_decode_wav", "viewshed_sweep",
 ]
 
 

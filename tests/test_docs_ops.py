@@ -213,3 +213,63 @@ class TestBmpRealDecode:
         m = media.synth_media(documents(spark, SF_DIR))  # codec='raw'
         with pytest.raises(Exception):
             media.decode_image_features(m).collect()
+
+
+class TestWavRealDecode:
+    def test_wav_codec_roundtrip(self):
+        import numpy as np
+        rng = np.random.default_rng(5)
+        for n, ch, rate in ((1, 1, 8000), (9, 2, 16000), (24, 1, 44100)):
+            s = rng.integers(-32768, 32768, (n, ch)).astype(np.int16)
+            rate2, back = media.decode_wav(media.encode_wav(s, rate))
+            assert rate2 == rate
+            np.testing.assert_array_equal(back, s)
+        # mono 1-D input round-trips as (n, 1)
+        mono = rng.integers(-32768, 32768, 7).astype(np.int16)
+        _, back = media.decode_wav(media.encode_wav(mono, 8000))
+        np.testing.assert_array_equal(back[:, 0], mono)
+
+    def test_wav_chunk_walk_skips_extras(self):
+        """A LIST chunk between fmt and data must be skipped (RIFF files
+        from real recorders carry INFO/fact chunks)."""
+        import numpy as np
+        import struct
+        s = np.arange(-4, 4, dtype=np.int16).reshape(-1, 1)
+        raw = media.encode_wav(s, 8000)
+        fmt_end = 12 + 8 + 16
+        extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\0"  # word pad
+        patched = raw[:fmt_end] + extra + raw[fmt_end:]
+        rate, back = media.decode_wav(patched)
+        assert rate == 8000
+        np.testing.assert_array_equal(back, s)
+
+    def test_wav_rejects_unsupported(self):
+        import numpy as np
+        with pytest.raises(ValueError):
+            media.decode_wav(b"RIFX" + b"\0" * 40)
+        with pytest.raises(ValueError):
+            media.encode_wav(np.zeros(4, dtype=np.float32), 8000)
+        raw = bytearray(media.encode_wav(np.zeros(4, dtype=np.int16), 8000))
+        raw[20] = 3  # IEEE-float format tag -> the codec-library hook
+        with pytest.raises(NotImplementedError):
+            media.decode_wav(bytes(raw))
+
+    def test_real_audio_lane_end_to_end(self, spark):
+        m = media.synth_wav_media(documents(spark, SF_DIR))
+        feats = {r["doc_id"]: r for r in media.decode_audio_features(m).collect()}
+        assert feats
+        import numpy as np
+        for did, r in list(feats.items())[:20]:
+            n, ch = 8 + did % 16, 1 + did % 2
+            assert (r["n_samples"], r["channels"]) == (n, ch)
+            assert r["sample_rate"] == 8000 + (did % 4) * 4000
+            i = np.arange(n)[:, None]
+            c = np.arange(ch)[None, :]
+            v = (did * 31 + i * 17 + c * 101) % 65536 - 32768
+            assert r["mean_sample"] == v.sum() / v.size
+            assert r["peak"] == np.abs(v).max()
+
+    def test_non_wav_codec_still_raises(self, spark):
+        m = media.synth_media(documents(spark, SF_DIR))  # codec='raw'
+        with pytest.raises(Exception):
+            media.decode_audio_features(m).collect()

@@ -401,9 +401,23 @@ def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")
 
 
+def q_media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL audio decode lane end-to-end: deterministic PCM-16 WAVs
+    are encoded executor-side (pure struct/numpy), ride a binary column
+    through Arrow, and decode_audio_features walks the RIFF chunks back
+    into per-clip features. The oracle recomputes the closed-form sample
+    field ((id*31 + i*17 + c*101) % 65536) - 32768 in SQL — a hash match
+    certifies the byte codec, not just the plumbing."""
+    m = media.synth_wav_media(documents(spark, sf_dir))
+    out = media.decode_audio_features(m)
+    return out.select("doc_id", "sample_rate", "channels", "n_samples",
+                      "mean_sample", "peak")
+
+
 QUERIES["media_features"] = q_media_features
 QUERIES["frame_sample"] = q_frame_sample
 QUERIES["media_decode_real"] = q_media_decode_real
+QUERIES["media_decode_wav"] = q_media_decode_wav
 
 # payload bytes are reconstructible from the md5 hex string: byte i is
 # hex chars [2i+1, 2i+2] of repeat(md5(ref), k); max k = 7 -> 112 bytes
@@ -467,6 +481,30 @@ SELECT doc_id,
        CAST(sum(pb) AS DOUBLE) / count(*) AS mean_b
 FROM px GROUP BY doc_id, w, h
 """
+
+# closed-form sample field of synth_wav_media; integer sums are exact so
+# the DOUBLE division is bit-identical across engines
+ORACLE_SQL["media_decode_wav"] = """
+WITH d AS (SELECT doc_id,
+                  8 + doc_id % 16 AS n,
+                  1 + doc_id % 2 AS ch,
+                  8000 + (doc_id % 4) * 4000 AS rate
+           FROM documents),
+s AS (
+  SELECT d.doc_id, d.n, d.ch, d.rate,
+         (d.doc_id * 31 + i.i * 17 + c.c * 101) % 65536 - 32768 AS v
+  FROM d, range(0, 24) i(i), range(0, 2) c(c)
+  WHERE i.i < d.n AND c.c < d.ch)
+SELECT doc_id,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(ch AS INTEGER) AS channels,
+       CAST(n AS INTEGER) AS n_samples,
+       CAST(sum(v) AS DOUBLE) / count(*) AS mean_sample,
+       CAST(max(abs(v)) AS INTEGER) AS peak
+FROM s GROUP BY doc_id, n, ch, rate
+"""
+
+
 def _ivf_oracle() -> str:
     """Unrolled 2-iteration Lloyd + probe, mirroring operators.ann.ivf_*
     expression-for-expression (same init, same 6-dp centroid rounding,

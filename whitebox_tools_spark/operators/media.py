@@ -4,12 +4,13 @@ Media payloads are opaque ``binary`` columns with a typed metadata struct,
 exactly how a 100 TB multimodal corpus stores them next to text spans.
 The decode / feature-extract step is a Pandas-UDF ``mapInPandas`` whose
 Spark-side plumbing (schema, Arrow batching, partition mapping) is real
-and tested. The 'real' decode lane has one dependency-free codec — a
-pure-numpy 24-bit BMP parser (:func:`decode_bmp`) — so the end-to-end
-image path (encode -> binary column -> Arrow batch -> decode ->
-per-channel features) is genuinely exercised; formats that need native
-libraries (JPEG/PNG/ffmpeg) still raise NotImplementedError at the
-documented integration point.
+and tested. The 'real' decode lane has two dependency-free codecs — a
+pure-numpy 24-bit BMP parser (:func:`decode_bmp`) and a RIFF/WAVE
+PCM-16 parser (:func:`decode_wav`) — so the end-to-end image AND audio
+paths (encode -> binary column -> Arrow batch -> decode -> features)
+are genuinely exercised; formats that need native libraries
+(JPEG/PNG/ffmpeg) still raise NotImplementedError at the documented
+integration point.
 """
 
 from __future__ import annotations
@@ -187,6 +188,134 @@ def decode_image_features(media: DataFrame) -> DataFrame:
 
     return media.select("doc_id", "payload", "meta").mapInPandas(
         run, schema=_IMG_FEATURE_SCHEMA
+    )
+
+
+# --------------------------------------------------------------- WAV codec
+# Pure-struct/numpy RIFF/WAVE PCM-16 — the audio twin of the BMP lane, so
+# the 'real' decode path covers both image and audio without native libs.
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """(n,) or (n, ch) int16 PCM -> WAV bytes (RIFF, fmt 1, 16-bit)."""
+    if samples.dtype != np.int16 or samples.ndim not in (1, 2):
+        raise ValueError("encode_wav expects (n,) or (n, ch) int16")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    body = np.ascontiguousarray(samples.astype("<i2")).tobytes()
+    block = ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, 16)
+    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body)) + b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(body)) + body
+    return out
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """WAV bytes -> (sample_rate, (n, ch) int16). PCM-16 only; walks the
+    RIFF chunk list so extra chunks (LIST, fact) are skipped."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV file")
+    pos, rate, ch, body = 12, None, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        if cid == b"fmt ":
+            afmt, ch, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", data, pos + 8
+            )
+            if afmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM-16 WAV supported (fmt={afmt}, bits={bits})"
+                )
+        elif cid == b"data":
+            body = data[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or body is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    samples = np.frombuffer(body, dtype="<i2").reshape(-1, ch)
+    return int(rate), samples.astype(np.int16)
+
+
+def synth_wav_media(docs: DataFrame, record: str = "doc_id") -> DataFrame:
+    """Deterministic WAV media table: per doc, (8 + id%16) frames x
+    (1 + id%2) channels at rate 8000 + (id%4)*4000, with
+    sample[i, c] = ((id*31 + i*17 + c*101) % 65536) - 32768 —
+    closed-form, so a SQL oracle recomputes every feature."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[record]:
+                did = int(did)
+                n, ch = 8 + did % 16, 1 + did % 2
+                rate = 8000 + (did % 4) * 4000
+                i_idx = np.arange(n, dtype=np.int64)[:, None]
+                c_idx = np.arange(ch, dtype=np.int64)[None, :]
+                s = ((did * 31 + i_idx * 17 + c_idx * 101) % 65536 - 32768
+                     ).astype(np.int16)
+                payload = encode_wav(s, rate)
+                rows.append((
+                    did,
+                    f"wav://{did}",
+                    payload,
+                    {"kind": "audio", "n_bytes": len(payload), "codec": "wav"},
+                ))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "media_ref", "payload", "meta"]
+                )
+
+    return docs.select(record).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+_AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("mean_sample", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def decode_audio_features(media: DataFrame) -> DataFrame:
+    """The REAL audio decode lane: parse each payload by meta.codec and
+    emit per-clip features (rate, shape, mean sample, peak |amplitude|).
+    codec='wav' decodes with the pure-numpy RIFF parser; any other codec
+    raises NotImplementedError at this exact point — swap in ffmpeg
+    here, the Spark plumbing is identical."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                if meta["codec"] != "wav":
+                    raise NotImplementedError(
+                        f"real audio decode for codec {meta['codec']!r} "
+                        "requires native libraries (ffmpeg); plug them in here"
+                    )
+                rate, s = decode_wav(bytes(payload))
+                s64 = s.astype(np.int64)
+                out.append((
+                    int(doc_id), rate, s.shape[1], s.shape[0],
+                    float(s64.sum()) / s64.size,
+                    int(np.abs(s64).max()),
+                ))
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["doc_id", "sample_rate", "channels",
+                             "n_samples", "mean_sample", "peak"],
+                )
+
+    return media.select("doc_id", "payload", "meta").mapInPandas(
+        run, schema=_AUDIO_FEATURE_SCHEMA
     )
 
 
