@@ -807,3 +807,12 @@ def test_geotiff_epsg_bigtiff_and_default(big):
     plain = geotiff.encode_geotiff(_demo_grid(), CFG, big=big)
     assert "GeoKeyDirectoryTag" not in geotiff.print_geotiff_tags(plain)
     assert geotiff.decode_geotiff(plain)[0].epsg == 0
+
+
+def test_write_geotiff_cell_guard(spark, tmp_path):
+    import dataclasses
+    from whitebox_tools_spark.io.geotiff import write_geotiff
+    big_cfg = dataclasses.replace(CFG, rows=1 << 15, cols=1 << 15)
+    df = spark.createDataFrame([(0, 0, 1.0)], "row long, col long, value double")
+    with pytest.raises(ValueError, match="write_geotiff_tiles"):
+        write_geotiff(df, big_cfg, str(tmp_path / "x.tif"))

@@ -620,10 +620,20 @@ def _grid_from_df(df: DataFrame, cfg: GridConfig, dtype: str) -> np.ndarray:
 
 def write_geotiff(
     df: DataFrame, cfg: GridConfig, path: str, dtype: str = "f4",
-    compression: int = 8, big: bool = False
+    compression: int = 8, big: bool = False,
+    max_cells: int = 268_435_456,
 ) -> None:
     """Single-file writer: assembles the grid driver-side. Fine for
-    summaries/small rasters; use :func:`write_geotiff_tiles` at scale."""
+    summaries/small rasters; use :func:`write_geotiff_tiles` at scale.
+    Guarded: a grid past ``max_cells`` (default 2^28 ~ 2 GiB of f8)
+    raises instead of silently collecting a cluster-scale raster onto
+    the driver."""
+    if cfg.rows * cfg.cols > max_cells:
+        raise ValueError(
+            f"grid has {cfg.rows * cfg.cols} cells > max_cells={max_cells}; "
+            "this writer assembles driver-side — use write_geotiff_tiles "
+            "for cluster-scale rasters (executor-side tiled encode)"
+        )
     arr = _grid_from_df(df, cfg, dtype)
     with open(path, "wb") as f:
         f.write(encode_geotiff(arr, cfg, compression=compression, big=big))
