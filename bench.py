@@ -89,6 +89,8 @@ HEADLINE = [
     # real (BMP) media decode lane
     "las14_roundtrip", "bigtiff_roundtrip", "rgb_roundtrip",
     "media_decode_real", "media_decode_wav", "viewshed_sweep",
+    # structured-streaming lane (AvailableNow replay of the fixtures)
+    "streaming_window_counts", "streaming_session_peaks",
 ]
 
 
