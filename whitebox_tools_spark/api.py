@@ -191,6 +191,7 @@ from whitebox_tools_spark import catalog_more as _cat_more  # noqa: E402
 from whitebox_tools_spark import catalog_sibson as _cat_sib  # noqa: E402
 from whitebox_tools_spark import catalog_io as _cat_io  # noqa: E402
 from whitebox_tools_spark import catalog_streaming as _cat_strm  # noqa: E402
+from whitebox_tools_spark import catalog_lm as _cat_lm  # noqa: E402
 
 QUERIES.update(_cat_grid.QUERIES)
 QUERIES.update(_cat_focal.QUERIES)
@@ -232,6 +233,7 @@ QUERIES.update(_cat_more.QUERIES)
 QUERIES.update(_cat_sib.QUERIES)
 QUERIES.update(_cat_io.QUERIES)
 QUERIES.update(_cat_strm.QUERIES)
+QUERIES.update(_cat_lm.QUERIES)
 
 
 # ------------------------------------------------------------- oracle SQL
@@ -360,6 +362,7 @@ ORACLE_SQL.update(_cat_more.ORACLE_SQL)
 ORACLE_SQL.update(_cat_sib.ORACLE_SQL)
 ORACLE_SQL.update(_cat_io.ORACLE_SQL)
 ORACLE_SQL.update(_cat_strm.ORACLE_SQL)
+ORACLE_SQL.update(_cat_lm.ORACLE_SQL)
 
 # Lead the catalog with one representative per operator family: external
 # samplers that take only the first N queries (the driver's correctness
