@@ -182,8 +182,11 @@ def highest_position(rasters: list[DataFrame]) -> DataFrame:
     s = _stack(rasters)
     best = F.lit(1)
     for i in range(1, n):
-        better = F.col(f"_v{i}") > F.greatest(*[F.col(f"_v{j}") for j in range(i)])
-        best = F.when(better, F.lit(i + 1)).otherwise(best)
+        prev = (
+            F.col("_v0") if i == 1
+            else F.greatest(*[F.col(f"_v{j}") for j in range(i)])
+        )
+        best = F.when(F.col(f"_v{i}") > prev, F.lit(i + 1)).otherwise(best)
     valid = None
     for i in range(n):
         c = F.col(f"_v{i}").isNotNull()
@@ -246,3 +249,239 @@ def rescale_value_range(
             * F.lit(float(out_max) - float(out_min))
         ).alias("value"),
     )
+
+
+# --------------------------------------------- stack positional / percent
+
+
+def lowest_position(rasters: list[DataFrame]) -> DataFrame:
+    """LowestPosition (lowest_pos.rs): 1-based index of the min input."""
+    n = len(rasters)
+    s = _stack(rasters)
+    best = F.lit(1)
+    for i in range(1, n):
+        prev = (
+            F.col("_v0") if i == 1
+            else F.least(*[F.col(f"_v{j}") for j in range(i)])
+        )
+        best = F.when(F.col(f"_v{i}") < prev, F.lit(i + 1)).otherwise(best)
+    valid = None
+    for i in range(n):
+        c = F.col(f"_v{i}").isNotNull()
+        valid = c if valid is None else (valid & c)
+    return s.select("row", "col", F.when(valid, best.cast("double")).alias("value"))
+
+
+def count_if(rasters: list[DataFrame], value: float) -> DataFrame:
+    """CountIf (count_if.rs): per cell, how many stack inputs equal
+    ``value`` (NoData inputs don't count)."""
+    n = len(rasters)
+    s = _stack(rasters)
+    cnt = None
+    for i in range(n):
+        hit = F.when(F.col(f"_v{i}") == F.lit(float(value)), 1.0).otherwise(0.0)
+        cnt = hit if cnt is None else cnt + hit
+    return s.select("row", "col", cnt.alias("value"))
+
+
+def percent_stack(
+    rasters: list[DataFrame], comparison: DataFrame, mode: str
+) -> DataFrame:
+    """PercentEqualTo / PercentGreaterThan / PercentLessThan
+    (percent_equal_to.rs & friends): per cell, 100 * (#inputs <cmp>
+    comparison) / #valid inputs."""
+    n = len(rasters)
+    s = _stack(rasters).join(
+        comparison.select("row", "col", F.col("value").alias("_cmp")),
+        ["row", "col"],
+        "inner",
+    )
+    hits, valid = None, None
+    for i in range(n):
+        v = F.col(f"_v{i}")
+        if mode == "eq":
+            h = v == F.col("_cmp")
+        elif mode == "gt":
+            h = v > F.col("_cmp")
+        elif mode == "lt":
+            h = v < F.col("_cmp")
+        else:
+            raise ValueError(mode)
+        hit = F.when(v.isNotNull() & h, 1.0).otherwise(0.0)
+        ok = F.when(v.isNotNull(), 1.0).otherwise(0.0)
+        hits = hit if hits is None else hits + hit
+        valid = ok if valid is None else valid + ok
+    out = F.when(valid > 0.0, hits * F.lit(100.0) / valid)
+    return s.select("row", "col", out.alias("value"))
+
+
+def weighted_overlay(
+    rasters: list[DataFrame], weights: list[float], costs: list[bool] | None = None
+) -> DataFrame:
+    """WeightedOverlay (weighted_overlay.rs): rescale each factor onto
+    [0,1] over its own data range (cost factors inverted), then weighted
+    sum. Composes rescale_value_range + weighted_sum."""
+    costs = costs or [False] * len(rasters)
+    scaled = []
+    for r, cost in zip(rasters, costs):
+        s = rescale_value_range(r, 0.0, 1.0)
+        if cost:
+            s = s.select("row", "col", (F.lit(1.0) - F.col("value")).alias("value"))
+        scaled.append(s)
+    return weighted_sum(scaled, weights)
+
+
+# ------------------------------------------------- grid-generator family
+
+
+def create_plane(spark, cfg, gx: float, gy: float, c: float) -> DataFrame:
+    """CreatePlane (create_plane.rs): value = gx*x_center + gy*y_center + c
+    over every cell of the grid — generated distributed (range + int
+    arithmetic), no driver-side grid."""
+    n = cfg.rows * cfg.cols
+    cells = spark.range(0, n).select(
+        (F.col("id") / cfg.cols).cast("long").alias("row"),
+        (F.col("id") % cfg.cols).alias("col"),
+    )
+    from whitebox_tools_spark.operators.raster import center_cols
+
+    x, y = center_cols(cfg)
+    val = x * F.lit(float(gx)) + y * F.lit(float(gy)) + F.lit(float(c))
+    return cells.select("row", "col", val.alias("value"))
+
+
+def new_raster_from_base(base: DataFrame, value: float) -> DataFrame:
+    """NewRasterFromBase (new_raster.rs): constant raster over the base's
+    occupied cells (long form: the cell set IS the raster)."""
+    return base.select("row", "col", F.lit(float(value)).alias("value"))
+
+
+def set_nodata_value(raster: DataFrame, nodata: float) -> DataFrame:
+    """SetNodataValue (set_nodata_value.rs): declare ``nodata`` as the
+    NoData sentinel — in null-encoded long form, NULLIF."""
+    v = F.col("value")
+    return raster.select(
+        "row", "col", F.when(v == F.lit(float(nodata)), None).otherwise(v).alias("value")
+    )
+
+
+def modify_nodata_value(raster: DataFrame, new_sentinel: float) -> DataFrame:
+    """ModifyNoDataValue (modify_nodata_value.rs): rewrite NoData cells to
+    a new sentinel value (null -> sentinel; valid cells untouched)."""
+    return raster.select(
+        "row", "col", F.coalesce(F.col("value"), F.lit(float(new_sentinel))).alias("value")
+    )
+
+
+def raster_cell_assignment(raster: DataFrame, cfg, which: str) -> DataFrame:
+    """RasterCellAssignment (raster_cell_assignment.rs): value = row / col /
+    x-center / y-center of each occupied cell."""
+    from whitebox_tools_spark.operators.raster import center_cols
+
+    x, y = center_cols(cfg)
+    out = {
+        "row": F.col("row").cast("double"),
+        "column": F.col("col").cast("double"),
+        "x": x,
+        "y": y,
+    }[which]
+    return raster.select("row", "col", out.alias("value"))
+
+
+def raster_area(class_raster: DataFrame, cell_area: float) -> DataFrame:
+    """RasterArea (raster_area.rs): per-class area = cell count * cell
+    area. One hash aggregation; map-side combinable."""
+    return (
+        class_raster.where(F.col("value").isNotNull())
+        .groupBy(F.col("value").alias("class"))
+        .agg((F.count(F.lit(1)) * F.lit(float(cell_area))).alias("area"))
+    )
+
+
+def reclass_equal_interval(
+    raster: DataFrame, interval: float, base: float = 0.0
+) -> DataFrame:
+    """ReclassEqualInterval (reclass_equal_interval.rs): class value = the
+    lower bound of the enclosing interval."""
+    v = F.col("value")
+    cls = F.floor((v - F.lit(float(base))) / F.lit(float(interval))).cast("double")
+    out = cls * F.lit(float(interval)) + F.lit(float(base))
+    return raster.select("row", "col", F.when(v.isNotNull(), out).alias("value"))
+
+
+# -------------------------------------------- global CDF / quantile bins
+
+
+def _cdf_frame(raster: DataFrame) -> DataFrame:
+    """Distinct-value histogram + running CDF. The window runs over the
+    DISTINCT-value frame (bounded by value cardinality, not cell count),
+    so the global sort never sees the full raster — the scale-safe way to
+    compute a global CDF: aggregate first, window the small frame, then
+    broadcast-join back."""
+    from pyspark.sql import Window
+
+    hist = raster.where(F.col("value").isNotNull()).groupBy("value").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    return hist.select(
+        "value",
+        (F.sum("_n").over(w)).alias("_cum"),
+        F.sum("_n").over(
+            Window.orderBy("value").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_tot"),
+    )
+
+
+def cumulative_distribution(raster: DataFrame) -> DataFrame:
+    """CumulativeDistribution (cumulative_dist.rs): cell value -> P(V <= v)
+    over the whole raster (tie-stable: all ties share one CDF value)."""
+    cdf = _cdf_frame(raster).select(
+        "value", (F.col("_cum").cast("double") / F.col("_tot").cast("double")).alias("_cd")
+    )
+    return raster.join(F.broadcast(cdf), "value", "left").select(
+        "row", "col", F.col("_cd").alias("value")
+    )
+
+
+def quantiles(raster: DataFrame, num_quantiles: int) -> DataFrame:
+    """Quantiles (quantiles.rs): bin = ceil(cdf * q), clamped to [1, q] —
+    a tie-stable quantile binning (identical values always share a bin,
+    unlike ntile's arbitrary tie split)."""
+    q = int(num_quantiles)
+    cdf = _cdf_frame(raster).select(
+        "value",
+        F.least(
+            F.lit(float(q)),
+            F.greatest(
+                F.lit(1.0),
+                F.ceil(
+                    F.col("_cum").cast("double") / F.col("_tot").cast("double") * F.lit(float(q))
+                ).cast("double"),
+            ),
+        ).alias("_bin"),
+    )
+    return raster.join(F.broadcast(cdf), "value", "left").select(
+        "row", "col", F.col("_bin").alias("value")
+    )
+
+
+def pansharpen_brovey(
+    bands: list[DataFrame], pan: DataFrame
+) -> list[DataFrame]:
+    """PanchromaticSharpening (panchromatic_sharpening.rs, Brovey mode):
+    out_i = band_i * pan / mean(bands)."""
+    n = len(bands)
+    s = _stack(bands).join(
+        pan.select("row", "col", F.col("value").alias("_pan")), ["row", "col"], "inner"
+    )
+    mean = None
+    for i in range(n):
+        mean = F.col(f"_v{i}") if mean is None else mean + F.col(f"_v{i}")
+    mean = mean / F.lit(float(n))
+    return [
+        s.select("row", "col", (F.col(f"_v{i}") * F.col("_pan") / mean).alias("value"))
+        for i in range(n)
+    ]
