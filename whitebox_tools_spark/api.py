@@ -193,6 +193,7 @@ from whitebox_tools_spark import catalog_io as _cat_io  # noqa: E402
 from whitebox_tools_spark import catalog_streaming as _cat_strm  # noqa: E402
 from whitebox_tools_spark import catalog_lm as _cat_lm  # noqa: E402
 from whitebox_tools_spark import catalog_stack as _cat_stk  # noqa: E402
+from whitebox_tools_spark import catalog_lidarx as _cat_lx  # noqa: E402
 
 QUERIES.update(_cat_grid.QUERIES)
 QUERIES.update(_cat_focal.QUERIES)
@@ -236,6 +237,7 @@ QUERIES.update(_cat_io.QUERIES)
 QUERIES.update(_cat_strm.QUERIES)
 QUERIES.update(_cat_lm.QUERIES)
 QUERIES.update(_cat_stk.QUERIES)
+QUERIES.update(_cat_lx.QUERIES)
 
 
 # ------------------------------------------------------------- oracle SQL
@@ -366,6 +368,7 @@ ORACLE_SQL.update(_cat_io.ORACLE_SQL)
 ORACLE_SQL.update(_cat_strm.ORACLE_SQL)
 ORACLE_SQL.update(_cat_lm.ORACLE_SQL)
 ORACLE_SQL.update(_cat_stk.ORACLE_SQL)
+ORACLE_SQL.update(_cat_lx.ORACLE_SQL)
 
 # Lead the catalog with one representative per operator family: external
 # samplers that take only the first N queries (the driver's correctness
