@@ -194,6 +194,7 @@ from whitebox_tools_spark import catalog_streaming as _cat_strm  # noqa: E402
 from whitebox_tools_spark import catalog_lm as _cat_lm  # noqa: E402
 from whitebox_tools_spark import catalog_stack as _cat_stk  # noqa: E402
 from whitebox_tools_spark import catalog_lidarx as _cat_lx  # noqa: E402
+from whitebox_tools_spark import catalog_vecx as _cat_vx  # noqa: E402
 
 QUERIES.update(_cat_grid.QUERIES)
 QUERIES.update(_cat_focal.QUERIES)
@@ -238,6 +239,7 @@ QUERIES.update(_cat_strm.QUERIES)
 QUERIES.update(_cat_lm.QUERIES)
 QUERIES.update(_cat_stk.QUERIES)
 QUERIES.update(_cat_lx.QUERIES)
+QUERIES.update(_cat_vx.QUERIES)
 
 
 # ------------------------------------------------------------- oracle SQL
@@ -369,6 +371,7 @@ ORACLE_SQL.update(_cat_strm.ORACLE_SQL)
 ORACLE_SQL.update(_cat_lm.ORACLE_SQL)
 ORACLE_SQL.update(_cat_stk.ORACLE_SQL)
 ORACLE_SQL.update(_cat_lx.ORACLE_SQL)
+ORACLE_SQL.update(_cat_vx.ORACLE_SQL)
 
 # Lead the catalog with one representative per operator family: external
 # samplers that take only the first N queries (the driver's correctness
