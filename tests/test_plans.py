@@ -172,6 +172,12 @@ BNLJ_ALLOWED = {
     # centroid frame (Lloyd assignment + probe ranking); the candidate
     # generation itself is the cluster-id equi-join — audited round 3.
     "ivf_topk",
+    # rescale_value_range attaches a 1-row min/max aggregate to every
+    # cell via an explicitly broadcast crossJoin (local_math.py:237-251)
+    # — the same audited 1-row-stats-frame shape as stddev_stretch /
+    # percentage_stretch; weighted_overlay composes it per factor
+    # (round 4).
+    "rescale_range", "weighted_overlay",
 }
 
 

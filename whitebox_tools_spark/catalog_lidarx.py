@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from whitebox_tools_spark.catalog_grid import GRID, _IN_GRID_SQL, _COL_SQL, _PTS_CTE, _ROW_SQL
 from whitebox_tools_spark.catalog_local import _geo, _r
+from whitebox_tools_spark.operators import lidar_utils as lu
 from whitebox_tools_spark.operators.raster import rowcol_cols
 
 CELL_AREA = GRID.res_x * GRID.res_y
@@ -40,9 +41,8 @@ def _cells_df(spark, sf_dir) -> DataFrame:
 def q_filter_classes(spark, sf_dir):
     """FilterLidarClasses (filter_lidar_classes.rs): keep points whose
     class is in the exclusion-complement set."""
-    return _geo(spark, sf_dir).where(F.col("cls").isin(2, 3, 5)).select(
-        "doc_id", "x", "y", "z", "cls"
-    )
+    pts = _geo(spark, sf_dir).select("doc_id", "x", "y", "z", "cls")
+    return lu.filter_lidar_classes(pts, [2, 3, 5])
 
 
 _SCAN_ANGLE = "(CAST((doc_id * 7) % 181 AS DOUBLE) - 90.0)"
@@ -52,144 +52,84 @@ def q_filter_scan_angles(spark, sf_dir):
     """FilterLidarScanAngles (filter_lidar_scan_angles.rs): band-pass on
     the (synthetic, integer-derived) scan angle."""
     ang = (F.pmod(F.col("doc_id") * F.lit(7), F.lit(181)).cast("double") - F.lit(90.0))
-    return (
-        _geo(spark, sf_dir)
-        .withColumn("scan_angle", ang)
-        .where(F.abs(F.col("scan_angle")) <= F.lit(15.0))
-        .select("doc_id", "x", "y", "z", "scan_angle")
+    pts = _geo(spark, sf_dir).withColumn("scan_angle", ang).select(
+        "doc_id", "x", "y", "z", "scan_angle"
     )
+    return lu.filter_lidar_scan_angles(pts, 15.0)
 
 
 def q_elevation_slice(spark, sf_dir):
     """LidarElevationSlice (lidar_elevation_slice.rs): z in [minz, maxz)."""
-    return _geo(spark, sf_dir).where(
-        (F.col("z") >= F.lit(20.0)) & (F.col("z") < F.lit(60.0))
-    ).select("doc_id", "x", "y", "z")
+    pts = _geo(spark, sf_dir).select("doc_id", "x", "y", "z")
+    return lu.lidar_elevation_slice(pts, 20.0, 60.0)
 
 
 def q_lidar_histogram(spark, sf_dir):
     """LidarHistogram (lidar_histogram.rs): elevation histogram."""
-    return (
-        _geo(spark, sf_dir)
-        .groupBy(F.floor(F.col("z") / F.lit(10.0)).alias("bin"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    return lu.lidar_histogram(_geo(spark, sf_dir), 10.0)
 
 
 def q_lidar_info(spark, sf_dir):
     """LidarInfo (lidar_info.rs): header-style summary row."""
-    return _geo(spark, sf_dir).agg(
-        F.count(F.lit(1)).alias("n_points"),
-        F.min("x").alias("min_x"), F.max("x").alias("max_x"),
-        F.min("y").alias("min_y"), F.max("y").alias("max_y"),
-        F.min("z").alias("min_z"), F.max("z").alias("max_z"),
-    )
+    return lu.lidar_info(_geo(spark, sf_dir))
 
 
 def q_point_density(spark, sf_dir):
     """LidarPointDensity (lidar_point_density.rs): per-cell points/area."""
-    return (
-        _cells_df(spark, sf_dir)
-        .groupBy("row", "col")
-        .agg((F.count(F.lit(1)).cast("double") / F.lit(CELL_AREA)).alias("density"))
-        .select(F.col("row").alias("cell_row"), F.col("col").alias("cell_col"), "density")
-    )
+    return lu.lidar_point_density(_cells_df(spark, sf_dir), CELL_AREA)
 
 
 def q_point_stats(spark, sf_dir):
     """LidarPointStats (lidar_point_stats.rs): per-cell n/min/max/mean z."""
-    return (
-        _cells_df(spark, sf_dir)
-        .groupBy("row", "col")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("z").alias("min_z"),
-            F.max("z").alias("max_z"),
-            F.round(F.avg("z"), 6).alias("mean_z"),
-        )
-        .select(
-            F.col("row").alias("cell_row"), F.col("col").alias("cell_col"),
-            "n", "min_z", "max_z", "mean_z",
-        )
-    )
+    return lu.lidar_point_stats(_cells_df(spark, sf_dir))
 
 
 def q_tile_footprint(spark, sf_dir):
     """LidarTileFootprint (lidar_tile_footprint.rs): per 250m tile, point
     count + bbox (the convex-hull output degenerates to the bbox for the
     footprint-summary contract here)."""
-    g = _geo(spark, sf_dir)
-    t = g.select(
-        "doc_id", "x", "y",
-        F.floor(F.col("x") / F.lit(250.0)).alias("tile_col"),
-        F.floor(F.col("y") / F.lit(250.0)).alias("tile_row"),
-    )
-    return t.groupBy("tile_row", "tile_col").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("x").alias("min_x"), F.max("x").alias("max_x"),
-        F.min("y").alias("min_y"), F.max("y").alias("max_y"),
-    )
+    return lu.lidar_tile_footprint(_geo(spark, sf_dir), 250.0)
 
 
 def q_flightline_overlap(spark, sf_dir):
     """FlightlineOverlap (flightline_overlap.rs): per cell, number of
     distinct flightlines (synthetic flightline = doc_id % 4)."""
-    return (
-        _cells_df(spark, sf_dir)
-        .withColumn("fl", F.pmod(F.col("doc_id"), F.lit(4)))
-        .groupBy("row", "col")
-        .agg(F.count_distinct("fl").alias("n_flightlines"))
-        .select(
-            F.col("row").alias("cell_row"), F.col("col").alias("cell_col"),
-            "n_flightlines",
-        )
-    )
+    cells = _cells_df(spark, sf_dir).withColumn("fl", F.pmod(F.col("doc_id"), F.lit(4)))
+    return lu.flightline_overlap(cells)
 
 
 def q_lidar_colourize(spark, sf_dir):
     """LidarColourize (lidar_colourize.rs): attach (r, g, b) sampled from
     the registered image rasters at each point's cell."""
-    pts = _cells_df(spark, sf_dir)
-    rs = {"r": _r(spark, sf_dir, "last"), "g": _r(spark, sf_dir, "min"),
-          "b": _r(spark, sf_dir, "max")}
-    out = pts
-    for name, r in rs.items():
-        out = out.join(
-            r.select("row", "col", F.col("value").alias(name)), ["row", "col"], "inner"
-        )
-    return out.select("doc_id", "x", "y", "r", "g", "b")
+    return lu.lidar_colourize(
+        _cells_df(spark, sf_dir),
+        _r(spark, sf_dir, "last"), _r(spark, sf_dir, "min"), _r(spark, sf_dir, "max"),
+    )
 
 
 def q_lowest_highest_points(spark, sf_dir):
     """FindLowestOrHighestPoints (find_lowest_or_highest_points.rs): the
     argmin and argmax elevation points (doc_id tie-break)."""
     g = _geo(spark, sf_dir).select("doc_id", "x", "y", "z")
-    key = F.struct("z", "doc_id")
-    pt = F.struct("doc_id", "x", "y", "z")
-    lo = g.agg(F.min_by(pt, key).alias("p")).select(
-        F.lit("lowest").alias("kind"), "p.doc_id", "p.x", "p.y", "p.z"
-    )
-    hi = g.agg(F.max_by(pt, key).alias("p")).select(
-        F.lit("highest").alias("kind"), "p.doc_id", "p.x", "p.y", "p.z"
-    )
-    return lo.unionAll(hi)
+    return lu.find_lowest_or_highest_points(g)
 
 
 def q_add_point_coords(spark, sf_dir):
     """AddPointCoordinatesToTable (add_point_coordinates_to_table.rs):
     append XY columns to the attribute table."""
-    return _geo(spark, sf_dir).select("doc_id", "n_chars", "x", "y")
+    from whitebox_tools_spark.operators.vector_structure import (
+        add_point_coordinates_to_table,
+    )
+
+    pts = _geo(spark, sf_dir).select("doc_id", "n_chars", "x", "y")
+    return add_point_coordinates_to_table(pts, ["doc_id", "n_chars"])
 
 
 def q_attribute_histogram(spark, sf_dir):
     """AttributeHistogram (attribute_histogram.rs) over orders.o_totalprice."""
     from whitebox_tools_spark.sources.tables import load
 
-    return (
-        load(spark, sf_dir, "orders")
-        .groupBy(F.floor(F.col("o_totalprice") / F.lit(10000.0)).alias("bin"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    return lu.attribute_histogram(load(spark, sf_dir, "orders"), "o_totalprice", 10000.0)
 
 
 def q_attribute_scattergram(spark, sf_dir):
@@ -197,10 +137,8 @@ def q_attribute_scattergram(spark, sf_dir):
     series (x = o_totalprice, y = o_custkey)."""
     from whitebox_tools_spark.sources.tables import load
 
-    return load(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("key"),
-        F.col("o_totalprice").alias("sx"),
-        F.col("o_custkey").cast("double").alias("sy"),
+    return lu.attribute_scattergram(
+        load(spark, sf_dir, "orders"), "o_orderkey", "o_totalprice", "o_custkey"
     )
 
 

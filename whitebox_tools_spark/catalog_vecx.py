@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from whitebox_tools_spark.catalog_grid import _PTS_CTE
+from whitebox_tools_spark.operators import vector_structure as vstruct
 from whitebox_tools_spark.sources import vectors
 
 # ------------------------------------------------------------ the fixture
@@ -75,154 +76,68 @@ def _vert_cte() -> str:
     )
 
 
-# shoelace 2A per (fid, part): rings are closed, so the lead-pair sum over
-# idx covers every edge exactly once (the last vertex has no successor)
-def _area2(df: DataFrame) -> DataFrame:
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("fid", "part").orderBy("idx")
-    nx, ny = F.lead("x").over(w), F.lead("y").over(w)
-    term = F.when(nx.isNotNull(), F.col("x") * ny - nx * F.col("y")).otherwise(F.lit(0.0))
-    return df.withColumn("_t", term).groupBy("fid", "part").agg(
-        F.sum("_t").alias("area2"), F.min("is_hole").alias("is_hole")
-    )
-
-
-_AREA2_CTE = """areas AS (
-  SELECT fid, part, min(is_hole) AS is_hole,
-         sum(CASE WHEN nx IS NULL THEN 0.0 ELSE x * ny - nx * y END) AS area2
-  FROM (SELECT *, lead(x) OVER (PARTITION BY fid, part ORDER BY idx) AS nx,
-                  lead(y) OVER (PARTITION BY fid, part ORDER BY idx) AS ny
-        FROM verts)
-  GROUP BY fid, part)"""
-
-
 # ---------------------------------------------------------------- queries
+# (all bodies delegate to operators.vector_structure — the facade-visible
+# DataFrame-in/DataFrame-out implementations; the oracle rows below
+# therefore certify the operator code itself)
 
 
 def q_clean_vector(spark, sf_dir):
     """CleanVector (clean_vector.rs): drop null/degenerate geometries —
     features whose shell ring has zero area."""
-    a = _area2(_verts(spark))
-    keep = (
-        a.where(~F.col("is_hole"))
-        .groupBy("fid")
-        .agg(F.max(F.abs(F.col("area2"))).alias("_mx"))
-        .where(F.col("_mx") > 0.0)
-        .select("fid")
-    )
-    return (
-        _verts(spark)
-        .join(keep, "fid", "left_semi")
-        .groupBy("fid")
-        .agg(F.count_distinct("part").alias("n_parts"))
-    )
+    return vstruct.clean_vector(_verts(spark))
 
 
 def q_remove_polygon_holes(spark, sf_dir):
     """RemovePolygonHoles (remove_polygon_holes.rs): strip hole parts."""
-    return (
-        _verts(spark)
-        .where(~F.col("is_hole"))
-        .groupBy("fid")
-        .agg(
-            F.count_distinct("part").alias("n_parts"),
-            F.count(F.lit(1)).alias("n_vertices"),
-        )
-    )
+    return vstruct.remove_polygon_holes(_verts(spark))
 
 
 def q_multipart_to_singlepart(spark, sf_dir):
     """MultiPartToSinglePart (multipart_to_singlepart.rs): one output
     feature per part; new FIDs are the (fid, part) scan order."""
-    from pyspark.sql import Window
-
-    parts = _verts(spark).groupBy("fid", "part").agg(
-        F.count(F.lit(1)).alias("n_vertices")
-    )
-    w = Window.orderBy("fid", "part")
-    return parts.select(
-        F.row_number().over(w).cast("long").alias("new_fid"),
-        F.col("fid").alias("orig_fid"), "part", "n_vertices",
-    )
+    return vstruct.multipart_to_singlepart(_verts(spark))
 
 
 def q_singlepart_to_multipart(spark, sf_dir):
     """SinglePartToMultiPart (singlepart_to_multipart.rs): merge features
     sharing an attribute value into one multipart feature."""
-    return _verts(spark).groupBy("zone").agg(
-        F.count_distinct("fid", "part").alias("n_parts"),
-        F.count(F.lit(1)).alias("n_vertices"),
-    )
+    return vstruct.singlepart_to_multipart(_verts(spark), "zone")
 
 
 def q_extract_nodes(spark, sf_dir):
     """ExtractNodes (extract_nodes.rs): one point per vertex."""
-    return _verts(spark).select("fid", "part", "idx", "x", "y")
+    return vstruct.extract_nodes(_verts(spark))
 
 
 def q_layer_footprint(spark, sf_dir):
     """LayerFootprint (layer_footprint.rs): whole-layer bounding box."""
-    return _verts(spark).agg(
-        F.min("x").alias("min_x"), F.min("y").alias("min_y"),
-        F.max("x").alias("max_x"), F.max("y").alias("max_y"),
-    )
+    return vstruct.layer_footprint(_verts(spark))
 
 
 def q_min_bounding_envelope(spark, sf_dir):
     """MinimumBoundingEnvelope (minimum_bounding_envelope.rs): per-feature
     bounding box."""
-    return _verts(spark).groupBy("fid").agg(
-        F.min("x").alias("xmin"), F.min("y").alias("ymin"),
-        F.max("x").alias("xmax"), F.max("y").alias("ymax"),
-    )
+    return vstruct.minimum_bounding_envelope(_verts(spark))
 
 
 def q_reinitialize_attribute_table(spark, sf_dir):
     """ReinitializeAttributeTable (reinitialize_attribute_table.rs): strip
     every attribute, keep sequential FIDs."""
-    from pyspark.sql import Window
-
-    fids = _verts(spark).select("fid").distinct()
-    return fids.select(
-        F.row_number().over(Window.orderBy("fid")).cast("long").alias("new_fid"),
-        F.col("fid").alias("orig_fid"),
-    )
+    return vstruct.reinitialize_attribute_table(_verts(spark))
 
 
 def q_polygons_to_lines(spark, sf_dir):
     """PolygonsToLines (polygons_to_lines.rs): ring paths become
     polylines; perimeter per part (axis-aligned fixture -> exact)."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("fid", "part").orderBy("idx")
-    v = _verts(spark)
-    nx, ny = F.lead("x").over(w), F.lead("y").over(w)
-    seg = F.when(
-        nx.isNotNull(),
-        F.sqrt((nx - F.col("x")) * (nx - F.col("x")) + (ny - F.col("y")) * (ny - F.col("y"))),
-    ).otherwise(F.lit(0.0))
-    return v.withColumn("_s", seg).groupBy("fid", "part").agg(
-        F.count(F.lit(1)).alias("n_vertices"),
-        F.sum("_s").alias("length"),
-    )
+    return vstruct.polygons_to_lines(_verts(spark))
 
 
 def q_lines_to_polygons(spark, sf_dir):
     """LinesToPolygons (lines_to_polygons.rs): close each open path (the
     fixture paths are the rings with the closing vertex dropped); output
     per part the closed vertex count and the first==last closure."""
-    v = _verts(spark)
-    mx = v.groupBy("fid", "part").agg(F.max("idx").alias("_mx"))
-    open_path = v.join(mx, ["fid", "part"]).where(F.col("idx") < F.col("_mx"))
-    first = open_path.where(F.col("idx") == 0).select(
-        "fid", "part", F.col("x").alias("close_x"), F.col("y").alias("close_y")
-    )
-    return (
-        open_path.groupBy("fid", "part")
-        .agg((F.count(F.lit(1)) + F.lit(1)).alias("n_vertices_closed"))
-        .join(first, ["fid", "part"])
-    )
+    return vstruct.lines_to_polygons(_verts(spark))
 
 
 def q_csv_points_to_vector(spark, sf_dir):
@@ -232,15 +147,8 @@ def q_csv_points_to_vector(spark, sf_dir):
     from whitebox_tools_spark.catalog_local import _geo
 
     pts = _geo(spark, sf_dir).select("doc_id", "x", "y")
-    lines = pts.select(
-        F.to_csv(F.struct("doc_id", "x", "y")).alias("line")
-    )
-    parsed = lines.select(
-        F.from_csv(
-            F.col("line"), "doc_id BIGINT, x DOUBLE, y DOUBLE"
-        ).alias("p")
-    )
-    return parsed.select("p.doc_id", "p.x", "p.y")
+    lines = vstruct.export_table_to_csv(pts)
+    return vstruct.csv_points_to_vector(lines, "doc_id BIGINT, x DOUBLE, y DOUBLE")
 
 
 def q_export_table_to_csv(spark, sf_dir):
@@ -249,11 +157,8 @@ def q_export_table_to_csv(spark, sf_dir):
     from whitebox_tools_spark.sources.tables import load
 
     t = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    lines = t.select(F.to_csv(F.struct("o_orderkey", "o_totalprice")).alias("line"))
-    parsed = lines.select(
-        F.from_csv(F.col("line"), "o_orderkey BIGINT, o_totalprice DOUBLE").alias("p")
-    )
-    return parsed.select("p.o_orderkey", "p.o_totalprice")
+    lines = vstruct.export_table_to_csv(t)
+    return vstruct.csv_points_to_vector(lines, "o_orderkey BIGINT, o_totalprice DOUBLE")
 
 
 QUERIES = {
@@ -270,6 +175,14 @@ QUERIES = {
     "csv_points_to_vector": q_csv_points_to_vector,
     "export_table_to_csv": q_export_table_to_csv,
 }
+
+_AREA2_CTE = """areas AS (
+  SELECT fid, part, min(is_hole) AS is_hole,
+         sum(CASE WHEN nx IS NULL THEN 0.0 ELSE x * ny - nx * y END) AS area2
+  FROM (SELECT *, lead(x) OVER (PARTITION BY fid, part ORDER BY idx) AS nx,
+                  lead(y) OVER (PARTITION BY fid, part ORDER BY idx) AS ny
+        FROM verts)
+  GROUP BY fid, part)"""
 
 _V = _vert_cte()
 
