@@ -816,3 +816,119 @@ def test_write_geotiff_cell_guard(spark, tmp_path):
     df = spark.createDataFrame([(0, 0, 1.0)], "row long, col long, value double")
     with pytest.raises(ValueError, match="write_geotiff_tiles"):
         write_geotiff(df, big_cfg, str(tmp_path / "x.tif"))
+
+
+# ------------------------------------------------- predictor 2 / tiled layout
+
+
+@pytest.mark.parametrize("dtype", ["u1", "u2", "i2", "i4"])
+@pytest.mark.parametrize("compression", [1, 8])
+def test_geotiff_predictor2_roundtrip(dtype, compression):
+    """Horizontal differencing survives encode->decode, including values
+    whose per-row difference wraps the sample dtype (modular arithmetic,
+    TIFF 6.0 §14). The reference un-diffs on read (geotiff/mod.rs:1526)."""
+    rng = np.random.default_rng(11)
+    info = np.iinfo(dtype)
+    g = rng.integers(info.min, info.max, size=(CFG.rows, CFG.cols),
+                     endpoint=True).astype(dtype)
+    data = geotiff.encode_geotiff(g, CFG, compression=compression,
+                                  rows_per_strip=8, predictor=2)
+    assert geotiff.print_geotiff_tags(data)["Predictor"] == (2,)
+    _, g2 = geotiff.decode_geotiff(data)
+    np.testing.assert_array_equal(g2, g.astype(np.float64))
+
+
+def test_geotiff_predictor2_multiband_and_bigtiff():
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 255, size=(19, 13, 3), endpoint=True).astype("u1")
+    for big in (False, True):
+        data = geotiff.encode_geotiff(g, CFG, big=big, predictor=2,
+                                      rows_per_strip=4)
+        _, back = geotiff.decode_geotiff_multi(data)
+        np.testing.assert_array_equal(back, g.astype(np.float64))
+
+
+def test_geotiff_predictor2_shrinks_deflate():
+    """The point of predictor 2: a smooth ramp deflates far smaller."""
+    ramp = (np.arange(64)[:, None] * 7 + np.arange(256)[None, :] * 3).astype("u2")
+    cfg = GridConfig(rows=64, cols=256, north=0, west=0, res_x=1, res_y=1)
+    plain = geotiff.encode_geotiff(ramp, cfg, compression=8)
+    pred = geotiff.encode_geotiff(ramp, cfg, compression=8, predictor=2)
+    assert len(pred) < 0.7 * len(plain)
+
+
+def test_geotiff_predictor2_rejects_float():
+    with pytest.raises(ValueError, match="integer"):
+        geotiff.encode_geotiff(_demo_grid("f4"), CFG, predictor=2)
+    with pytest.raises(ValueError, match="predictor"):
+        geotiff.encode_geotiff(_demo_grid("i2").astype("i2"), CFG, predictor=3)
+
+
+def _build_tiled_tiff(arr, tw, th, predictor=1):
+    """Hand-build a minimal little-endian classic TIFF with TILE layout
+    (tags 322-325) — the layout external writers (GDAL) produce; our
+    encoder emits strips, so this fixture exercises the tile read path."""
+    import math
+    import struct
+
+    h, w = arr.shape
+    dt = np.dtype("<u2")
+    a = arr.astype(dt)
+    across, down = math.ceil(w / tw), math.ceil(h / th)
+    tiles = []
+    for ti in range(down):
+        for tj in range(across):
+            pad = np.zeros((th, tw), dt)  # edge tiles are padded (spec)
+            blk = a[ti * th:(ti + 1) * th, tj * tw:(tj + 1) * tw]
+            pad[: blk.shape[0], : blk.shape[1]] = blk
+            if predictor == 2:
+                d = pad.copy()
+                d[:, 1:] = pad[:, 1:] - pad[:, :-1]
+                pad = d
+            tiles.append(pad.tobytes())
+    n_tiles = len(tiles)
+
+    tags = [
+        (256, 4, 1, struct.pack("<I", w)), (257, 4, 1, struct.pack("<I", h)),
+        (258, 3, 1, struct.pack("<H", 16)), (259, 3, 1, struct.pack("<H", 1)),
+        (277, 3, 1, struct.pack("<H", 1)), (317, 3, 1, struct.pack("<H", predictor)),
+        (322, 4, 1, struct.pack("<I", tw)), (323, 4, 1, struct.pack("<I", th)),
+        (324, 4, n_tiles, None), (325, 4, n_tiles, None),
+        (339, 3, 1, struct.pack("<H", 1)),
+    ]
+    n = len(tags)
+    ifd_size = 2 + 12 * n + 4
+    extra_off = 8 + ifd_size
+    offsets_pos, counts_pos = extra_off, extra_off + 4 * n_tiles
+    data_off = extra_off + 8 * n_tiles
+    tile_offsets, p = [], data_off
+    for t in tiles:
+        tile_offsets.append(p)
+        p += len(t)
+
+    out = bytearray(b"II" + struct.pack("<HI", 42, 8) + struct.pack("<H", n))
+    for tag, ftype, count, val in tags:
+        out += struct.pack("<HHI", tag, ftype, count)
+        if tag == 324:
+            out += struct.pack("<I", tile_offsets[0] if n_tiles == 1 else offsets_pos)
+        elif tag == 325:
+            out += struct.pack("<I", len(tiles[0]) if n_tiles == 1 else counts_pos)
+        else:
+            out += val + b"\0" * (4 - len(val))
+    out += struct.pack("<I", 0)  # next IFD
+    out += struct.pack("<%dI" % n_tiles, *tile_offsets)
+    out += struct.pack("<%dI" % n_tiles, *(len(t) for t in tiles))
+    for t in tiles:
+        out += t
+    return bytes(out)
+
+
+@pytest.mark.parametrize("predictor", [1, 2])
+def test_geotiff_tiled_layout_decode(predictor):
+    """Tile-organized files (GDAL's default for big rasters) decode
+    correctly, including padded edge tiles and per-tile-row predictor."""
+    rng = np.random.default_rng(23)
+    arr = rng.integers(0, 65535, size=(21, 17), endpoint=True).astype("u2")
+    data = _build_tiled_tiff(arr, tw=8, th=6, predictor=predictor)
+    _, back = geotiff.decode_geotiff(data)
+    np.testing.assert_array_equal(back, arr.astype(np.float64))

@@ -409,6 +409,33 @@ def q_bigtiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geotiff_pred_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """block-max grid, floored to integers -> GeoTIFF i4 with
+    Predictor 2 (horizontal differencing) + deflate -> distributed
+    decode. Certifies the differencing encode/un-diff decode pair the
+    reference applies on read (geotiff/mod.rs:1526-1540); the oracle is
+    the block oracle floored, so any off-by-one-cumsum error in the
+    predictor path breaks the hash."""
+    pts = _docs_geo(spark, sf_dir).select("x", "y", "z")
+    grid = block_grid(pts, GRID, stat="max").withColumn(
+        "value", F.floor("value").cast("double")
+    )
+    d = tempfile.mkdtemp(prefix="wts_ptif_")
+    path = os.path.join(d, "grid.tif")
+    geotiff.write_geotiff(grid, GRID, path, dtype="i4", predictor=2)
+    back = geotiff.read_geotiff(spark, path, drop_nodata=True)
+    return back.select(
+        F.col("row").alias("cell_row"), F.col("col").alias("cell_col"),
+        F.col("value").cast("bigint").alias("value"),
+    )
+
+
+_ORACLE_GEOTIFF_PRED = (
+    "SELECT cell_row, cell_col, CAST(floor(value) AS BIGINT) AS value "
+    f"FROM ({_oracle_block('max')})"
+)
+
+
 def q_rgb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CreateColourComposite -> 4-sample u8 RGBA GeoTIFF (the reference
     writes PI_RGB, geotiff/mod.rs:1967-1975) -> distributed multiband
@@ -580,6 +607,7 @@ def _colour_composite_oracle() -> str:
 
 QUERIES = {
     "geotiff_roundtrip": q_geotiff_roundtrip,
+    "geotiff_pred_roundtrip": q_geotiff_pred_roundtrip,
     "bigtiff_roundtrip": q_bigtiff_roundtrip,
     "rgb_roundtrip": q_rgb_roundtrip,
     "arcascii_roundtrip": q_arcascii_roundtrip,
@@ -597,6 +625,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "geotiff_roundtrip": _ORACLE_GEOTIFF,
+    "geotiff_pred_roundtrip": _ORACLE_GEOTIFF_PRED,
     "bigtiff_roundtrip": _ORACLE_GEOTIFF,
     "arcascii_roundtrip": _ORACLE_ARCASCII,
     "whitebox_roundtrip": _oracle_points_raster("max"),

@@ -9,6 +9,12 @@ rasters, src/raster/geotiff/mod.rs:214 read_geotiff / :1564 write_geotiff):
 - strip or tile layout; Compression 1 (none), 5 (LZW, early-change),
   8/32946 (zlib deflate), 32773 (PackBits) — the reference's full
   decoder set (geotiff/mod.rs:424-432); the writer emits none/deflate;
+- Predictor 2 (horizontal differencing, integer samples) on read —
+  the reference un-diffs it post-decode (geotiff/mod.rs:1526-1540);
+  here it is undone per strip/tile row per component, modular in the
+  sample dtype (spec-exact). The writer can also EMIT predictor 2
+  (``predictor=2``), which typically shrinks deflate DEMs
+  substantially — the reference writer never does;
 - BigTIFF (version 43, the reference's geotiff/mod.rs:50-62 read path):
   read and write — same IFD walk with 8-byte offsets/counts and LONG8
   strip tables;
@@ -22,8 +28,8 @@ rasters, src/raster/geotiff/mod.rs:214 read_geotiff / :1564 write_geotiff):
   geotiff/mod.rs:2274-2460).
 
 Out of scope (rejected with a clear error, like the reference's
-unsupported-variant errors): palette, JPEG compression,
-horizontal-differencing predictor.
+unsupported-variant errors): palette, JPEG compression, the
+floating-point predictor (3).
 """
 
 from __future__ import annotations
@@ -232,6 +238,14 @@ def _decompress(chunk: bytes, compression: int) -> bytes:
     raise ValueError(f"unsupported TIFF compression {compression}")
 
 
+def _undiff(block: np.ndarray) -> np.ndarray:
+    """Undo horizontal differencing (Predictor 2): cumulative sum along
+    each row, per sample component, modular in the sample dtype (TIFF 6.0
+    §14; the reference un-diffs post-decode, geotiff/mod.rs:1526-1540)."""
+    native = block.dtype.newbyteorder("=")
+    return np.cumsum(block.astype(native), axis=1, dtype=native)
+
+
 def decode_geotiff(data: bytes) -> tuple[GridConfig, np.ndarray]:
     """Decode single-band GeoTIFF bytes -> (GridConfig, 2-D float64)."""
     cfg, arr = decode_geotiff_multi(data)
@@ -277,8 +291,10 @@ def decode_geotiff_multi(data: bytes) -> tuple[GridConfig, np.ndarray]:
     predictor = int(tags.get(_PREDICTOR, (1,))[0])
     if spp > 1 and planar != 1:
         raise ValueError("only chunky (PlanarConfiguration=1) multiband supported")
-    if predictor != 1:
+    if predictor not in (1, 2):
         raise ValueError(f"TIFF predictor {predictor} not supported")
+    if predictor == 2 and sfmt == 3:
+        raise ValueError("TIFF predictor 2 applies to integer samples only")
     key = (sfmt, bits)
     if key not in _DTYPES:
         raise ValueError(f"unsupported sample format/bits {key}")
@@ -296,6 +312,8 @@ def decode_geotiff_multi(data: bytes) -> tuple[GridConfig, np.ndarray]:
             tile = np.frombuffer(raw, dtype=dt, count=tw * th * spp).reshape(
                 th, tw, spp
             )
+            if predictor == 2:
+                tile = _undiff(tile)
             r0 = (idx // tiles_across) * th
             c0 = (idx % tiles_across) * tw
             grid[r0:min(r0 + th, height), c0:min(c0 + tw, width)] = (
@@ -309,9 +327,10 @@ def decode_geotiff_multi(data: bytes) -> tuple[GridConfig, np.ndarray]:
         for o, c in zip(offs, cnts):
             raw = _decompress(data[o:o + c], compression)
             nrows = min(rps, height - r)
-            grid[r:r + nrows] = np.frombuffer(
+            strip = np.frombuffer(
                 raw, dtype=dt, count=nrows * width * spp
             ).reshape(nrows, width, spp)
+            grid[r:r + nrows] = _undiff(strip) if predictor == 2 else strip
             r += nrows
     arr = grid.astype(np.float64)
 
@@ -383,12 +402,15 @@ def encode_geotiff(
     rows_per_strip: int = 64,
     byteorder: str = "<",
     big: bool = False,
+    predictor: int = 1,
 ) -> bytes:
     """Encode a numpy array as GeoTIFF bytes (strips): 2-D -> single
     band; 3-D (h, w, s) -> s samples/pixel, chunky (PlanarConfig 1) —
     the layout the reference's RGB composites use. ``big=True`` emits
     BigTIFF (version 43: 8-byte offsets, 20-byte IFD entries, LONG8
-    strip tables) so files past 4 GiB stay addressable."""
+    strip tables) so files past 4 GiB stay addressable. ``predictor=2``
+    (integer samples only) stores horizontal differences per strip row —
+    usually a large deflate-size win on smooth rasters."""
     if grid.ndim not in (2, 3):
         raise ValueError("grid must be 2-D or 3-D (h, w, samples)")
     if compression not in (1, 8):
@@ -397,6 +419,10 @@ def encode_geotiff(
         raise ValueError(
             f"writer supports compression 1 (none) or 8 (deflate), got {compression}"
         )
+    if predictor not in (1, 2):
+        raise ValueError(f"writer supports predictor 1 or 2, got {predictor}")
+    if predictor == 2 and grid.dtype.kind == "f":
+        raise ValueError("predictor 2 applies to integer samples only")
     sfmt, bits = _np_to_tiff_type(grid)
     bo = byteorder
     grid = np.ascontiguousarray(grid, dtype=grid.dtype.newbyteorder(bo))
@@ -407,7 +433,15 @@ def encode_geotiff(
 
     strips = []
     for s in range(nstrips):
-        raw = grid[s * rps:(s + 1) * rps].tobytes()
+        block = grid[s * rps:(s + 1) * rps]
+        if predictor == 2:
+            d = block.copy()
+            if block.ndim == 2:
+                d[:, 1:] = block[:, 1:] - block[:, :-1]
+            else:
+                d[:, 1:, :] = block[:, 1:, :] - block[:, :-1, :]
+            block = d
+        raw = block.tobytes()
         strips.append(zlib.compress(raw, 6) if compression == 8 else raw)
 
     nodata_ascii = (repr(float(cfg.nodata)) + "\0").encode("ascii")
@@ -444,6 +478,8 @@ def encode_geotiff(
     _long(_ROWS_PER_STRIP, rps)
     tags.append((_STRIP_BYTE_COUNTS, off_type, nstrips, None))
     _short(_PLANAR_CONFIG, 1)
+    if predictor == 2:
+        _short(_PREDICTOR, 2)
     if spp == 1:
         _short(_SAMPLE_FORMAT, sfmt)
     else:
@@ -621,7 +657,7 @@ def _grid_from_df(df: DataFrame, cfg: GridConfig, dtype: str) -> np.ndarray:
 def write_geotiff(
     df: DataFrame, cfg: GridConfig, path: str, dtype: str = "f4",
     compression: int = 8, big: bool = False,
-    max_cells: int = 268_435_456,
+    max_cells: int = 268_435_456, predictor: int = 1,
 ) -> None:
     """Single-file writer: assembles the grid driver-side. Fine for
     summaries/small rasters; use :func:`write_geotiff_tiles` at scale.
@@ -636,7 +672,8 @@ def write_geotiff(
         )
     arr = _grid_from_df(df, cfg, dtype)
     with open(path, "wb") as f:
-        f.write(encode_geotiff(arr, cfg, compression=compression, big=big))
+        f.write(encode_geotiff(arr, cfg, compression=compression, big=big,
+                               predictor=predictor))
 
 
 def write_geotiff_tiles(
