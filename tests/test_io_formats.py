@@ -932,3 +932,83 @@ def test_geotiff_tiled_layout_decode(predictor):
     data = _build_tiled_tiff(arr, tw=8, th=6, predictor=predictor)
     _, back = geotiff.decode_geotiff(data)
     np.testing.assert_array_equal(back, arr.astype(np.float64))
+
+
+# ------------------------------------------------ M shape types / optional M
+
+
+def test_shapefile_m_types_roundtrip(tmp_path):
+    """PointM/PolyLineM/PolygonM/MultiPointM (types 21/23/25/28,
+    geometry.rs:488-491): measures survive the byte roundtrip."""
+    line = np.array([[0, 0], [5, 5], [10, 3]], dtype=float)
+    mvals = np.array([0.25, 0.5, 0.75])
+
+    for stype, parts, ms in [
+        (shapefile.SHP_POINT_M, [np.array([[7.0, 8.0]])], [np.array([42.0])]),
+        (shapefile.SHP_POLYLINE_M, [line], [mvals]),
+        (shapefile.SHP_MULTIPOINT_M, [line.copy()], [mvals]),
+    ]:
+        recs = [shapefile.ShapeRecord(parts=parts, shape_type=stype, ms=ms)]
+        base = str(tmp_path / f"m{stype}")
+        shapefile.write_shapefile(recs, base)
+        got = shapefile.decode_shapefile(open(base + ".shp", "rb").read())
+        assert got[0].shape_type == stype
+        np.testing.assert_array_equal(got[0].parts[0], parts[0])
+        np.testing.assert_array_equal(got[0].ms[0], ms[0])
+
+    # PolygonM: closed CW ring, measure per vertex, hole flag machinery
+    ring = np.array([[0, 0], [0, 4], [4, 4], [4, 0], [0, 0]], dtype=float)
+    recs = [shapefile.ShapeRecord(parts=[ring], shape_type=shapefile.SHP_POLYGON_M,
+                                  ms=[np.arange(5.0)])]
+    base = str(tmp_path / "pgm")
+    shapefile.write_shapefile(recs, base)
+    got = shapefile.decode_shapefile(open(base + ".shp", "rb").read())
+    np.testing.assert_array_equal(got[0].ms[0], np.arange(5.0))
+
+
+def test_shapefile_multipoint_z_roundtrip(tmp_path):
+    pts = np.array([[1, 2], [3, 4], [5, 6]], dtype=float)
+    zs, ms = np.array([9.0, 8.0, 7.0]), np.array([0.1, 0.2, 0.3])
+    recs = [shapefile.ShapeRecord(parts=[pts], shape_type=shapefile.SHP_MULTIPOINT_Z,
+                                  zs=[zs], ms=[ms])]
+    base = str(tmp_path / "mpz")
+    shapefile.write_shapefile(recs, base)
+    got = shapefile.decode_shapefile(open(base + ".shp", "rb").read())
+    np.testing.assert_array_equal(got[0].parts[0], pts)
+    np.testing.assert_array_equal(got[0].zs[0], zs)
+    np.testing.assert_array_equal(got[0].ms[0], ms)
+
+
+def test_shapefile_z_without_m_block_decodes():
+    """The reference omits the M block from *Z records when the geometry
+    has no m data (geometry.rs:248-270); the decoder must not read past
+    the record. Hand-build a PointZ (24-byte content) and a PolyLineZ
+    with z but no m."""
+    import struct
+
+    # PointZ, no m: type + x + y + z = 28 bytes = 14 words
+    body = struct.pack("<i3d", shapefile.SHP_POINT_Z, 1.0, 2.0, 3.0)
+    rec = struct.pack(">2i", 1, len(body) // 2) + body
+    hdr = shapefile._shp_header(shapefile.SHP_POINT_Z, (1, 2, 1, 2),
+                                (100 + len(rec)) // 2)
+    got = shapefile.decode_shapefile(hdr + rec)
+    assert got[0].zs[0][0] == 3.0 and got[0].ms is None
+
+    # PolyLineZ, one 2-point part, z range+values, NO m block
+    pts = np.array([[0.0, 0.0], [1.0, 1.0]])
+    zf = np.array([5.0, 6.0])
+    body = struct.pack("<i4d2i", shapefile.SHP_POLYLINE_Z, 0, 0, 1, 1, 1, 2)
+    body += struct.pack("<i", 0) + pts.astype("<f8").tobytes()
+    body += struct.pack("<2d", 5.0, 6.0) + zf.astype("<f8").tobytes()
+    rec = struct.pack(">2i", 1, len(body) // 2) + body
+    hdr = shapefile._shp_header(shapefile.SHP_POLYLINE_Z, (0, 0, 1, 1),
+                                (100 + len(rec)) // 2)
+    got = shapefile.decode_shapefile(hdr + rec)
+    np.testing.assert_array_equal(got[0].zs[0], zf)
+    assert got[0].ms is None
+
+
+def test_shapefile_rejects_multipatch():
+    rec = shapefile.ShapeRecord(parts=[np.array([[0.0, 0.0]])], shape_type=31)
+    with pytest.raises(ValueError, match="unsupported shape type"):
+        shapefile.encode_shapefile([rec])

@@ -597,6 +597,60 @@ def _shapefile_oracle() -> str:
     )
 
 
+def q_shapefile_m_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents points (doc_id % 37 == 0 subset) -> one PolyLineM
+    record per doc (3-vertex line, measures z, z+1, z+2, DID attribute)
+    -> .shp/.dbf bytes -> decode -> per-vertex rows (did, vi, x, y, m).
+
+    Certifies the M shape-type codec (geometry.rs:488-491: types
+    21/23/25/28 carry measures) end-to-end: the oracle rebuilds every
+    vertex and measure arithmetically, so a hash match pins the M block
+    layout (m range + per-vertex measures after the points)."""
+    import numpy as np
+
+    pdf = (
+        _docs_geo(spark, sf_dir)
+        .where(F.pmod(F.col("doc_id"), F.lit(37)) == 0)
+        .select("doc_id", "x", "y", "z")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    recs = []
+    for did, x, y, z in pdf.itertuples(index=False):
+        pts = np.array([[x, y], [x + 1.0, y + 1.0], [x + 2.0, y]])
+        recs.append(shapefile.ShapeRecord(
+            parts=[pts], shape_type=shapefile.SHP_POLYLINE_M,
+            ms=[np.array([z, z + 1.0, z + 2.0])], attrs={"DID": int(did)},
+        ))
+    d = tempfile.mkdtemp(prefix="wts_shpm_")
+    base = os.path.join(d, "lines_m")
+    shapefile.write_shapefile(recs, base)
+    with open(base + ".shp", "rb") as f:
+        shp = f.read()
+    with open(base + ".dbf", "rb") as f:
+        dbf = f.read()
+    rows = []
+    for rec in shapefile.decode_shapefile(shp, dbf):
+        for vi in range(len(rec.parts[0])):
+            rows.append((int(rec.attrs["DID"]), vi,
+                         float(rec.parts[0][vi, 0]), float(rec.parts[0][vi, 1]),
+                         float(rec.ms[0][vi])))
+    return spark.createDataFrame(
+        rows, "did bigint, vi int, x double, y double, m double"
+    )
+
+
+_ORACLE_SHAPEFILE_M = f"""
+WITH {_PTS_CTE},
+sel AS (SELECT doc_id, x, y, z FROM pts WHERE doc_id % 37 = 0)
+SELECT CAST(doc_id AS BIGINT) AS did, CAST(vi AS INT) AS vi,
+       x + vi AS x,
+       CASE WHEN vi = 1 THEN y + 1 ELSE y END AS y,
+       z + vi AS m
+FROM sel CROSS JOIN (VALUES (0), (1), (2)) v(vi)
+"""
+
+
 def _colour_composite_oracle() -> str:
     """rgb_roundtrip must return exactly what colour_composite returns —
     reuse its oracle verbatim (deferred import keeps module load light)."""
@@ -621,6 +675,7 @@ QUERIES = {
     "las_to_multipoint_shapefile": q_las_to_multipoint_shapefile,
     "print_geotiff_tags": q_print_geotiff_tags,
     "shapefile_roundtrip": q_shapefile_roundtrip,
+    "shapefile_m_roundtrip": q_shapefile_m_roundtrip,
 }
 
 ORACLE_SQL = {
@@ -639,4 +694,5 @@ ORACLE_SQL = {
     "las_to_multipoint_shapefile": _ORACLE_LAS_TO_MP,
     "print_geotiff_tags": _ORACLE_TIFF_TAGS,
     "shapefile_roundtrip": _shapefile_oracle(),
+    "shapefile_m_roundtrip": _ORACLE_SHAPEFILE_M,
 }

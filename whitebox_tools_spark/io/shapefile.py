@@ -1,4 +1,7 @@
-"""ESRI Shapefile codec (.shp/.shx/.dbf): Point, PolyLine, Polygon.
+"""ESRI Shapefile codec (.shp/.shx/.dbf): Point, PolyLine, Polygon,
+MultiPoint and their Z (z + optional m) and M (measure) variants —
+the reference's full ShapeType set except MultiPatch, which the
+reference itself rejects (geometry.rs:510).
 
 Record layout follows the spec fields the reference parses
 (src/vector/shapefile/mod.rs:37-66: file code 9994 big-endian, shape
@@ -33,9 +36,18 @@ SHP_MULTIPOINT = 8
 SHP_POINT_Z = 11
 SHP_POLYLINE_Z = 13
 SHP_POLYGON_Z = 15
+SHP_MULTIPOINT_Z = 18
+SHP_POINT_M = 21
+SHP_POLYLINE_M = 23
+SHP_POLYGON_M = 25
+SHP_MULTIPOINT_M = 28
 
 _Z_TYPES = {SHP_POINT_Z: SHP_POINT, SHP_POLYLINE_Z: SHP_POLYLINE,
-            SHP_POLYGON_Z: SHP_POLYGON}
+            SHP_POLYGON_Z: SHP_POLYGON, SHP_MULTIPOINT_Z: SHP_MULTIPOINT}
+# the M shape types (geometry.rs:488-491) carry measures but no z; the
+# reference always writes their M block (get_length, geometry.rs:242-246)
+_M_TYPES = {SHP_POINT_M: SHP_POINT, SHP_POLYLINE_M: SHP_POLYLINE,
+            SHP_POLYGON_M: SHP_POLYGON, SHP_MULTIPOINT_M: SHP_MULTIPOINT}
 
 
 @dataclass
@@ -44,6 +56,7 @@ class ShapeRecord:
     shape_type: int
     attrs: dict = field(default_factory=dict)
     zs: list | None = None  # per-part z arrays for the *Z shape types
+    ms: list | None = None  # per-part measure arrays (*M / *Z shape types)
 
 
 def _signed_area(ring: np.ndarray) -> float:
@@ -164,6 +177,11 @@ def encode_shapefile(
     if not nonnull:
         raise ValueError("all-null shapefile not supported")
     shape_type = nonnull[0].shape_type
+    if shape_type not in (SHP_POINT, SHP_POINT_Z, SHP_POINT_M,
+                          SHP_MULTIPOINT, SHP_MULTIPOINT_Z, SHP_MULTIPOINT_M,
+                          SHP_POLYLINE, SHP_POLYLINE_Z, SHP_POLYLINE_M,
+                          SHP_POLYGON, SHP_POLYGON_Z, SHP_POLYGON_M):
+        raise ValueError(f"unsupported shape type {shape_type}")
     contents = []
     for rec in records:
         if rec.shape_type == 0:  # Null shape: 4-byte type, no geometry
@@ -177,24 +195,38 @@ def encode_shapefile(
         elif shape_type == SHP_POINT_Z:
             (pt,) = rec.parts
             z = float(rec.zs[0][0]) if rec.zs else 0.0
-            body = struct.pack("<i4d", SHP_POINT_Z, float(pt[0, 0]), float(pt[0, 1]), z, 0.0)
-        elif shape_type == SHP_MULTIPOINT:
+            m = float(rec.ms[0][0]) if rec.ms else 0.0
+            body = struct.pack("<i4d", SHP_POINT_Z, float(pt[0, 0]), float(pt[0, 1]), z, m)
+        elif shape_type == SHP_POINT_M:
+            (pt,) = rec.parts
+            m = float(rec.ms[0][0]) if rec.ms else 0.0
+            body = struct.pack("<i3d", SHP_POINT_M, float(pt[0, 0]), float(pt[0, 1]), m)
+        elif shape_type in (SHP_MULTIPOINT, SHP_MULTIPOINT_M, SHP_MULTIPOINT_Z):
             pts = np.vstack(rec.parts)
             body = struct.pack(
                 "<i4di",
-                SHP_MULTIPOINT,
+                shape_type,
                 float(pts[:, 0].min()), float(pts[:, 1].min()),
                 float(pts[:, 0].max()), float(pts[:, 1].max()),
                 len(pts),
             )
             body += np.ascontiguousarray(pts, dtype="<f8").tobytes()
+            if shape_type == SHP_MULTIPOINT_Z:
+                zf = (np.concatenate([np.asarray(z, dtype="<f8") for z in rec.zs])
+                      if rec.zs else np.zeros(len(pts)))
+                body += struct.pack("<2d", float(zf.min()), float(zf.max()))
+                body += np.ascontiguousarray(zf, dtype="<f8").tobytes()
+            if shape_type in (SHP_MULTIPOINT_M, SHP_MULTIPOINT_Z):
+                mf = (np.concatenate([np.asarray(m, dtype="<f8") for m in rec.ms])
+                      if rec.ms else np.zeros(len(pts)))
+                body += struct.pack("<2d", float(mf.min()), float(mf.max()))
+                body += np.ascontiguousarray(mf, dtype="<f8").tobytes()
         else:
             pts = np.vstack(rec.parts)
             starts, acc = [], 0
             for part in rec.parts:
                 starts.append(acc)
                 acc += len(part)
-            base = _Z_TYPES.get(shape_type, shape_type)
             body = struct.pack(
                 "<i4d2i", shape_type,
                 float(pts[:, 0].min()), float(pts[:, 1].min()),
@@ -203,13 +235,18 @@ def encode_shapefile(
             )
             body += struct.pack(f"<{len(starts)}i", *starts)
             body += np.ascontiguousarray(pts, dtype="<f8").tobytes()
-            if base != shape_type:  # *Z: z range + z values + m range + ms
+            if shape_type in (SHP_POLYLINE_Z, SHP_POLYGON_Z):
+                # *Z: z range + z values, then m range + m values
                 zf = (np.concatenate([np.asarray(z, dtype="<f8") for z in rec.zs])
                       if rec.zs else np.zeros(len(pts)))
                 body += struct.pack("<2d", float(zf.min()), float(zf.max()))
                 body += np.ascontiguousarray(zf, dtype="<f8").tobytes()
-                body += struct.pack("<2d", 0.0, 0.0)
-                body += np.zeros(len(pts), dtype="<f8").tobytes()
+            if shape_type in (SHP_POLYLINE_Z, SHP_POLYGON_Z,
+                              SHP_POLYLINE_M, SHP_POLYGON_M):
+                mf = (np.concatenate([np.asarray(m, dtype="<f8") for m in rec.ms])
+                      if rec.ms else np.zeros(len(pts)))
+                body += struct.pack("<2d", float(mf.min()), float(mf.max()))
+                body += np.ascontiguousarray(mf, dtype="<f8").tobytes()
         contents.append(body)
 
     allp = np.vstack([np.vstack(r.parts) for r in nonnull])
@@ -281,32 +318,64 @@ def decode_shapefile(shp: bytes, dbf: bytes | None = None) -> list[ShapeRecord]:
             pos += content_words * 2
             continue
         zs = None
+        ms = None
+        content_bytes = content_words * 2
         if stype == SHP_POINT:
             x, y = struct.unpack_from("<2d", shp, pos + 4)
             parts = [np.array([[x, y]])]
         elif stype == SHP_POINT_Z:
-            x, y, z, _m = struct.unpack_from("<4d", shp, pos + 4)
+            # the M value is optional (the reference writes x,y,z only
+            # when the geometry has no m data, geometry.rs:248-253)
+            x, y, z = struct.unpack_from("<3d", shp, pos + 4)
             parts = [np.array([[x, y]])]
             zs = [np.array([z])]
-        elif stype == SHP_MULTIPOINT:
+            if content_bytes >= 36:
+                ms = [np.array([struct.unpack_from("<d", shp, pos + 28)[0]])]
+        elif stype == SHP_POINT_M:
+            x, y, m = struct.unpack_from("<3d", shp, pos + 4)
+            parts = [np.array([[x, y]])]
+            ms = [np.array([m])]
+        elif stype in (SHP_MULTIPOINT, SHP_MULTIPOINT_Z, SHP_MULTIPOINT_M):
             (npoints,) = struct.unpack_from("<i", shp, pos + 36)
             pts = np.frombuffer(shp, dtype="<f8", count=npoints * 2,
                                 offset=pos + 40).reshape(-1, 2)
             parts = [pts.copy()]
-        elif stype in (SHP_POLYLINE, SHP_POLYGON, SHP_POLYLINE_Z, SHP_POLYGON_Z):
+            cursor = pos + 40 + 16 * npoints
+            if stype == SHP_MULTIPOINT_Z:
+                zf = np.frombuffer(shp, dtype="<f8", count=npoints,
+                                   offset=cursor + 16)  # skip z range
+                zs = [zf.copy()]
+                cursor += 16 + 8 * npoints
+            if stype in (SHP_MULTIPOINT_Z, SHP_MULTIPOINT_M):
+                # m block optional on *Z (geometry.rs has_m_data branch)
+                if pos + content_bytes >= cursor + 16 + 8 * npoints:
+                    mf = np.frombuffer(shp, dtype="<f8", count=npoints,
+                                       offset=cursor + 16)
+                    ms = [mf.copy()]
+        elif stype in (SHP_POLYLINE, SHP_POLYGON, SHP_POLYLINE_Z, SHP_POLYGON_Z,
+                       SHP_POLYLINE_M, SHP_POLYGON_M):
             nparts, npoints = struct.unpack_from("<2i", shp, pos + 36)
             starts = list(struct.unpack_from(f"<{nparts}i", shp, pos + 44))
             pts = np.frombuffer(shp, dtype="<f8", count=npoints * 2,
                                 offset=pos + 44 + 4 * nparts).reshape(-1, 2)
             bounds = starts + [npoints]
             parts = [pts[bounds[i]:bounds[i + 1]].copy() for i in range(nparts)]
+            cursor = pos + 44 + 4 * nparts + 16 * npoints
             if stype in (SHP_POLYLINE_Z, SHP_POLYGON_Z):
-                zoff = pos + 44 + 4 * nparts + 16 * npoints + 16  # skip z range
-                zf = np.frombuffer(shp, dtype="<f8", count=npoints, offset=zoff)
+                zf = np.frombuffer(shp, dtype="<f8", count=npoints,
+                                   offset=cursor + 16)  # skip z range
                 zs = [zf[bounds[i]:bounds[i + 1]].copy() for i in range(nparts)]
+                cursor += 16 + 8 * npoints
+            if stype in (SHP_POLYLINE_Z, SHP_POLYGON_Z,
+                         SHP_POLYLINE_M, SHP_POLYGON_M):
+                # m block optional on *Z (geometry.rs has_m_data branch)
+                if pos + content_bytes >= cursor + 16 + 8 * npoints:
+                    mf = np.frombuffer(shp, dtype="<f8", count=npoints,
+                                       offset=cursor + 16)
+                    ms = [mf[bounds[i]:bounds[i + 1]].copy() for i in range(nparts)]
         else:
             raise ValueError(f"unsupported shape type {stype}")
-        rec = ShapeRecord(parts=parts, shape_type=stype, zs=zs)
+        rec = ShapeRecord(parts=parts, shape_type=stype, zs=zs, ms=ms)
         if attrs is not None and len(records) < len(attrs):
             rec.attrs = attrs[len(records)]
         records.append(rec)
@@ -371,7 +440,9 @@ def read_shapefile(spark: SparkSession, base_path: str) -> DataFrame:
     rows = []
     for fid, rec in enumerate(records):
         for pi, part in enumerate(rec.parts):
-            hole = rec.shape_type in (SHP_POLYGON, SHP_POLYGON_Z) and ring_is_hole(part)
+            hole = rec.shape_type in (
+                SHP_POLYGON, SHP_POLYGON_Z, SHP_POLYGON_M
+            ) and ring_is_hole(part)
             rows.append((fid, pi, hole, [float(v) for v in part[:, 0]],
                          [float(v) for v in part[:, 1]],
                          *[str(rec.attrs.get(a, "")) for a in attr_names]))
