@@ -273,3 +273,48 @@ class TestWavRealDecode:
         m = media.synth_media(documents(spark, SF_DIR))  # codec='raw'
         with pytest.raises(Exception):
             media.decode_audio_features(m).collect()
+
+
+class TestNgramJaccard:
+    def test_symmetric_and_bounded(self, spark):
+        out = tx.ngram_jaccard_pairs(documents(spark, SF_DIR), threshold=0.3)
+        pdf = out.toPandas()
+        assert len(pdf) > 0
+        assert (pdf.id_a < pdf.id_b).all()
+        assert ((pdf.jaccard > 0) & (pdf.jaccard <= 1.0)).all()
+        assert (pdf.n_shared >= 1).all()
+
+    def test_identical_docs_score_one(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w q r")],
+            "doc_id long, text string",
+        )
+        pdf = tx.ngram_jaccard_pairs(docs, threshold=0.5).toPandas()
+        assert len(pdf) == 1
+        assert pdf.iloc[0].id_a == 1 and pdf.iloc[0].id_b == 2
+        assert pdf.iloc[0].jaccard == 1.0
+
+    def test_max_df_drops_stop_shingles(self, spark):
+        # "c c c c" shingles appear in every doc -> with max_df=2 the
+        # boilerplate shingle is dropped and the two docs that ONLY
+        # share boilerplate no longer pair
+        docs = spark.createDataFrame(
+            [(1, "a b c c c c"), (2, "d e c c c c"), (3, "a b c c c c")],
+            "doc_id long, text string",
+        )
+        # boilerplate-only overlap: docs 1-2 and 2-3 share just "c c c"
+        # (jaccard 1/5 = 0.2); docs 1-3 are identical (jaccard 1.0)
+        raw = tx.ngram_jaccard_pairs(docs, threshold=0.15).toPandas()
+        assert {(r.id_a, r.id_b) for r in raw.itertuples()} == {
+            (1, 2), (1, 3), (2, 3)
+        }
+        filt = tx.ngram_jaccard_pairs(docs, threshold=0.15, max_df=2).toPandas()
+        assert {(r.id_a, r.id_b) for r in filt.itertuples()} == {(1, 3)}
+        assert filt.iloc[0].jaccard == 1.0
+
+    def test_plan_is_equi_join(self, spark):
+        plan = tx.ngram_jaccard_pairs(
+            documents(spark, SF_DIR)
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -79,6 +79,14 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (posting-list join) at
+    threshold 0.5 — the non-approximate dedup lane next to minhash/
+    simhash; the oracle replays the identical shingle-hash posting join
+    in DuckDB, so the hash pins every pair AND every jaccard value."""
+    return tx.ngram_jaccard_pairs(documents(spark, sf_dir), threshold=0.5)
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = media.synth_media(documents(spark, sf_dir))
     return m.select(
@@ -99,6 +107,7 @@ QUERIES = {
     "quality": q_quality,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "ngram_jaccard": q_ngram_jaccard,
     "ann_topk": q_ann_topk,
     "media_meta": q_media_meta,
 }
@@ -235,6 +244,24 @@ sh AS (SELECT doc_id, text,
 SELECT doc_id, md5(text) AS content_md5,
        list_min(list_transform(sg, s -> {H60("s")})) AS min_shingle_hash
 FROM sh
+""",
+    "ngram_jaccard": f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+                  len(string_split(text, ' ')) AS n FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(n - 2, 1) + 1),
+           i -> {H60("concat_ws(' ', tk[i], tk[least(i + 1, n)], tk[least(i + 2, n)])")}
+       )) AS hs FROM t),
+posts AS (SELECT doc_id, len(hs) AS sz, unnest(hs) AS h FROM sh),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb,
+             count(*) AS n_shared
+      FROM posts a JOIN posts b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY ALL)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(n_shared AS DOUBLE) / CAST(sa + sb - n_shared AS DOUBLE) AS jaccard
+FROM p
+WHERE CAST(n_shared AS DOUBLE) / CAST(sa + sb - n_shared AS DOUBLE) >= 0.5
 """,
     "ann_topk": f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

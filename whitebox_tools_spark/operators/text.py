@@ -218,6 +218,85 @@ def jaccard_pairs(
     return j.where(keep).select("a", "b", (inter / union).alias("jaccard"))
 
 
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    record: str = "doc_id",
+    text: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs (word 3-gram shingle sets) via
+    the classic inverted-index posting join — the non-approximate sibling
+    of minhash_dedup_pairs, for corpora where exact set similarity is the
+    contract: explode each document's distinct shingle hashes (postings),
+    equi-join postings on the shingle (a < b), count shared shingles per
+    pair, keep |A∩B| / (|A|+|B|-|A∩B|) >= threshold.
+
+    Shingles are compared as their 60-bit md5 hashes (h60 — identical in
+    DuckDB), so the shuffle carries longs, not strings. Distributed
+    shape: one explode + one equi-join + one partial-aggregatable count —
+    pair volume is sum(df^2) over shingles, NOT docs^2. At 100 TB the
+    skew lever is ``max_df``: dropping shingles that occur in more than
+    max_df documents (boilerplate/stop-shingles, exactly what production
+    dedup pipelines drop) bounds every posting list; sizes are then
+    recounted over the surviving shingles so the Jaccard stays a true
+    set similarity on the filtered universe. AQE skew-join splits any
+    residual hot bucket.
+
+    Returns (id_a, id_b, n_shared, jaccard).
+    """
+    base = docs.select(
+        F.col(record).alias("_id"),
+        tokens(F.col(text)).alias("_toks"),
+        F.size(tokens(F.col(text))).alias("_n"),
+    )
+    toks, n = F.col("_toks"), F.col("_n")
+    # the fingerprint() 3-word shingle construction (short docs degrade
+    # to one clamped shingle), hashed then deduped
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+            lambda i: h60(
+                F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, F.least(i + 1, n)),
+                    F.element_at(toks, F.least(i + 2, n)),
+                )
+            ),
+        )
+    )
+    posts = base.select(
+        "_id", F.size(sh).alias("_sz"), F.explode(sh).alias("_h")
+    )
+    if max_df is not None:
+        keep = (
+            posts.groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("_h")
+        )
+        filtered = posts.join(keep, "_h").drop("_sz")
+        szs = filtered.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+        posts = filtered.join(szs, "_id")
+    a = posts.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sa"), "_h")
+    b = posts.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sb"), "_h")
+    pairs = (
+        a.join(b, "_h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "_sa", "_sb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = F.col("n_shared").cast("double") / (
+        (F.col("_sa") + F.col("_sb") - F.col("n_shared")).cast("double")
+    )
+    return (
+        pairs.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "n_shared", "jaccard")
+    )
+
+
 # The bitmap verify dictionary-encodes the corpus vocabulary; it only
 # applies when the distinct-token-hash count fits this many bits (64-bit
 # words per doc = MAX_BITMAP_BITS/64). Beyond it, the generic long-array
