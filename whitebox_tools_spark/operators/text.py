@@ -266,9 +266,22 @@ def ngram_jaccard_pairs(
             ),
         )
     )
-    posts = base.select(
-        "_id", F.size(sh).alias("_sz"), F.explode(sh).alias("_h")
-    )
+    # bind the shingle array ONCE, then explode (hash, set-size) structs
+    # from the bound column: referencing `sh` from both size() and
+    # explode() lets CollapseProject inline the md5 transform into the
+    # post-Generate projection, recomputing the whole array PER POSTING
+    # ROW — O(L^2) per doc, measured 10x slower at sf0.1 (the same
+    # pitfall with_minhash documents)
+    sets = base.select("_id", sh.alias("_sh"))
+    posts = sets.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.col("_sh"),
+                lambda h: F.struct(h.alias("h"), F.size(F.col("_sh")).alias("sz")),
+            )
+        ).alias("_p"),
+    ).select("_id", F.col("_p.sz").alias("_sz"), F.col("_p.h").alias("_h"))
     if max_df is not None:
         keep = (
             posts.groupBy("_h")
