@@ -91,6 +91,8 @@ HEADLINE = [
     "media_decode_real", "media_decode_wav", "viewshed_sweep",
     # structured-streaming lane (AvailableNow replay of the fixtures)
     "streaming_window_counts", "streaming_session_peaks",
+    # late round-4: exact n-gram Jaccard dedup (posting-list join)
+    "ngram_jaccard",
 ]
 
 
