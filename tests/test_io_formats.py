@@ -1012,3 +1012,50 @@ def test_shapefile_rejects_multipatch():
     rec = shapefile.ShapeRecord(parts=[np.array([[0.0, 0.0]])], shape_type=31)
     with pytest.raises(ValueError, match="unsupported shape type"):
         shapefile.encode_shapefile([rec])
+
+
+# ------------------------------------------------------------- paletted TIFF
+
+
+def test_geotiff_paletted_roundtrip():
+    """Paletted (photometric 3) decode: palette[index] ARGB-packed as
+    f64, the reference's Categorical convention (geotiff/mod.rs:761-787,
+    :1289-1297), including the truncating 16->8-bit channel rescale."""
+    rng = np.random.default_rng(31)
+    idx = rng.integers(0, 5, size=(CFG.rows, CFG.cols)).astype("u1")
+    pal = rng.integers(0, 65535, size=(5, 3), endpoint=True).astype("u2")
+    data = geotiff.encode_geotiff(idx, CFG, palette=pal)
+    tags = geotiff.print_geotiff_tags(data)
+    assert tags["PhotometricInterpretation"] == (3,)
+    assert len(tags["ColorMap"]) == 15
+    _, arr = geotiff.decode_geotiff(data)
+    r = (pal[:, 0] / 65535.0 * 255.0).astype(np.uint32)
+    g = (pal[:, 1] / 65535.0 * 255.0).astype(np.uint32)
+    b = (pal[:, 2] / 65535.0 * 255.0).astype(np.uint32)
+    lut = ((np.uint32(255) << 24) | (r << 16) | (g << 8) | b).astype(np.float64)
+    np.testing.assert_array_equal(arr, lut[idx.astype(np.int64)])
+
+
+def test_geotiff_paletted_validation():
+    idx = np.zeros((4, 4), dtype="u1")
+    with pytest.raises(ValueError, match="palette"):
+        geotiff.encode_geotiff(idx, CFG, palette=np.zeros((300, 3), "u2"))
+    with pytest.raises(ValueError, match="index grid"):
+        geotiff.encode_geotiff(idx + 9, CFG, palette=np.zeros((5, 3), "u2"))
+    with pytest.raises(ValueError, match="uint8"):
+        geotiff.encode_geotiff(idx.astype("u2"), CFG, palette=np.zeros((5, 3), "u2"))
+    # paletted file without a ColorMap tag must be rejected like the
+    # reference ("Colour map not present in Paletted TIFF.")
+    good = geotiff.encode_geotiff(idx, CFG, palette=np.zeros((5, 3), "u2"))
+    import struct as _s
+    bad = bytearray(good)
+    # flip the photometric tag value on a NON-paletted file instead:
+    plain = bytearray(geotiff.encode_geotiff(np.zeros((4, 4), "u1"), CFG))
+    n, = _s.unpack_from("<H", plain, 8)
+    for e in range(n):
+        off = 10 + 12 * e
+        tag, = _s.unpack_from("<H", plain, off)
+        if tag == 262:
+            _s.pack_into("<H", plain, off + 8, 3)
+    with pytest.raises(ValueError, match="Colour map"):
+        geotiff.decode_geotiff(bytes(plain))

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from whitebox_tools_spark import derive
 from whitebox_tools_spark.catalog_grid import (
     GRID,
+    _CELLS_CTE,
     _oracle_block,
     _oracle_points_raster,
     _PTS_CTE,
@@ -436,6 +437,62 @@ _ORACLE_GEOTIFF_PRED = (
 )
 
 
+_PALETTE = [(k * 9000 + 1000, k * 7000 + 500, k * 5000 + 250) for k in range(5)]
+# the reference's ARGB pack: 16-bit channels truncated to 8-bit,
+# a=255 (geotiff/mod.rs:779-786)
+_PALETTE_LUT = [
+    float((255 << 24) | (int(r / 65535 * 255) << 16)
+          | (int(g / 65535 * 255) << 8) | int(b / 65535 * 255))
+    for r, g, b in _PALETTE
+]
+
+
+def q_geotiff_palette_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """block-max grid -> category index (floor(value) mod 5, empty cells
+    0) -> paletted GeoTIFF (photometric 3 + ColorMap) -> distributed
+    decode. Decoded pixels are palette[index] ARGB-packed as f64, the
+    reference's Categorical convention (geotiff/mod.rs:761-787 palette
+    build incl. the truncating 16->8-bit rescale, :1289-1297 pixel
+    mapping); the oracle recomputes the pack arithmetically per cell."""
+    import dataclasses
+
+    import numpy as np
+
+    from whitebox_tools_spark.io.geotiff import _grid_from_df
+
+    pts = _docs_geo(spark, sf_dir).select("x", "y", "z")
+    grid = block_grid(pts, GRID, stat="max")
+    idx_df = grid.withColumn(
+        "value", F.pmod(F.floor("value"), F.lit(5)).cast("double")
+    )
+    cfg0 = dataclasses.replace(GRID, nodata=0.0)
+    arr = _grid_from_df(idx_df, cfg0, "u1")
+    d = tempfile.mkdtemp(prefix="wts_paltif_")
+    path = os.path.join(d, "pal.tif")
+    with open(path, "wb") as f:
+        f.write(geotiff.encode_geotiff(
+            arr, cfg0, palette=np.array(_PALETTE, dtype="u2")))
+    back = geotiff.read_geotiff(spark, path)
+    return back.select(
+        F.col("row").alias("cell_row"), F.col("col").alias("cell_col"), "value"
+    )
+
+
+_PALETTE_CASES = " ".join(
+    f"WHEN {k} THEN {v!r}" for k, v in enumerate(_PALETTE_LUT)
+)
+_ORACLE_GEOTIFF_PALETTE = f"""
+WITH blk AS ({_oracle_block('max')}),
+{_CELLS_CTE},
+idx AS (SELECT c.cell_row, c.cell_col,
+               COALESCE(((CAST(floor(b.value) AS BIGINT) % 5) + 5) % 5, 0) AS k
+        FROM cells c LEFT JOIN blk b USING (cell_row, cell_col))
+SELECT cell_row, cell_col,
+       CAST(CASE k {_PALETTE_CASES} END AS DOUBLE) AS value
+FROM idx
+"""
+
+
 def q_rgb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CreateColourComposite -> 4-sample u8 RGBA GeoTIFF (the reference
     writes PI_RGB, geotiff/mod.rs:1967-1975) -> distributed multiband
@@ -662,6 +719,7 @@ def _colour_composite_oracle() -> str:
 QUERIES = {
     "geotiff_roundtrip": q_geotiff_roundtrip,
     "geotiff_pred_roundtrip": q_geotiff_pred_roundtrip,
+    "geotiff_palette_roundtrip": q_geotiff_palette_roundtrip,
     "bigtiff_roundtrip": q_bigtiff_roundtrip,
     "rgb_roundtrip": q_rgb_roundtrip,
     "arcascii_roundtrip": q_arcascii_roundtrip,
@@ -681,6 +739,7 @@ QUERIES = {
 ORACLE_SQL = {
     "geotiff_roundtrip": _ORACLE_GEOTIFF,
     "geotiff_pred_roundtrip": _ORACLE_GEOTIFF_PRED,
+    "geotiff_palette_roundtrip": _ORACLE_GEOTIFF_PALETTE,
     "bigtiff_roundtrip": _ORACLE_GEOTIFF,
     "arcascii_roundtrip": _ORACLE_ARCASCII,
     "whitebox_roundtrip": _oracle_points_raster("max"),

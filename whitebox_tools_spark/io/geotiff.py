@@ -27,9 +27,15 @@ rasters, src/raster/geotiff/mod.rs:214 read_geotiff / :1564 write_geotiff):
   (GTModelType + GTRasterType PixelIsArea + Geographic/ProjectedCSType,
   geotiff/mod.rs:2274-2460).
 
+- paletted (PhotometricInterpretation 3) read: ColorMap 16-bit channels
+  rescaled to 8-bit and ARGB-packed per pixel, the reference's
+  Categorical convention (geotiff/mod.rs:761-787 palette build,
+  :1289-1297 pixel mapping); the writer can emit paletted u8 grids too
+  (``palette=``), which the reference writer cannot.
+
 Out of scope (rejected with a clear error, like the reference's
-unsupported-variant errors): palette, JPEG compression, the
-floating-point predictor (3).
+unsupported-variant errors): JPEG compression, the floating-point
+predictor (3).
 """
 
 from __future__ import annotations
@@ -65,6 +71,7 @@ _TILE_WIDTH = 322
 _TILE_LENGTH = 323
 _TILE_OFFSETS = 324
 _TILE_BYTE_COUNTS = 325
+_COLOR_MAP = 320
 _SAMPLE_FORMAT = 339
 _MODEL_PIXEL_SCALE = 33550
 _MODEL_TIEPOINT = 33922
@@ -289,12 +296,32 @@ def decode_geotiff_multi(data: bytes) -> tuple[GridConfig, np.ndarray]:
     sfmt = int(tags.get(_SAMPLE_FORMAT, (1,))[0])
     planar = int(tags.get(_PLANAR_CONFIG, (1,))[0])
     predictor = int(tags.get(_PREDICTOR, (1,))[0])
+    photometric = int(tags.get(_PHOTOMETRIC, (1,))[0])
     if spp > 1 and planar != 1:
         raise ValueError("only chunky (PlanarConfiguration=1) multiband supported")
     if predictor not in (1, 2):
         raise ValueError(f"TIFF predictor {predictor} not supported")
     if predictor == 2 and sfmt == 3:
         raise ValueError("TIFF predictor 2 applies to integer samples only")
+    lut = None
+    if photometric == 3:  # paletted (reference geotiff/mod.rs:761-787)
+        cm = tags.get(_COLOR_MAP)
+        if cm is None:
+            raise ValueError("Colour map not present in Paletted TIFF.")
+        ncol = len(cm) // 3
+        if len(cm) % 3 != 0 or ncol == 0 or ncol > 256:
+            raise ValueError("bad ColorMap length")
+        if bits != 8 or spp != 1:
+            raise ValueError("only 8-bit single-sample paletted TIFF supported")
+        c16 = np.asarray(cm, dtype=np.float64)
+        # 16-bit channels rescaled to 8-bit, truncating like the
+        # reference's `as u32` casts, then ARGB-packed (a = 255)
+        r = (c16[:ncol] / 65535.0 * 255.0).astype(np.uint32)
+        g = (c16[ncol:2 * ncol] / 65535.0 * 255.0).astype(np.uint32)
+        b = (c16[2 * ncol:] / 65535.0 * 255.0).astype(np.uint32)
+        lut = ((np.uint32(255) << 24) | (r << 16) | (g << 8) | b).astype(
+            np.float64
+        )
     key = (sfmt, bits)
     if key not in _DTYPES:
         raise ValueError(f"unsupported sample format/bits {key}")
@@ -332,7 +359,15 @@ def decode_geotiff_multi(data: bytes) -> tuple[GridConfig, np.ndarray]:
             ).reshape(nrows, width, spp)
             grid[r:r + nrows] = _undiff(strip) if predictor == 2 else strip
             r += nrows
-    arr = grid.astype(np.float64)
+    if lut is not None:
+        # index out-of-palette guard, then palette[index] as f64 — the
+        # reference's paletted pixel convention (geotiff/mod.rs:1289-1297)
+        idx = grid.astype(np.int64)
+        if idx.max(initial=0) >= len(lut):
+            raise ValueError("paletted pixel index out of ColorMap range")
+        arr = lut[idx]
+    else:
+        arr = grid.astype(np.float64)
 
     # georeference: tiepoint maps raster (i,j,k)->(X,Y,Z) at the pixel
     # *corner*; north = tiepoint Y + tiepoint_row * res_y, matching the
@@ -358,7 +393,8 @@ _TAG_NAMES = {
     256: "ImageWidth", 257: "ImageLength", 258: "BitsPerSample",
     259: "Compression", 262: "PhotometricInterpretation", 273: "StripOffsets",
     277: "SamplesPerPixel", 278: "RowsPerStrip", 279: "StripByteCounts",
-    284: "PlanarConfiguration", 317: "Predictor", 322: "TileWidth",
+    284: "PlanarConfiguration", 317: "Predictor", 320: "ColorMap",
+    322: "TileWidth",
     323: "TileLength", 324: "TileOffsets", 325: "TileByteCounts",
     339: "SampleFormat", 33550: "ModelPixelScaleTag",
     33922: "ModelTiepointTag", 34735: "GeoKeyDirectoryTag",
@@ -403,6 +439,7 @@ def encode_geotiff(
     byteorder: str = "<",
     big: bool = False,
     predictor: int = 1,
+    palette: np.ndarray | None = None,
 ) -> bytes:
     """Encode a numpy array as GeoTIFF bytes (strips): 2-D -> single
     band; 3-D (h, w, s) -> s samples/pixel, chunky (PlanarConfig 1) —
@@ -423,6 +460,16 @@ def encode_geotiff(
         raise ValueError(f"writer supports predictor 1 or 2, got {predictor}")
     if predictor == 2 and grid.dtype.kind == "f":
         raise ValueError("predictor 2 applies to integer samples only")
+    if palette is not None:
+        palette = np.asarray(palette, dtype=np.uint16)
+        if grid.ndim != 2 or grid.dtype != np.uint8:
+            raise ValueError("paletted encode expects a 2-D uint8 index grid")
+        if palette.ndim != 2 or palette.shape[1] != 3 or not (
+            0 < palette.shape[0] <= 256
+        ):
+            raise ValueError("palette must be (n<=256, 3) 16-bit channels")
+        if int(grid.max(initial=0)) >= palette.shape[0]:
+            raise ValueError("index grid references beyond the palette")
     sfmt, bits = _np_to_tiff_type(grid)
     bo = byteorder
     grid = np.ascontiguousarray(grid, dtype=grid.dtype.newbyteorder(bo))
@@ -472,7 +519,16 @@ def encode_geotiff(
         tags.append((_BITS_PER_SAMPLE, 3, spp,
                      struct.pack(bo + "H" * spp, *([bits] * spp))))
     _short(_COMPRESSION, compression)
-    _short(_PHOTOMETRIC, 2 if spp >= 3 else 1)
+    if palette is not None:
+        _short(_PHOTOMETRIC, 3)
+        planes = np.concatenate(
+            [palette[:, 0], palette[:, 1], palette[:, 2]]
+        ).astype(np.uint64)
+        tags.append((_COLOR_MAP, 3, 3 * palette.shape[0],
+                     struct.pack(bo + "H" * (3 * palette.shape[0]),
+                                 *(int(v) for v in planes))))
+    else:
+        _short(_PHOTOMETRIC, 2 if spp >= 3 else 1)
     tags.append((_STRIP_OFFSETS, off_type, nstrips, None))  # patched below
     _short(_SAMPLES_PER_PIXEL, spp)
     _long(_ROWS_PER_STRIP, rps)
