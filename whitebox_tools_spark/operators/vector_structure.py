@@ -91,6 +91,10 @@ def multipart_to_singlepart(verts: DataFrame) -> DataFrame:
     one output feature per part; new FIDs are the (fid, part) scan
     order — the reference's sequential re-number of the split parts."""
     parts = verts.groupBy("fid", "part").agg(F.count(F.lit(1)).alias("n_vertices"))
+    # global row_number: the sequential-FID contract forces a total
+    # order, but it runs over the per-PART relation (one row per part,
+    # orders of magnitude smaller than the vertex table) — feature-scale,
+    # not data-scale
     w = Window.orderBy("fid", "part")
     return parts.select(
         F.row_number().over(w).cast("long").alias("new_fid"),
@@ -134,6 +138,8 @@ def reinitialize_attribute_table(verts: DataFrame) -> DataFrame:
     """ReinitializeAttributeTable (data_tools/reinitialize_attribute_table.rs):
     strip every attribute, keep sequential FIDs."""
     fids = verts.select("fid").distinct()
+    # sequential-FID contract: total order over the per-FEATURE relation
+    # (one row per fid), feature-scale not vertex-scale
     return fids.select(
         F.row_number().over(Window.orderBy("fid")).cast("long").alias("new_fid"),
         F.col("fid").alias("orig_fid"),
