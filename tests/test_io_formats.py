@@ -1059,3 +1059,56 @@ def test_geotiff_paletted_validation():
             _s.pack_into("<H", plain, off + 8, 3)
     with pytest.raises(ValueError, match="Colour map"):
         geotiff.decode_geotiff(bytes(plain))
+
+
+def test_geokey_geographic_classification():
+    """Projected codes inside the 4xxx block (4087/4088) and common
+    geographic codes outside it (6318/7844) classify correctly; the
+    explicit epsg_geographic flag overrides the inference."""
+    import dataclasses
+    from whitebox_tools_spark.io.geotiff import _geokey_directory_values
+
+    def model_and_key(vals):
+        # header is 4 shorts, then (key, loc, cnt, value) quadruples
+        quads = [tuple(vals[i:i + 4]) for i in range(4, len(vals), 4)]
+        d = {q[0]: q[3] for q in quads}
+        return d[1024], (2048 in d, 3072 in d)
+
+    assert model_and_key(_geokey_directory_values(4326)) == (2, (True, False))
+    assert model_and_key(_geokey_directory_values(26917)) == (1, (False, True))
+    # projected despite living in 4xxx
+    assert model_and_key(_geokey_directory_values(4087)) == (1, (False, True))
+    # geographic despite living outside 4xxx
+    assert model_and_key(_geokey_directory_values(6318)) == (2, (True, False))
+    assert model_and_key(_geokey_directory_values(7844)) == (2, (True, False))
+    # explicit override wins
+    assert model_and_key(_geokey_directory_values(9999, geographic=True)) == (
+        2, (True, False))
+    # end-to-end: flag rides GridConfig
+    cfg = dataclasses.replace(CFG, epsg=4087)
+    data = geotiff.encode_geotiff(_demo_grid(), cfg)
+    tags = geotiff.print_geotiff_tags(data)
+    assert model_and_key(tags["GeoKeyDirectoryTag"]) == (1, (False, True))
+    assert geotiff.decode_geotiff(data)[0].epsg == 4087
+
+
+def test_las_attribute_overflow_raises():
+    """Attribute values beyond their spec field raise instead of
+    silently wrapping (same policy as the i32 coordinate guard)."""
+    base = dict(x=[1.0], y=[2.0], z=[3.0])
+    with pytest.raises(ValueError, match="scan_angle"):
+        las.encode_las(pd.DataFrame({**base, "scan_angle": [40000]}),
+                       point_format=6)
+    with pytest.raises(ValueError, match="scan_angle"):
+        las.encode_las(pd.DataFrame({**base, "scan_angle": [200]}),
+                       point_format=1)
+    with pytest.raises(ValueError, match="intensity"):
+        las.encode_las(pd.DataFrame({**base, "intensity": [70000]}),
+                       point_format=1)
+    with pytest.raises(ValueError, match="classification"):
+        las.encode_las(pd.DataFrame({**base, "classification": [300]}),
+                       point_format=1)
+    # in-range values still encode
+    ok = las.encode_las(pd.DataFrame({**base, "scan_angle": [200]}),
+                        point_format=6)
+    assert ok[:4] == b"LASF"

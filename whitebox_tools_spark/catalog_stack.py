@@ -306,9 +306,11 @@ ORACLE_SQL = {
     ),
     "weighted_overlay": _wov_sql(),
     "count_if": _join3(
-        "CAST((CASE WHEN " + _DEC.format(v="a.value") + " = 5.0 THEN 1.0 ELSE 0.0 END) + "
+        # zero matches -> NULL (nodata), the reference's guarded-increment
+        # semantics (count_if.rs:243-248)
+        "NULLIF(CAST((CASE WHEN " + _DEC.format(v="a.value") + " = 5.0 THEN 1.0 ELSE 0.0 END) + "
         "(CASE WHEN " + _DEC.format(v="b.value") + " = 5.0 THEN 1.0 ELSE 0.0 END) + "
-        "(CASE WHEN " + _DEC.format(v="c.value") + " = 5.0 THEN 1.0 ELSE 0.0 END) AS DOUBLE)"
+        "(CASE WHEN " + _DEC.format(v="c.value") + " = 5.0 THEN 1.0 ELSE 0.0 END) AS DOUBLE), 0.0)"
     ),
     "pick_from_list": _join3(
         "CASE CAST(round(fmod(CAST(floor(c.value) AS DOUBLE), 3.0) + 1.0) AS INT) "

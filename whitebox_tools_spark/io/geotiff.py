@@ -105,14 +105,29 @@ def _epsg_from_geokeys(tags: dict) -> int:
     return epsg
 
 
-def _geokey_directory_values(epsg: int) -> tuple[int, ...]:
+# projected CRS codes inside the otherwise-geographic EPSG 4000-4999
+# block (World Equidistant Cylindrical ellipsoid/sphere)
+_PROJECTED_IN_4XXX = frozenset({4087, 4088})
+# common geographic CRS codes OUTSIDE the 4xxx block (NAD83(2011/PA11/
+# MA11), GDA2020)
+_GEOGRAPHIC_OUTSIDE_4XXX = frozenset({6318, 6322, 6325, 7844})
+
+
+def _geokey_directory_values(epsg: int, geographic: bool | None = None) -> tuple[int, ...]:
     """GeoKeyDirectory SHORT array for a bare-EPSG CRS: header
     (KeyDirectoryVersion 1, revision 1.0, nkeys) + GTModelType +
     GTRasterType(PixelIsArea) + the Geographic/ProjectedCSType key —
     the same minimal key set the reference writer emits
-    (geotiff/mod.rs:2274-2460). Geographic 2D CRS codes live in the
-    EPSG 4000-4999 block; everything else is written as projected."""
-    geographic = 4000 <= epsg < 5000
+    (geotiff/mod.rs:2274-2460). The reference resolves geographic vs
+    projected from its full EPSG keyword tables (mod.rs:2251-2344);
+    here ``geographic=None`` infers it (4000-4999 block minus the known
+    projected exceptions, plus the common modern geographic codes) and
+    callers with exotic codes pass the flag explicitly via
+    GridConfig.epsg_geographic."""
+    if geographic is None:
+        geographic = (
+            4000 <= epsg < 5000 and epsg not in _PROJECTED_IN_4XXX
+        ) or epsg in _GEOGRAPHIC_OUTSIDE_4XXX
     keys = [
         (_GK_MODEL_TYPE, 0, 1, 2 if geographic else 1),
         (_GK_RASTER_TYPE, 0, 1, 1),
@@ -544,7 +559,9 @@ def encode_geotiff(
     tags.append((_MODEL_PIXEL_SCALE, 12, 3, scale))
     tags.append((_MODEL_TIEPOINT, 12, 6, tie))
     if cfg.epsg:
-        gk = _geokey_directory_values(int(cfg.epsg))
+        gk = _geokey_directory_values(
+            int(cfg.epsg), getattr(cfg, "epsg_geographic", None)
+        )
         tags.append((_GEOKEY_DIRECTORY, 3, len(gk),
                      struct.pack(bo + "H" * len(gk), *gk)))
     tags.append((_GDAL_NODATA, 2, len(nodata_ascii), nodata_ascii))

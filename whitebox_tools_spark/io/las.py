@@ -257,26 +257,39 @@ def encode_las(
     def _opt(col, default=0):
         return pdf[col].to_numpy() if col in pdf.columns else np.full(n, default)
 
-    rec["intensity"] = _opt("intensity").astype(np.uint16)
-    rec["classification"] = _opt("classification").astype(np.uint8)
-    rec["point_source_id"] = _opt("point_source_id").astype(np.uint16)
+    def _ranged(col, np_type, default=0):
+        """Cast an attribute into its spec field, raising on overflow
+        instead of wrapping (the same policy as the coordinate
+        _quantize guard)."""
+        v = np.asarray(_opt(col, default), dtype=np.int64)
+        info = np.iinfo(np_type)
+        if len(v) and (v.min() < info.min or v.max() > info.max):
+            raise ValueError(
+                f"{col} out of range for the LAS {np.dtype(np_type).name} "
+                f"field: [{v.min()}, {v.max()}] vs [{info.min}, {info.max}]"
+            )
+        return v.astype(np_type)
+
+    rec["intensity"] = _ranged("intensity", np.uint16)
+    rec["classification"] = _ranged("classification", np.uint8)
+    rec["point_source_id"] = _ranged("point_source_id", np.uint16)
     if point_format in _EXTENDED:
         ret = np.clip(_opt("return_num", 1).astype(np.int64), 0, 15)
         nret = np.clip(_opt("num_returns", 1).astype(np.int64), 0, 15)
         rec["returns"] = (ret | (nret << 4)).astype(np.uint8)
-        rec["scan_angle"] = _opt("scan_angle").astype(np.int16)
+        rec["scan_angle"] = _ranged("scan_angle", np.int16)
     else:
         ret = np.clip(_opt("return_num", 1).astype(np.int64), 0, 7)
         nret = np.clip(_opt("num_returns", 1).astype(np.int64), 0, 7)
         rec["flags"] = (ret | (nret << 3)).astype(np.uint8)
-        rec["scan_angle"] = _opt("scan_angle").astype(np.int8)
+        rec["scan_angle"] = _ranged("scan_angle", np.int8)
     if point_format in _HAS_GPS:
         rec["gps_time"] = _opt("gps_time", 0.0).astype(np.float64)
     if point_format in _HAS_RGB:
         for ch in ("red", "green", "blue"):
-            rec[ch] = _opt(ch).astype(np.uint16)
+            rec[ch] = _ranged(ch, np.uint16)
     if point_format in _HAS_NIR:
-        rec["nir"] = _opt("nir").astype(np.uint16)
+        rec["nir"] = _ranged("nir", np.uint16)
     # waveform packets (formats 4/5/9/10) are structurally present but
     # zeroed — the reference reads them yet no tool consumes waveform
     # samples (las.rs wave_packet pass-through)

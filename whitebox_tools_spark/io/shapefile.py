@@ -177,10 +177,9 @@ def encode_shapefile(
     if not nonnull:
         raise ValueError("all-null shapefile not supported")
     shape_type = nonnull[0].shape_type
-    if shape_type not in (SHP_POINT, SHP_POINT_Z, SHP_POINT_M,
-                          SHP_MULTIPOINT, SHP_MULTIPOINT_Z, SHP_MULTIPOINT_M,
-                          SHP_POLYLINE, SHP_POLYLINE_Z, SHP_POLYLINE_M,
-                          SHP_POLYGON, SHP_POLYGON_Z, SHP_POLYGON_M):
+    supported = ({SHP_POINT, SHP_POLYLINE, SHP_POLYGON, SHP_MULTIPOINT}
+                 | set(_Z_TYPES) | set(_M_TYPES))
+    if shape_type not in supported:
         raise ValueError(f"unsupported shape type {shape_type}")
     contents = []
     for rec in records:

@@ -51,6 +51,13 @@ class GridConfig:
     # epsg_code, src/raster/mod.rs:1166); carried through the GeoTIFF
     # codec via the GeoKeyDirectory tag.
     epsg: int = 0
+    # Whether the EPSG code names a geographic (lat/lon) CRS. None =
+    # infer from the code (4000-4999 block minus the known projected
+    # exceptions). The reference resolves this from its full EPSG
+    # keyword tables (geotiff/mod.rs:2251-2344); set explicitly for
+    # codes outside the common blocks (e.g. True for NAD83(2011) 6318,
+    # GDA2020 7844).
+    epsg_geographic: bool | None = None
 
     @property
     def south(self) -> float:

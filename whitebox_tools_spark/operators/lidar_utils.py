@@ -60,11 +60,9 @@ def lidar_elevation_slice(points: DataFrame, minz: float, maxz: float) -> DataFr
 def lidar_histogram(points: DataFrame, bin_width: float,
                     field: str = "z") -> DataFrame:
     """LidarHistogram (lidar_histogram.rs): fixed-width histogram of an
-    attribute (default elevation): ``(bin, n)``."""
-    return (
-        points.groupBy(F.floor(F.col(field) / F.lit(float(bin_width))).alias("bin"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    attribute (default elevation): ``(bin, n)`` — the same binning as
+    :func:`attribute_histogram`, delegated so the logic lives once."""
+    return attribute_histogram(points, field, bin_width)
 
 
 def lidar_info(points: DataFrame) -> DataFrame:

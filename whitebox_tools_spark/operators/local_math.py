@@ -274,14 +274,17 @@ def lowest_position(rasters: list[DataFrame]) -> DataFrame:
 
 def count_if(rasters: list[DataFrame], value: float) -> DataFrame:
     """CountIf (count_if.rs): per cell, how many stack inputs equal
-    ``value`` (NoData inputs don't count)."""
+    ``value`` (NoData inputs don't count). A cell with ZERO matches is
+    NoData (NULL), not 0 — the reference writes the output only on the
+    first match (guarded increment over a nodata-initialized raster,
+    count_if.rs:243-248), so no-match cells stay nodata."""
     n = len(rasters)
     s = _stack(rasters)
     cnt = None
     for i in range(n):
         hit = F.when(F.col(f"_v{i}") == F.lit(float(value)), 1.0).otherwise(0.0)
         cnt = hit if cnt is None else cnt + hit
-    return s.select("row", "col", cnt.alias("value"))
+    return s.select("row", "col", F.when(cnt > 0.0, cnt).alias("value"))
 
 
 def percent_stack(

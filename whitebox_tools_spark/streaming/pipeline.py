@@ -27,6 +27,7 @@ is a pure function of the input files —
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 from typing import Iterator, Tuple
@@ -66,20 +67,30 @@ def run_available_now(
     df: DataFrame, name: str = "stream_result", output_mode: str = "append"
 ) -> DataFrame:
     """Run a streaming frame to completion (Trigger.AvailableNow) into a
-    memory sink and return the materialized result as a batch frame.
-    The checkpoint directory is the restart/resume point — a re-run with
-    the same location skips already-committed batches."""
+    memory sink and return the materialized result as a batch frame
+    (localCheckpoint-pinned; the transient memory-sink table and the
+    finished checkpoint dir are cleaned up — a PRODUCTION restartable
+    stream would instead keep a durable checkpointLocation, which is
+    exactly where resume state lives)."""
     qname = f"{name}_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="wts_stream_")
     query = (
         df.writeStream.format("memory")
         .queryName(qname)
         .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="wts_stream_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     query.awaitTermination()
-    return df.sparkSession.table(qname)
+    spark = df.sparkSession
+    # pin the rows into executor block storage, then drop the memory
+    # sink table and the finished checkpoint dir — otherwise every run
+    # leaks a driver-resident result table and a /tmp directory
+    out = spark.table(qname).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(qname)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
 
 
 # ---------------------------------------------------------------- queries
