@@ -1112,3 +1112,89 @@ def test_las_attribute_overflow_raises():
     ok = las.encode_las(pd.DataFrame({**base, "scan_angle": [200]}),
                         point_format=6)
     assert ok[:4] == b"LASF"
+
+
+# --------------------------------------------- round-4 self-review fixes
+
+
+def test_dbf_deleted_record_keeps_alignment():
+    """A soft-deleted .dbf row keeps its slot so later features' attrs
+    don't shift by one."""
+    recs = [{"Z": i} for i in range(3)]
+    dbf = bytearray(shapefile._encode_dbf(recs, [("Z", "N", 9, 0)]))
+    hdr_size = 32 + 32 + 1
+    dbf[hdr_size + 10] = ord("*")  # delete record 1 (rec_size = 10)
+    got = shapefile._decode_dbf(bytes(dbf))
+    assert len(got) == 3
+    assert got[0]["Z"] == 0 and got[1] == {} and got[2]["Z"] == 2
+
+
+def test_dbf_logical_date_length_validation():
+    with pytest.raises(ValueError, match="length must be 1"):
+        shapefile._encode_dbf([{"F": True}], [("F", "L", 2, 0)])
+    with pytest.raises(ValueError, match="length must be 8"):
+        shapefile._encode_dbf([{"D": "20200101"}], [("D", "D", 10, 0)])
+
+
+def test_shapefile_zm_payload_length_validation(tmp_path):
+    line = np.array([[0, 0], [5, 5], [10, 3]], dtype=float)
+    rec = shapefile.ShapeRecord(parts=[line], shape_type=shapefile.SHP_POLYLINE_Z,
+                                zs=[np.array([1.0, 2.0])])  # 2 z for 3 pts
+    with pytest.raises(ValueError, match="z payload"):
+        shapefile.encode_shapefile([rec])
+
+
+def test_geotiff_strip_offsets_word_aligned():
+    """TIFF 6.0 requires values (and by convention strip data) to begin
+    on word boundaries; the odd-length GDAL_NODATA ASCII must not make
+    offsets odd."""
+    g = _demo_grid("f8")
+    for big in (False, True):
+        data = geotiff.encode_geotiff(g, CFG, big=big, compression=1)
+        tags = geotiff.print_geotiff_tags(data)
+        assert all(o % 2 == 0 for o in tags["StripOffsets"])
+
+
+def test_nan_nodata_drop(spark, tmp_path):
+    """drop_nodata must drop NaN nodata cells (NaN != NaN is always
+    True, so the naive filter keeps them all)."""
+    import dataclasses
+    arr = np.array([[1.0, np.nan], [3.0, np.nan]])
+    cfg = dataclasses.replace(CFG, rows=2, cols=2, nodata=float("nan"))
+    p = str(tmp_path / "nan.tif")
+    with open(p, "wb") as f:
+        f.write(geotiff.encode_geotiff(arr, cfg))
+    got = geotiff.read_geotiff(spark, p, drop_nodata=True).toPandas()
+    assert sorted(got["value"]) == [1.0, 3.0]
+
+
+def test_write_geotiff_tiles_carries_epsg_and_fills_empty_bands(spark, tmp_path):
+    """Every band tile carries the CRS, and an all-nodata band still
+    produces a (nodata) file so the mosaic has no silent hole."""
+    import dataclasses
+    cfg = dataclasses.replace(CFG, rows=30, cols=4, epsg=26917)
+    # data only in rows 0-9 and 20-29: band 1 (rows 10-19) is empty
+    rows = [(r, c, float(r * 10 + c)) for r in list(range(10)) + list(range(20, 30))
+            for c in range(4)]
+    df = spark.createDataFrame(rows, "row long, col long, value double")
+    files = geotiff.write_geotiff_tiles(df, cfg, str(tmp_path / "t"), tile_rows=10)
+    assert len(files) == 3  # including the empty middle band
+    for fp in files:
+        c = geotiff.read_geotiff_config(fp)
+        assert c.epsg == 26917
+    with open(files[1], "rb") as f:
+        _, band1 = geotiff.decode_geotiff(f.read())
+    assert (band1 == cfg.nodata).all()  # all-nodata, not missing
+    # mosaic back: data rows identical
+    back = geotiff.read_geotiff(spark, str(tmp_path / "t"), drop_nodata=True)
+    assert back.count() == len(rows)
+
+
+def test_las_tiles_carry_wkt(spark, tmp_path):
+    pdf_rows = [(float(i), float(i * 2), 5.0, i % 4) for i in range(40)]
+    df = spark.createDataFrame(pdf_rows, "x double, y double, z double, tile int")
+    files = las.write_las_tiles(df, str(tmp_path / "lt"), "tile",
+                                point_format=6, wkt="PROJCS[\"test\"]")
+    for fp in files:
+        with open(fp, "rb") as f:
+            assert las.las_wkt(f.read()) == "PROJCS[\"test\"]"

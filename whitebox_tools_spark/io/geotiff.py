@@ -587,9 +587,13 @@ def encode_geotiff(
     value_pos: dict[int, int] = {}
     for tag, ftype, count, val in tags:
         if val is not None and len(val) > inline:
+            if len(extra) & 1:  # TIFF 6.0: values begin on word boundaries
+                extra += b"\0"
             value_pos[tag] = extra_off + len(extra)
             extra += val
 
+    if len(extra) & 1:  # keep strip offsets word-aligned too
+        extra += b"\0"
     data_off = extra_off + len(extra)
     strip_offsets = []
     p = data_off
@@ -675,7 +679,12 @@ def read_geotiff(
                         "value": band.ravel(),
                     })
                     if drop_nodata:
-                        out = out[out["value"] != cfg.nodata]
+                        nd = cfg.nodata
+                        # NaN nodata (GDAL_NODATA='nan' is common for
+                        # float rasters): `!= NaN` keeps everything
+                        bad = (np.isnan(out["value"]) if np.isnan(nd)
+                               else out["value"] == nd)
+                        out = out[~bad]
                     yield out
 
     return bf.select("path", "content").mapInPandas(_decode, schema=_GRID_SCHEMA)
@@ -774,21 +783,41 @@ def write_geotiff_tiles(
         T.StructField("rows", T.LongType()),
     ])
 
+    epsg = int(getattr(cfg, "epsg", 0) or 0)
+    epsg_geo = getattr(cfg, "epsg_geographic", None)
+
     def _write_band(key, pdf: pd.DataFrame) -> pd.DataFrame:
         band = int(key[0])
         r0 = band * tile_rows
         nb = min(tile_rows, rows - r0)
         arr = np.full((nb, cols), nodata, dtype=dtype)
+        pdf = pdf[pdf["_s"] == 0]  # group-existence sentinels carry no data
         arr[pdf["row"].to_numpy() - r0, pdf["col"].to_numpy()] = pdf["value"].to_numpy()
+        # carry the CRS into every band (the single-file writer's
+        # GeoKeyDirectory carry-through, certified by geotiff_roundtrip)
         bcfg = GridConfig(rows=nb, cols=cols, north=north - r0 * res_y, west=west,
-                          res_x=res_x, res_y=res_y, nodata=nodata)
+                          res_x=res_x, res_y=res_y, nodata=nodata,
+                          epsg=epsg, epsg_geographic=epsg_geo)
         fp = os.path.join(out_dir, f"band_{band:06d}.tif")
         with open(fp, "wb") as f:
             f.write(encode_geotiff(arr, bcfg, compression=compression))
         return pd.DataFrame({"band": [band], "file": [fp], "rows": [nb]})
 
+    # one sentinel row per band (flagged _s=1, dropped before assignment):
+    # an all-nodata band would otherwise produce NO group, hence NO file,
+    # and the mosaic would have a silent hole
+    n_bands = math.ceil(rows / tile_rows)
+    spark = df.sparkSession
+    sentinels = spark.range(n_bands).select(
+        (F.col("id") * tile_rows).alias("row"),
+        F.lit(0).cast("long").alias("col"),
+        F.lit(nodata).alias("value"),
+        F.lit(1).alias("_s"),
+    )
     manifest = (
-        df.withColumn("_band", (F.col("row") / F.lit(tile_rows)).cast("long"))
+        df.select("row", "col", "value").withColumn("_s", F.lit(0))
+        .unionByName(sentinels)
+        .withColumn("_band", (F.col("row") / F.lit(tile_rows)).cast("long"))
         .groupBy("_band")
         .applyInPandas(_write_band, schema=out_schema)
         .collect()

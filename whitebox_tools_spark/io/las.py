@@ -431,10 +431,13 @@ def write_las(
 
 
 def write_las_tiles(
-    df: DataFrame, out_dir: str, tile_col: str, point_format: int = 1
+    df: DataFrame, out_dir: str, tile_col: str, point_format: int = 1,
+    wkt: str | None = None,
 ) -> list[str]:
     """One .las per tile id, encoded on the executors (the LidarTile
-    output contract, lidar_tile.rs — each tile is an independent file)."""
+    output contract, lidar_tile.rs — each tile is an independent file).
+    ``wkt`` writes the OGC WKT CRS VLR into every tile — required by the
+    LAS 1.4 spec for the extended point formats 6-10."""
     os.makedirs(out_dir, exist_ok=True)
     out_schema = T.StructType([
         T.StructField("tile", T.StringType()),
@@ -446,7 +449,7 @@ def write_las_tiles(
         tile = str(key[0])
         fp = os.path.join(out_dir, f"tile_{tile}.las")
         with open(fp, "wb") as f:
-            f.write(encode_las(pdf, point_format))
+            f.write(encode_las(pdf, point_format, wkt=wkt))
         return pd.DataFrame({"tile": [tile], "file": [fp], "n": [len(pdf)]})
 
     manifest = df.groupBy(tile_col).applyInPandas(_write, schema=out_schema).collect()

@@ -78,6 +78,14 @@ def _encode_dbf(records: list[dict], fields: list[tuple[str, str, int, int]]) ->
     numeric whose formatted width exceeds the field length raises instead
     of silently truncating digits (ADVICE r3). Dates are YYYYMMDD;
     logicals are T/F with '?' for null."""
+    for name, ftype, ln, _dec in fields:
+        # L and D bodies are written at their spec-fixed widths (1 and 8
+        # bytes); a different declared length would shift every later
+        # field's offset from row 1 onward
+        if ftype == "L" and ln != 1:
+            raise ValueError(f"field {name}: L (logical) length must be 1")
+        if ftype == "D" and ln != 8:
+            raise ValueError(f"field {name}: D (date) length must be 8")
     n = len(records)
     hdr_size = 32 + 32 * len(fields) + 1
     rec_size = 1 + sum(f[2] for f in fields)
@@ -135,7 +143,12 @@ def _decode_dbf(data: bytes) -> list[dict]:
     out = []
     for i in range(n):
         rpos = hdr_size + i * rec_size
-        if data[rpos:rpos + 1] == b"*":  # deleted
+        if data[rpos:rpos + 1] == b"*":
+            # soft-deleted record: KEEP a placeholder slot — .dbf rows
+            # align 1:1 with .shp records, and skipping would attach
+            # every later record's attributes to the wrong geometry
+            # (same alignment rule as null shapes, ADVICE r3)
+            out.append({})
             continue
         rec = {}
         fpos = rpos + 1
@@ -164,6 +177,20 @@ def _shp_header(shape_type: int, bbox: tuple, file_len_words: int) -> bytes:
     struct.pack_into("<i", h, 32, shape_type)
     struct.pack_into("<4d", h, 36, *bbox)  # xmin ymin xmax ymax
     return bytes(h)
+
+
+def _payload(arrays: list | None, npts: int, what: str) -> np.ndarray:
+    """Concatenate per-part z/m arrays, validating the total length
+    against the record's point count — a short/long payload would write
+    a structurally corrupt *Z/*M record (blocks read at wrong offsets)."""
+    if not arrays:
+        return np.zeros(npts)
+    flat = np.concatenate([np.asarray(a, dtype="<f8") for a in arrays])
+    if len(flat) != npts:
+        raise ValueError(
+            f"{what} payload has {len(flat)} values for {npts} points"
+        )
+    return flat
 
 
 def encode_shapefile(
@@ -211,13 +238,11 @@ def encode_shapefile(
             )
             body += np.ascontiguousarray(pts, dtype="<f8").tobytes()
             if shape_type == SHP_MULTIPOINT_Z:
-                zf = (np.concatenate([np.asarray(z, dtype="<f8") for z in rec.zs])
-                      if rec.zs else np.zeros(len(pts)))
+                zf = _payload(rec.zs, len(pts), "z")
                 body += struct.pack("<2d", float(zf.min()), float(zf.max()))
                 body += np.ascontiguousarray(zf, dtype="<f8").tobytes()
             if shape_type in (SHP_MULTIPOINT_M, SHP_MULTIPOINT_Z):
-                mf = (np.concatenate([np.asarray(m, dtype="<f8") for m in rec.ms])
-                      if rec.ms else np.zeros(len(pts)))
+                mf = _payload(rec.ms, len(pts), "m")
                 body += struct.pack("<2d", float(mf.min()), float(mf.max()))
                 body += np.ascontiguousarray(mf, dtype="<f8").tobytes()
         else:
@@ -236,14 +261,12 @@ def encode_shapefile(
             body += np.ascontiguousarray(pts, dtype="<f8").tobytes()
             if shape_type in (SHP_POLYLINE_Z, SHP_POLYGON_Z):
                 # *Z: z range + z values, then m range + m values
-                zf = (np.concatenate([np.asarray(z, dtype="<f8") for z in rec.zs])
-                      if rec.zs else np.zeros(len(pts)))
+                zf = _payload(rec.zs, len(pts), "z")
                 body += struct.pack("<2d", float(zf.min()), float(zf.max()))
                 body += np.ascontiguousarray(zf, dtype="<f8").tobytes()
             if shape_type in (SHP_POLYLINE_Z, SHP_POLYGON_Z,
                               SHP_POLYLINE_M, SHP_POLYGON_M):
-                mf = (np.concatenate([np.asarray(m, dtype="<f8") for m in rec.ms])
-                      if rec.ms else np.zeros(len(pts)))
+                mf = _payload(rec.ms, len(pts), "m")
                 body += struct.pack("<2d", float(mf.min()), float(mf.max()))
                 body += np.ascontiguousarray(mf, dtype="<f8").tobytes()
         contents.append(body)

@@ -136,6 +136,12 @@ def minhash_candidates(
     share at least one minhash; higher values tighten the bucket key.
     One explode + one self equi-join on (band, key) — AQE handles hot
     buckets."""
+    if len(MINHASH_COEFFS) % rows_per_band:
+        raise ValueError(
+            f"rows_per_band={rows_per_band} must divide the signature "
+            f"length {len(MINHASH_COEFFS)} — trailing minhashes would be "
+            "silently un-banded, lowering recall below the configured theory"
+        )
     sig = with_minhash(docs, text).select(record, "minhash")
     n_bands = len(MINHASH_COEFFS) // rows_per_band
     bands = F.array(
@@ -338,6 +344,22 @@ def token_bitmaps(
         toks.select("h")
         .distinct()
         .select("h", (F.row_number().over(Window.orderBy("h")) - 1).alias("bit"))
+    )
+    # executor-side capacity guard baked into the live bit column: a bit
+    # beyond n_words*64 would match no word column and silently vanish
+    # from every bitmap while nt still counted it — undercounting
+    # intersections with no error
+    vocab = vocab.select(
+        "h",
+        F.when(F.col("bit") < F.lit(n_words * 64), F.col("bit"))
+        .otherwise(
+            F.raise_error(
+                F.lit(f"token vocabulary exceeds the {n_words * 64}-bit "
+                      "bitmap capacity; raise n_words or use the "
+                      "long-array verify lane")
+            )
+        )
+        .alias("bit"),
     )
     word = F.expr("shiftleft(1L, int(bit % 64))")
     zero = F.lit(0).cast("long")
