@@ -100,7 +100,10 @@ def read_arcascii(spark: SparkSession, path: str, drop_nodata: bool = False) -> 
                     "value": arr.ravel(),
                 })
                 if drop_nodata:
-                    out = out[out["value"] != cfg.nodata]
+                    # NaN nodata: != NaN keeps everything (io/geotiff.py)
+                    bad = (np.isnan(out["value"]) if np.isnan(cfg.nodata)
+                           else out["value"] == cfg.nodata)
+                    out = out[~bad]
                 yield out
 
     return bf.select("path", "content").mapInPandas(_decode, schema=_GRID_SCHEMA)
