@@ -692,10 +692,10 @@ def test_bigtiff_bad_offset_size_rejected():
 
 
 def test_encode_rejects_unwritable_compression():
-    """The writer only emits none/deflate; labeling strips LZW/PackBits
+    """The writer emits none/LZW/deflate; labeling strips PackBits/JPEG
     without compressing them would corrupt the file (ADVICE r3)."""
     g = _demo_grid("f4")
-    for comp in (5, 32773, 7):
+    for comp in (32773, 7):
         with pytest.raises(ValueError, match="compression"):
             geotiff.encode_geotiff(g, CFG, compression=comp)
 
@@ -1198,3 +1198,32 @@ def test_las_tiles_carry_wkt(spark, tmp_path):
     for fp in files:
         with open(fp, "rb") as f:
             assert las.las_wkt(f.read()) == "PROJCS[\"test\"]"
+
+
+@pytest.mark.parametrize("dtype", ["u1", "u2", "f8"])
+def test_geotiff_lzw_encode_roundtrip(dtype):
+    """Writer-side TIFF-LZW (compression 5) roundtrips through the
+    reader, including strips large enough to force the 12-bit table
+    reset (CLEAR re-emission at next_code 4094)."""
+    rng = np.random.default_rng(41)
+    big = GridConfig(rows=64, cols=512, north=0, west=0, res_x=1, res_y=1)
+    if dtype == "f8":
+        g = rng.normal(0, 1000, size=(big.rows, big.cols)).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        g = rng.integers(info.min, info.max, size=(big.rows, big.cols),
+                         endpoint=True).astype(dtype)
+    data = geotiff.encode_geotiff(g, big, compression=5, rows_per_strip=32)
+    assert geotiff.print_geotiff_tags(data)["Compression"] == (5,)
+    _, back = geotiff.decode_geotiff(data)
+    np.testing.assert_array_equal(back, g.astype(np.float64))
+
+
+def test_geotiff_lzw_with_predictor():
+    ramp = (np.arange(32)[:, None] * 3 + np.arange(128)[None, :]).astype("u2")
+    cfg = GridConfig(rows=32, cols=128, north=0, west=0, res_x=1, res_y=1)
+    data = geotiff.encode_geotiff(ramp, cfg, compression=5, predictor=2)
+    _, back = geotiff.decode_geotiff(data)
+    np.testing.assert_array_equal(back, ramp.astype(np.float64))
+    plain = geotiff.encode_geotiff(ramp, cfg, compression=5)
+    assert len(data) < len(plain)  # predictor helps LZW too

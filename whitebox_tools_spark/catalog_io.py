@@ -437,6 +437,23 @@ _ORACLE_GEOTIFF_PRED = (
 )
 
 
+def q_geotiff_lzw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """block-min grid -> GeoTIFF f8 with TIFF-LZW strips (compression 5,
+    early-change widths, CLEAR reset) -> distributed decode. The writer
+    side exceeds the reference (its writer is COMPRESS_NONE only,
+    geotiff/mod.rs:1959-1965); the READ side is reference parity
+    (mod.rs:424-432 LZW arm). Oracle = the lossless block oracle."""
+    pts = _docs_geo(spark, sf_dir).select("x", "y", "z")
+    grid = block_grid(pts, GRID, stat="min")
+    d = tempfile.mkdtemp(prefix="wts_lzwtif_")
+    path = os.path.join(d, "grid.tif")
+    geotiff.write_geotiff(grid, GRID, path, dtype="f8", compression=5)
+    back = geotiff.read_geotiff(spark, path, drop_nodata=True)
+    return back.select(
+        F.col("row").alias("cell_row"), F.col("col").alias("cell_col"), "value"
+    )
+
+
 _PALETTE = [(k * 9000 + 1000, k * 7000 + 500, k * 5000 + 250) for k in range(5)]
 # the reference's ARGB pack: 16-bit channels truncated to 8-bit,
 # a=255 (geotiff/mod.rs:779-786)
@@ -720,6 +737,7 @@ QUERIES = {
     "geotiff_roundtrip": q_geotiff_roundtrip,
     "geotiff_pred_roundtrip": q_geotiff_pred_roundtrip,
     "geotiff_palette_roundtrip": q_geotiff_palette_roundtrip,
+    "geotiff_lzw_roundtrip": q_geotiff_lzw_roundtrip,
     "bigtiff_roundtrip": q_bigtiff_roundtrip,
     "rgb_roundtrip": q_rgb_roundtrip,
     "arcascii_roundtrip": q_arcascii_roundtrip,
@@ -740,6 +758,7 @@ ORACLE_SQL = {
     "geotiff_roundtrip": _ORACLE_GEOTIFF,
     "geotiff_pred_roundtrip": _ORACLE_GEOTIFF_PRED,
     "geotiff_palette_roundtrip": _ORACLE_GEOTIFF_PALETTE,
+    "geotiff_lzw_roundtrip": _oracle_block("min"),
     "bigtiff_roundtrip": _ORACLE_GEOTIFF,
     "arcascii_roundtrip": _ORACLE_ARCASCII,
     "whitebox_roundtrip": _oracle_points_raster("max"),

@@ -8,7 +8,8 @@ rasters, src/raster/geotiff/mod.rs:214 read_geotiff / :1564 write_geotiff):
   uint/int/float;
 - strip or tile layout; Compression 1 (none), 5 (LZW, early-change),
   8/32946 (zlib deflate), 32773 (PackBits) — the reference's full
-  decoder set (geotiff/mod.rs:424-432); the writer emits none/deflate;
+  decoder set (geotiff/mod.rs:424-432); the writer emits none/LZW/deflate
+  (the reference writer emits none only, geotiff/mod.rs:1959-1965);
 - Predictor 2 (horizontal differencing, integer samples) on read —
   the reference un-diffs it post-decode (geotiff/mod.rs:1526-1540);
   here it is undone per strip/tile row per component, modular in the
@@ -248,6 +249,54 @@ def _unlzw(chunk: bytes) -> bytes:
     return bytes(out)
 
 
+def _lzw_compress(data: bytes) -> bytes:
+    """TIFF-variant LZW encode (MSB-first, early-change widths, CLEAR
+    reset before the 12-bit table fills) — the writer-side complement of
+    :func:`_unlzw`. The reference writer never compresses at all
+    (geotiff/mod.rs:1959-1965 COMPRESS_NONE), so this exceeds it."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    buf = 0
+    nbits = 0
+
+    def emit(code: int, wd: int) -> None:
+        nonlocal buf, nbits
+        buf = (buf << wd) | code
+        nbits += wd
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            buf &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(CLEAR, width)
+    w = b""
+    for i in range(len(data)):
+        ch = data[i:i + 1]
+        wc = w + ch
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # early-change: widen one code before the table actually fills
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        elif next_code == 4094:  # 12-bit table full: reset both sides
+            emit(CLEAR, width)
+            table = {bytes([j]): j for j in range(256)}
+            next_code, width = 258, 9
+        w = ch
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def _decompress(chunk: bytes, compression: int) -> bytes:
     if compression == 1:
         return chunk
@@ -462,14 +511,15 @@ def encode_geotiff(
     BigTIFF (version 43: 8-byte offsets, 20-byte IFD entries, LONG8
     strip tables) so files past 4 GiB stay addressable. ``predictor=2``
     (integer samples only) stores horizontal differences per strip row —
-    usually a large deflate-size win on smooth rasters."""
+    usually a large deflate/LZW-size win on smooth rasters."""
     if grid.ndim not in (2, 3):
         raise ValueError("grid must be 2-D or 3-D (h, w, samples)")
-    if compression not in (1, 8):
-        # the writer only actually compresses deflate; anything else
-        # would mislabel raw strips as compressed (ADVICE r3)
+    if compression not in (1, 5, 8):
+        # only emit labels the writer actually compresses — anything
+        # else would mislabel raw strips as compressed (ADVICE r3)
         raise ValueError(
-            f"writer supports compression 1 (none) or 8 (deflate), got {compression}"
+            "writer supports compression 1 (none), 5 (LZW) or 8 (deflate), "
+            f"got {compression}"
         )
     if predictor not in (1, 2):
         raise ValueError(f"writer supports predictor 1 or 2, got {predictor}")
@@ -504,7 +554,12 @@ def encode_geotiff(
                 d[:, 1:, :] = block[:, 1:, :] - block[:, :-1, :]
             block = d
         raw = block.tobytes()
-        strips.append(zlib.compress(raw, 6) if compression == 8 else raw)
+        if compression == 8:
+            strips.append(zlib.compress(raw, 6))
+        elif compression == 5:
+            strips.append(_lzw_compress(raw))
+        else:
+            strips.append(raw)
 
     nodata_ascii = (repr(float(cfg.nodata)) + "\0").encode("ascii")
     scale = struct.pack(bo + "3d", float(cfg.res_x), float(cfg.res_y), 0.0)
