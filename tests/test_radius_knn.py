@@ -187,3 +187,18 @@ def test_cell_histogram_sentinel():
     assert _cell_histogram(pts, 30.0, "x", "y", max_cells=4) is None
     h = _cell_histogram(pts, 30.0, "x", "y", max_cells=100)
     assert sum(h.values()) == 8 and len(h) == 8
+
+
+def test_knn_loop_reaches_far_queries(spark):
+    """A query far outside the point extent must still find its k
+    nearest in the loop strategy (shells are bounded by the COMBINED
+    point+query extent, not the point extent alone)."""
+    from whitebox_tools_spark.operators.radius_join import knn_join
+
+    pts = spark.createDataFrame(
+        [(float(i), float(i % 3)) for i in range(8)], "x double, y double")
+    far_q = spark.createDataFrame([(1, 500.0, 500.0)],
+                                  "qid long, x double, y double")
+    out = knn_join(pts, far_q, k=2, radius=2.0, strategy="loop").toPandas()
+    assert len(out) == 2
+    assert set(out["knn_rank"]) == {1, 2}

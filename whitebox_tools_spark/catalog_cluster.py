@@ -24,15 +24,12 @@ from whitebox_tools_spark import derive
 from whitebox_tools_spark.catalog_grid import GRID, _PTS_CTE
 from whitebox_tools_spark.catalog_iter import _Z_CTE, _d8_dir_sql
 from whitebox_tools_spark.operators import hydro, trend
-from whitebox_tools_spark.operators import raster as rop
 from whitebox_tools_spark.operators.cluster import (
     kmeans,
     strahler_order,
     viewshed,
     viewshed_sweep,
 )
-from whitebox_tools_spark.operators.focal import focal_apply
-from whitebox_tools_spark.operators.hydro import _d8_dir_stencil
 from whitebox_tools_spark.sources.tables import documents
 
 TILE_SIZE = 8
@@ -63,12 +60,11 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_strahler(spark: SparkSession, sf_dir: str) -> DataFrame:
-    z = _z_raster(spark, sf_dir)
-    from whitebox_tools_spark import catalog_cache as _cc2
-    accum = _cc2.accum(spark, sf_dir, TILE_SIZE)
+    from whitebox_tools_spark import catalog_cache as _cc
+
+    accum = _cc.accum(spark, sf_dir, TILE_SIZE)
     streams = trend.extract_streams(accum, ST_THRESHOLD)
-    from whitebox_tools_spark import catalog_cache as _cc3
-    dirs = _cc3.dirs(spark, sf_dir, TILE_SIZE)
+    dirs = _cc.dirs(spark, sf_dir, TILE_SIZE)
     return strahler_order(streams, dirs, GRID, max_rounds=ST_ROUNDS).select(
         F.col("row").alias("cell_row"), F.col("col").alias("cell_col"), "value"
     )
@@ -165,7 +161,9 @@ nodes AS (SELECT cell_row, cell_col, cell_row * {GRID.cols} + cell_col AS id, di
 down AS (SELECT id AS a,
                 (cell_row + [{dys}][dir + 1]) * {GRID.cols}
                   + (cell_col + [{dxs}][dir + 1]) AS b
-         FROM nodes WHERE dir >= 0),
+         FROM nodes WHERE dir >= 0
+           AND cell_row + [{dys}][dir + 1] BETWEEN 0 AND {GRID.rows - 1}
+           AND cell_col + [{dxs}][dir + 1] BETWEEN 0 AND {GRID.cols - 1}),
 walk AS (SELECT id AS src, id AS cur FROM nodes
          UNION ALL
          SELECT w.src, d.b FROM walk w JOIN down d ON d.a = w.cur),

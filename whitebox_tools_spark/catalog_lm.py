@@ -57,7 +57,7 @@ _T_BOOL = (  # threshold to {0,1}        (logical ops)
     lambda c: F.when(c > F.lit(50.0), F.lit(1.0)).otherwise(F.lit(0.0)),
     "(CASE WHEN {v} > 50.0 THEN 1.0 ELSE 0.0 END)",
 )
-_T_NULLY = (  # inject NoData above 50   (isnodata propagation)
+_T_NULLY = (  # inject NoData above 50   (isnodata flags it as 1.0)
     lambda c: F.when(c > F.lit(50.0), F.lit(None).cast("double")).otherwise(c),
     "(CASE WHEN {v} > 50.0 THEN NULL ELSE {v} END)",
 )
@@ -98,8 +98,11 @@ _UNARY: dict[str, tuple] = {
     "increment": (_T_RAW, "({x}) + 1.0", False),
     "decrement": (_T_RAW, "({x}) - 1.0", False),
     "not": (_T_BOOL, "CASE WHEN {x} = 0.0 THEN 1.0 ELSE 0.0 END", False),
+    # isnodata: the reference writes 1.0 AT nodata cells (isnodata.rs:
+    # 200-205) — the one unary op that reads the null instead of
+    # propagating it
     "isnodata": (_T_NULLY,
-                 "CASE WHEN {x} IS NULL THEN NULL ELSE 0.0 END", False),
+                 "CASE WHEN {x} IS NULL THEN 1.0 ELSE 0.0 END", False),
 }
 
 _BINARY: dict[str, tuple] = {

@@ -90,7 +90,13 @@ class Pipeline:
         aggs = [F.count(F.lit(1)).alias("rows")]
         for k in stage.key_cols:
             aggs += [F.min(k).alias(f"min_{k}"), F.max(k).alias(f"max_{k}")]
-        return df.groupBy(F.spark_partition_id().alias("partition_id")).agg(*aggs)
+        # group by the WRITTEN file, not spark_partition_id() over the
+        # re-read: read-time splits pack/split files by maxPartitionBytes,
+        # so their ids change with reader settings and misattribute skew;
+        # one metrics row per part-file IS the written-partition lineage
+        # (an Iceberg backend would record the same per-data-file stats)
+        fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+        return df.groupBy(fname.alias("partition_id")).agg(*aggs)
 
     def metrics(self, spark: SparkSession, stage: str) -> DataFrame:
         return spark.read.parquet(os.path.join(self._dir(stage), "_metrics"))

@@ -19,13 +19,8 @@ data-dependent iterative families of SURVEY.md §2.7/§2.8).
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from whitebox_tools_spark.operators.graph import checkpoint_nostats, size_hint
 from whitebox_tools_spark.operators.gridding import GridConfig
@@ -67,7 +62,7 @@ def kmeans(
     for _ in range(max_iter):
         assigned = df.select(record, *features, assign_expr(centers).alias("cluster"))
         upd = assigned.groupBy("cluster").agg(
-            *[F.avg(f).alias(f) for f in features], F.count(F.lit(1)).alias("_n")
+            *[F.avg(f).alias(f) for f in features]
         ).collect()
         new_centers = list(centers)
         for r in upd:
@@ -93,12 +88,15 @@ def strahler_order(
     dy = F.array(*[F.lit(v) for v in D8_DY])
     cid = (F.col("row") * cfg.cols + F.col("col")).alias("id")
     nodes = cells.select("row", "col", cid, "dir")
-    down_all = nodes.where(F.col("dir") >= 0).select(
-        F.col("id").alias("a"),
-        (
-            (F.col("row") + F.element_at(dy, F.col("dir") + 1)) * cfg.cols
-            + (F.col("col") + F.element_at(dx, F.col("dir") + 1))
-        ).alias("b"),
+    tr = F.col("row") + F.element_at(dy, F.col("dir") + 1)
+    tc = F.col("col") + F.element_at(dx, F.col("dir") + 1)
+    # bounds-check the packed target id: an off-grid D8 direction at the
+    # row edge would otherwise WRAP to a valid id on the adjacent row
+    # (col = cols aliases to (row+1, 0)) and fabricate a stream edge
+    down_all = (
+        nodes.where(F.col("dir") >= 0)
+        .where((tr >= 0) & (tr < cfg.rows) & (tc >= 0) & (tc < cfg.cols))
+        .select(F.col("id").alias("a"), (tr * cfg.cols + tc).alias("b"))
     )
     # stream-to-stream edges only
     ids = nodes.select(F.col("id").alias("b"))
@@ -330,9 +328,12 @@ def modified_kmeans(
 ) -> tuple[DataFrame, list]:
     """ModifiedKMeansClustering (image_analysis/modified_k_means.rs,
     engine form): Lloyd's iterations starting from k0 centers, but after
-    every update each cluster is RELABELLED to the smallest cluster id
-    whose (live) center lies within ``merge_dist`` — one merge pass per
-    iteration, no transitive chaining — and merged-away centers go dead.
+    every update each cluster is RELABELLED to the SMALLEST cluster id
+    within ``merge_dist`` of its center — one pass per iteration, no
+    transitive chaining, and the target id may itself have merged this
+    same pass (its center survives because something merged INTO it:
+    survivors = the set of relabel targets). The DuckDB oracle
+    (catalog_more._modified_kmeans_sql) transcribes exactly this rule.
     Deterministic: init = first k0 rows by ``record``, centers rounded to
     6 dp per round (see kmeans)."""
     first = df.orderBy(record).limit(k0).select(*features).collect()

@@ -84,8 +84,13 @@ BINARY: dict[str, Callable[[Column, Column], Column]] = {
 
 
 def unary(raster: DataFrame, op: str) -> DataFrame:
-    """One-input cell-wise op; null (NoData) rows propagate untouched."""
+    """One-input cell-wise op; null (NoData) rows propagate untouched —
+    except ``isnodata``, the one op whose JOB is to look at the null:
+    the reference writes 1.0 AT nodata cells and 0.0 elsewhere
+    (isnodata.rs:200-205), so it bypasses the propagation wrapper."""
     f = UNARY[op]
+    if op == "isnodata":
+        return raster.select("row", "col", f(F.col("value")).alias("value"))
     return raster.select(
         "row", "col", F.when(F.col("value").isNotNull(), f(F.col("value"))).alias("value")
     )

@@ -29,7 +29,6 @@ Scale design:
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -260,11 +259,22 @@ def _knn_join_loop(
         remaining = unfilled.join(filled_ids, query_id, "left_anti").localCheckpoint(
             eager=True
         )
-        done_parts.append(acc.join(F.broadcast(filled_ids), query_id, "left_semi"))
+        # no broadcast hint: filled_ids scales with the query-row count
+        # (the very thing this strategy exists to avoid collecting)
+        done_parts.append(acc.join(filled_ids, query_id, "left_semi"))
         if remaining.limit(1).count() == 0:
             break
         if shell == max_shell:
-            done_parts.append(acc.join(filled_ids, query_id, "left_anti"))
+            # queries whose rings never accumulated k candidates (e.g.
+            # far outside the point extent — the point-extent shell bound
+            # cannot reach them): finish them with a direct join against
+            # the full point table. Bounded work: only the pathological
+            # outlier queries remain, and this replaces (not augments)
+            # their partial ring candidates so no row double-counts.
+            done_parts.append(
+                remaining.crossJoin(pts.drop("cell_key_p"))
+                .withColumn("_d2", d2_expr)
+            )
             break
         acc = acc.join(filled_ids, query_id, "left_anti")
         unfilled = remaining

@@ -74,23 +74,28 @@ def run_available_now(
     exactly where resume state lives)."""
     qname = f"{name}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="wts_stream_")
-    query = (
-        df.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
     spark = df.sparkSession
-    # pin the rows into executor block storage, then drop the memory
-    # sink table and the finished checkpoint dir — otherwise every run
-    # leaks a driver-resident result table and a /tmp directory
-    out = spark.table(qname).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(qname)
-    shutil.rmtree(ckpt, ignore_errors=True)
-    return out
+    try:
+        query = (
+            df.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        # pin the rows into executor block storage so the transient
+        # memory-sink table can be dropped
+        return spark.table(qname).localCheckpoint(eager=True)
+    finally:
+        # clean up even when a micro-batch throws — otherwise every
+        # failing run leaks a driver-resident result table + a /tmp dir
+        try:
+            spark.catalog.dropTempView(qname)
+        except Exception:
+            pass
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 # ---------------------------------------------------------------- queries
