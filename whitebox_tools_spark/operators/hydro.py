@@ -282,6 +282,10 @@ def d8_flow_accumulation(
 
     dx = F.array(*[F.lit(v) for v in D8_DX])
     dy = F.array(*[F.lit(v) for v in D8_DY])
+    # the packed target id needs no bounds check HERE because dirs comes
+    # from _d8_dir_stencil above, which can only select an existing
+    # in-grid neighbor; a caller-supplied dirs raster must be bounds-
+    # checked (see strahler_order in operators/cluster.py)
     down = dirs.where(F.col("dir") >= 0).select(
         _cell_id(cfg).alias("a"),
         (
