@@ -40,7 +40,7 @@ def test_crossing_lines_four_faces(spark):
         (3, 1.0, 0.0, 1.0, 3.0),
         (4, 2.0, 0.0, 2.0, 3.0),
     ]
-    out = polygonize(_lines(spark, rows)).collect()
+    out = polygonize(_lines(spark, rows)).orderBy("fid", "vi").collect()
     faces = {}
     for r in out:
         faces.setdefault(r.fid, []).append((r.x, r.y))
