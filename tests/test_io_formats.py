@@ -1076,8 +1076,12 @@ def test_geokey_geographic_classification():
 
     assert model_and_key(_geokey_directory_values(4326)) == (2, (True, False))
     assert model_and_key(_geokey_directory_values(26917)) == (1, (False, True))
-    # projected despite living in 4xxx
-    assert model_and_key(_geokey_directory_values(4087)) == (1, (False, True))
+    # projected despite living in 4xxx (ADVICE r4 #2: the known
+    # projected outliers beyond 4087/4088 classify as projected too)
+    for code in (4087, 4088, 4414, 4415, 4417, 4434, 4455, 4456, 4457,
+                 4484, 4497):
+        assert model_and_key(_geokey_directory_values(code)) == (
+            1, (False, True)), code
     # geographic despite living outside 4xxx
     assert model_and_key(_geokey_directory_values(6318)) == (2, (True, False))
     assert model_and_key(_geokey_directory_values(7844)) == (2, (True, False))
@@ -1227,3 +1231,58 @@ def test_geotiff_lzw_with_predictor():
     np.testing.assert_array_equal(back, ramp.astype(np.float64))
     plain = geotiff.encode_geotiff(ramp, cfg, compression=5)
     assert len(data) < len(plain)  # predictor helps LZW too
+
+
+def test_geotiff_lzw_eoi_width_at_early_change_boundary():
+    """When the final data code lands exactly on the early-change
+    boundary (next_code == 2^width - 2 at loop end), the decoder adds
+    one table entry after that code and widens BEFORE reading EOI; the
+    encoder must emit EOI at the widened width or strict EOI-honoring
+    decoders misread it and append trailing garbage (ADVICE r4 #1).
+    The payload below is a pinned low-entropy case that hits the
+    boundary; pre-fix it decoded to len(payload)+2 bytes."""
+    import base64 as _b64
+    import zlib as _zlib
+    from whitebox_tools_spark.io.geotiff import _lzw_compress, _unlzw
+
+    payload = _zlib.decompress(_b64.b64decode(
+        "eJwdkgkOxDAMAm0M//9yhkhV0/XF4GwUr+dyXsma1WY3Pg6PpZnJ2ATPl1C0vEaT"
+        "kJgTkWhFjmY+dcPIa9uFwNxd2zykGL05EutFym6pcwwkFEi09CexmNFPatFEEJhF"
+        "Dqzl59IC03zdOmBeoG35IBvVFFrQgFAvNEINDf4ggygfWMinJbPHOqgjAkidDVgW"
+        "XeK5dfGw9hk5ECYrLP5xRxltcC2zkGdXUxt0fwrKmnHBMAEV2Qq1F9P1VYOA1UPH"
+        "45xRpP/uKosIWHTXckdTvFD1kjCDBYpYEnFoepvqPdpXdk7skmEX7RZ/Ae6bMDLU"
+        "/kVdN63OgLV3qX0D+wV/"))
+    assert _unlzw(_lzw_compress(payload)) == payload
+    # sweep the neighbourhood so the boundary stays covered if the
+    # pinned payload's table trajectory ever shifts
+    for cut in range(520, 556):
+        p = payload[:cut]
+        assert _unlzw(_lzw_compress(p)) == p
+
+
+def test_paletted_signed_sampleformat_rejected():
+    """A pathological signed-SampleFormat paletted TIFF whose pixels go
+    negative passes the idx.max() palette-length guard, but numpy
+    negative indexing would silently map lut[-n] to the palette tail;
+    the decoder must reject it instead (ADVICE r4 #3)."""
+    import dataclasses
+    import struct
+
+    pal = np.tile((np.arange(256)[:, None] * 257), (1, 3)).astype(np.uint16)
+    idx = np.array([[0, 1], [2, 255]], dtype=np.uint8)  # 255 -> -1 signed
+    cfg = dataclasses.replace(CFG, rows=2, cols=2)
+    data = bytearray(geotiff.encode_geotiff(idx, cfg, palette=pal))
+    # classic little-endian TIFF: walk the IFD and flip SampleFormat
+    # (339) from 1 (unsigned) to 2 (signed)
+    ifd = struct.unpack_from("<I", data, 4)[0]
+    n = struct.unpack_from("<H", data, ifd)[0]
+    flipped = False
+    for k in range(n):
+        off = ifd + 2 + 12 * k
+        tag, typ, cnt = struct.unpack_from("<HHI", data, off)
+        if tag == 339:
+            struct.pack_into("<H", data, off + 8, 2)
+            flipped = True
+    assert flipped
+    with pytest.raises(ValueError, match="negative"):
+        geotiff.decode_geotiff(bytes(data))

@@ -202,3 +202,23 @@ def test_knn_loop_reaches_far_queries(spark):
     out = knn_join(pts, far_q, k=2, radius=2.0, strategy="loop").toPandas()
     assert len(out) == 2
     assert set(out["knn_rank"]) == {1, 2}
+
+
+def test_knn_loop_fallback_cap(spark):
+    """The loop strategy's never-filled-query fallback is a remaining ×
+    points product; above max_fallback_pairs it must raise with a clear
+    message instead of silently going quadratic (ADVICE r4 #4)."""
+    import pytest as _pytest
+    from whitebox_tools_spark.operators.radius_join import knn_join
+
+    pts = spark.createDataFrame(
+        [(float(i), float(i % 3)) for i in range(8)], "x double, y double")
+    far_q = spark.createDataFrame([(1, 500.0, 500.0), (2, 600.0, 610.0)],
+                                  "qid long, x double, y double")
+    with _pytest.raises(ValueError, match="max_fallback_pairs"):
+        knn_join(pts, far_q, k=2, radius=2.0, strategy="loop",
+                 max_fallback_pairs=8).count()
+    # generous cap still succeeds
+    out = knn_join(pts, far_q, k=2, radius=2.0, strategy="loop",
+                   max_fallback_pairs=100).toPandas()
+    assert len(out) == 4

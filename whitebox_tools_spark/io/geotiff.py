@@ -107,8 +107,17 @@ def _epsg_from_geokeys(tags: dict) -> int:
 
 
 # projected CRS codes inside the otherwise-geographic EPSG 4000-4999
-# block (World Equidistant Cylindrical ellipsoid/sphere)
-_PROJECTED_IN_4XXX = frozenset({4087, 4088})
+# block: World Equidistant Cylindrical (4087/4088), NAD83(HARN)/Guam
+# Map Grid (4414), Katanga 1955/Katanga Lambert (4415), Pulkovo
+# Gauss-Kruger zones (4417, 4434), NAD27 state planes (4455-4457),
+# and Mexico ITRF92 / UTM zones (4484-4497). The reference resolves
+# geographic-vs-projected from its full EPSG keyword tables; this set
+# covers the known projected 4xxx outliers — any OTHER projected code
+# in the 4xxx block must be written with epsg_geographic=False.
+_PROJECTED_IN_4XXX = frozenset(
+    {4087, 4088, 4414, 4415, 4417, 4434, 4455, 4456, 4457}
+    | set(range(4484, 4498))
+)
 # common geographic CRS codes OUTSIDE the 4xxx block (NAD83(2011/PA11/
 # MA11), GDA2020)
 _GEOGRAPHIC_OUTSIDE_4XXX = frozenset({6318, 6322, 6325, 7844})
@@ -291,6 +300,14 @@ def _lzw_compress(data: bytes) -> bytes:
         w = ch
     if w:
         emit(table[w], width)
+        # Mirror the decoder's post-code widen (libtiff does the same
+        # after its final data code): the decoder adds one table entry
+        # after reading that code and widens BEFORE reading EOI, so if
+        # the final data code lands exactly on the early-change
+        # boundary, EOI must be emitted at the widened width or strict
+        # EOI-honoring decoders misread it as a data code.
+        if next_code + 1 == (1 << width) - 1 and width < 12:
+            width += 1
     emit(EOI, width)
     if nbits:
         out.append((buf << (8 - nbits)) & 0xFF)
@@ -429,6 +446,12 @@ def decode_geotiff_multi(data: bytes) -> tuple[GridConfig, np.ndarray]:
         idx = grid.astype(np.int64)
         if idx.max(initial=0) >= len(lut):
             raise ValueError("paletted pixel index out of ColorMap range")
+        # a pathological SampleFormat=2 (signed) paletted file would
+        # otherwise pass the max() guard and numpy negative indexing
+        # would silently wrap to the palette tail (ADVICE r4 #3)
+        if idx.min(initial=0) < 0:
+            raise ValueError("paletted pixel index negative (signed "
+                             "SampleFormat in a Paletted TIFF)")
         arr = lut[idx]
     else:
         arr = grid.astype(np.float64)

@@ -152,6 +152,7 @@ def knn_join(
     squared: bool = False,
     strategy: str = "stats",
     max_hist_cells: int = 4_000_000,
+    max_fallback_pairs: int = 100_000_000,
 ) -> DataFrame:
     """Approximate kNN join with the reference's shell-stop semantics.
 
@@ -159,9 +160,15 @@ def knn_join(
     (1..k by ascending distance; reference tie order — cell probe order —
     is replaced by a deterministic (d2, x_p, y_p) sort; compare
     order-insensitively).
+
+    ``max_fallback_pairs`` bounds the loop strategy's last-resort
+    direct join for queries whose rings never reached k points (far
+    outside the point extent): if remaining-queries × points exceeds
+    it, the join raises instead of silently going quadratic.
     """
     if strategy == "loop":
-        return _knn_join_loop(points, queries, k, radius, query_id, x, y, squared)
+        return _knn_join_loop(points, queries, k, radius, query_id, x, y,
+                              squared, max_fallback_pairs)
 
     spark = points.sparkSession
     # size-guard the driver-side histogram in the SAME single scan that
@@ -170,7 +177,8 @@ def knn_join(
     # back to the distributed loop strategy instead of OOMing the driver
     hist = _cell_histogram(points, radius, x, y, max_cells=max_hist_cells)
     if hist is None:
-        return _knn_join_loop(points, queries, k, radius, query_id, x, y, squared)
+        return _knn_join_loop(points, queries, k, radius, query_id, x, y,
+                              squared, max_fallback_pairs)
     bc = spark.sparkContext.broadcast(hist)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
@@ -225,6 +233,7 @@ def _knn_join_loop(
     x: str,
     y: str,
     squared: bool,
+    max_fallback_pairs: int = 100_000_000,
 ) -> DataFrame:
     """Driver-loop kNN (for when the cell histogram can't broadcast)."""
     pts = _prep_points(points, radius, x, y)
@@ -268,9 +277,24 @@ def _knn_join_loop(
             # queries whose rings never accumulated k candidates (e.g.
             # far outside the point extent — the point-extent shell bound
             # cannot reach them): finish them with a direct join against
-            # the full point table. Bounded work: only the pathological
-            # outlier queries remain, and this replaces (not augments)
-            # their partial ring candidates so no row double-counts.
+            # the full point table. This replaces (not augments) their
+            # partial ring candidates so no row double-counts. The pair
+            # volume is remaining × points — fine for a handful of
+            # outlier queries, quadratic if the query extent is largely
+            # disjoint from the point extent, so it is capped
+            # (ADVICE r4 #4): above the cap, raise rather than silently
+            # launch a full product.
+            n_remaining = remaining.count()
+            n_pts = pts.count()
+            if n_remaining * n_pts > max_fallback_pairs:
+                raise ValueError(
+                    f"kNN loop fallback would join {n_remaining} "
+                    f"never-filled queries against {n_pts} points "
+                    f"({n_remaining * n_pts} pairs > max_fallback_pairs="
+                    f"{max_fallback_pairs}); the query extent is largely "
+                    "disjoint from the point extent — use a larger radius "
+                    "(bigger cells) or raise max_fallback_pairs."
+                )
             done_parts.append(
                 remaining.crossJoin(pts.drop("cell_key_p"))
                 .withColumn("_d2", d2_expr)
