@@ -109,7 +109,16 @@ def read_arcascii(spark: SparkSession, path: str, drop_nodata: bool = False) -> 
     return bf.select("path", "content").mapInPandas(_decode, schema=_GRID_SCHEMA)
 
 
-def write_arcascii(df: DataFrame, cfg: GridConfig, path: str) -> None:
+def write_arcascii(
+    df: DataFrame, cfg: GridConfig, path: str,
+    max_cells: int = 268_435_456,
+) -> None:
+    from whitebox_tools_spark.operators.gridding import guard_driver_grid
+
+    guard_driver_grid(cfg, max_cells, "write_arcascii",
+                      "ArcASCII is an inherently single-file text format; "
+                      "write tiles with write_geotiff_tiles and convert, or "
+                      "raise max_cells explicitly")
     pdf = df.select("row", "col", "value").toPandas()
     arr = np.full((cfg.rows, cfg.cols), cfg.nodata, dtype=np.float64)
     arr[pdf["row"].to_numpy(), pdf["col"].to_numpy()] = pdf["value"].to_numpy()

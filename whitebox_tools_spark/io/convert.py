@@ -84,9 +84,14 @@ def _grid_df(spark: SparkSession, grid) -> DataFrame:
     )
 
 
-def _grid_np(df: DataFrame, cfg: GridConfig):
+def _grid_np(df: DataFrame, cfg: GridConfig, max_cells: int = 268_435_456):
     import numpy as np
 
+    from whitebox_tools_spark.operators.gridding import guard_driver_grid
+
+    guard_driver_grid(cfg, max_cells, "write_raster",
+                      "the simple-grid formats are single-file; write tiles "
+                      "with write_geotiff_tiles and convert per tile")
     pdf = df.select("row", "col", "value").toPandas()
     arr = np.full((cfg.rows, cfg.cols), cfg.nodata, dtype=np.float64)
     arr[pdf["row"].to_numpy(), pdf["col"].to_numpy()] = pdf["value"].to_numpy()

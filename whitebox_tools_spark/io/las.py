@@ -421,10 +421,20 @@ def read_las(spark: SparkSession, path: str) -> DataFrame:
 
 
 def write_las(
-    df: DataFrame, path: str, point_format: int = 1, wkt: str | None = None
+    df: DataFrame, path: str, point_format: int = 1, wkt: str | None = None,
+    max_points: int = 67_108_864,
 ) -> None:
     """Single-file writer (driver-side collect). Use :func:`write_las_tiles`
-    for the partitioned scale path."""
+    for the partitioned scale path. Guarded like ``write_geotiff``: past
+    ``max_points`` (2^26, ~2 GiB of encoded format-1 points) raise a
+    clear error instead of OOMing the driver; the LIMIT sentinel makes
+    the check a short-circuit scan, not a full count."""
+    if df.limit(max_points + 1).count() > max_points:
+        raise ValueError(
+            f"point cloud exceeds max_points={max_points}; write_las "
+            "collects driver-side — use write_las_tiles for the "
+            "partitioned scale path, or raise max_points explicitly"
+        )
     pdf = df.toPandas()
     with open(path, "wb") as f:
         f.write(encode_las(pdf, point_format, wkt=wkt))

@@ -147,9 +147,16 @@ def read_whitebox(spark: SparkSession, tas_path: str, drop_nodata: bool = False)
 
 
 def write_whitebox(
-    df: DataFrame, cfg: GridConfig, base_path: str, data_type: str = "double"
+    df: DataFrame, cfg: GridConfig, base_path: str, data_type: str = "double",
+    max_cells: int = 268_435_456,
 ) -> None:
     """base_path without extension; writes .dep + .tas (driver-side)."""
+    from whitebox_tools_spark.operators.gridding import guard_driver_grid
+
+    guard_driver_grid(cfg, max_cells, "write_whitebox",
+                      "Whitebox .dep/.tas is a single-file format; write "
+                      "tiles with write_geotiff_tiles and convert, or raise "
+                      "max_cells explicitly")
     pdf = df.select("row", "col", "value").toPandas()
     arr = np.full((cfg.rows, cfg.cols), cfg.nodata, dtype=np.float64)
     arr[pdf["row"].to_numpy(), pdf["col"].to_numpy()] = pdf["value"].to_numpy()

@@ -68,6 +68,20 @@ class GridConfig:
         return self.west + self.cols * self.res_x
 
 
+def guard_driver_grid(
+    cfg: GridConfig, max_cells: int, writer: str, alternative: str
+) -> None:
+    """Shared size guard for the single-file raster writers, which all
+    assemble the full grid driver-side: past ``max_cells`` (2^28 ~ 2 GiB
+    of f8 by convention, see write_geotiff) raise a clear error naming
+    the scale path instead of OOMing the driver."""
+    if cfg.rows * cfg.cols > max_cells:
+        raise ValueError(
+            f"grid has {cfg.rows * cfg.cols} cells > max_cells={max_cells}; "
+            f"{writer} assembles the grid driver-side — {alternative}"
+        )
+
+
 def cell_centers(spark: SparkSession, cfg: GridConfig) -> DataFrame:
     """One row per output cell: (cell, row, col, x, y).
 
