@@ -57,3 +57,17 @@ def test_registry_notes_match_code():
     # io rows state their format envelope truthfully
     assert "0-10" in TOOLS["LasToAscii"]["engine"]  # LAS point formats
     assert "BigTIFF" in TOOLS["ConvertRasterFormat"]["engine"]
+
+
+def test_deviating_rows_cite_reference_lines():
+    """Every 'deviating' registry row must carry the reference file:line
+    that proves the deviation is the reference's approximation/defect,
+    not the engine's (VERDICT r4 'What's wrong' #3). The registry is the
+    coverage map of record; a new deviating row without a cite fails."""
+    import re
+
+    deviating = {k: v for k, v in TOOLS.items() if v["status"] == "deviating"}
+    assert len(deviating) >= 23  # the round-4 set; growth is fine
+    missing = [k for k, v in deviating.items()
+               if not re.search(r"\.rs:\d", v["engine"])]
+    assert missing == [], f"deviating rows without a reference cite: {missing}"
