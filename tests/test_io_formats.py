@@ -1312,3 +1312,48 @@ def test_single_file_writer_guards(spark, tmp_path):
     ascii_grid.write_arcascii(tiny, big_cfg, str(tmp_path / "ok.asc"))
     las.write_las(pts, str(tmp_path / "ok.las"))
     assert (tmp_path / "ok.asc").exists() and (tmp_path / "ok.las").exists()
+
+
+def test_las_zip_container_roundtrip(spark, tmp_path):
+    """.las.zip container parity (reference las.rs:486-547 read via
+    ZipArchive entry 0, :1163-1180 ZipWriter/deflate write): write_las
+    to a .zip path emits a real zip whose inner entry follows the
+    reference naming rule; decode_las/read_las unwrap by magic sniff."""
+    import zipfile
+
+    pts = spark.createDataFrame(
+        [(float(i), float(i * 2), float(i) / 4, float(i), i % 7)
+         for i in range(50)],
+        "x double, y double, z double, gps_time double, intensity int")
+    # name.las.zip -> inner entry 'name.las' (stem already carries .las)
+    p1 = str(tmp_path / "cloud.las.zip")
+    las.write_las(pts, p1, point_format=1)
+    with zipfile.ZipFile(p1) as z:
+        assert z.namelist() == ["cloud.las"]
+        assert z.infolist()[0].compress_type == zipfile.ZIP_DEFLATED
+    # name.zip -> inner entry 'name.las' (reference appends .las)
+    p2 = str(tmp_path / "cloud2.zip")
+    las.write_las(pts, p2, point_format=1)
+    with zipfile.ZipFile(p2) as z:
+        assert z.namelist() == ["cloud2.las"]
+    # distributed re-read of the zip equals the bare-las read
+    p3 = str(tmp_path / "cloud.las")
+    las.write_las(pts, p3, point_format=1)
+    a = las.read_las(spark, p1).select("x", "y", "z", "gps_time").orderBy("gps_time").collect()
+    b = las.read_las(spark, p3).select("x", "y", "z", "gps_time").orderBy("gps_time").collect()
+    assert a == b
+    # las_info / las_wkt accept zip bytes too
+    with open(p1, "rb") as f:
+        zbytes = f.read()
+    assert las.las_info(zbytes)["n_points"] == 50
+    # malformed containers raise the reference's errors
+    bad = tmp_path / "bad.las.zip"
+    with zipfile.ZipFile(bad, "w") as z:
+        z.writestr("not_las.txt", b"hello")
+    with pytest.raises(ValueError, match="las' extension"):
+        list(las.decode_las(bad.read_bytes()))
+    empty = tmp_path / "empty.las.zip"
+    with zipfile.ZipFile(empty, "w"):
+        pass
+    with pytest.raises(ValueError, match="empty"):
+        list(las.decode_las(empty.read_bytes()))

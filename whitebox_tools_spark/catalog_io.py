@@ -177,6 +177,48 @@ FROM pts CROSS JOIN mn
 """
 
 
+def q_las_zip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same payload as las_roundtrip but through the ``.las.zip``
+    container (reference las.rs:486-547 read via ZipArchive entry 0,
+    :1163-1180 write via ZipWriter/deflate): the engine writes a real
+    zip whose inner entry is ``pts.las``, then re-reads it with the
+    distributed binaryFile decoder (magic-sniff unwrap, no path logic).
+    ``container_zip`` pins that the bytes on disk really are a zip."""
+    pts = _docs_geo(spark, sf_dir).select(
+        "x", "y", "z",
+        F.col("doc_id").cast("double").alias("gps_time"),
+        F.pmod(F.col("doc_id"), F.lit(4096)).cast("int").alias("intensity"),
+    )
+    d = tempfile.mkdtemp(prefix="wts_laszip_")
+    path = os.path.join(d, "pts.las.zip")
+    las.write_las(pts, path, point_format=1)
+    with open(path, "rb") as f:
+        head = f.read(4)
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        inner_ok = z.namelist() == ["pts.las"]
+    back = las.read_las(spark, path)
+    return back.select(
+        F.col("gps_time").cast("long").alias("did"),
+        "x", "y", "z", "intensity",
+        F.lit(1 if head == b"PK\x03\x04" and inner_ok else 0).alias("container_zip"),
+    )
+
+
+_ORACLE_LAS_ZIP = f"""
+WITH {_PTS_CTE},
+mn AS (SELECT floor(min(x)) AS ox, floor(min(y)) AS oy, floor(min(z)) AS oz FROM pts)
+SELECT doc_id AS did,
+       {_quant_sql("x", "ox")} AS x,
+       {_quant_sql("y", "oy")} AS y,
+       {_quant_sql("z", "oz")} AS z,
+       CAST(doc_id % 4096 AS INTEGER) AS intensity,
+       CAST(1 AS INTEGER) AS container_zip
+FROM pts CROSS JOIN mn
+"""
+
+
 _WKT_FIXTURE = (
     'PROJCS["WGS 84 / UTM zone 18N",GEOGCS["WGS 84",DATUM["WGS_1984",'
     'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
@@ -745,6 +787,7 @@ QUERIES = {
     "surfer7_roundtrip": q_surfer7_roundtrip,
     "grass_roundtrip": q_grass_roundtrip,
     "las_roundtrip": q_las_roundtrip,
+    "las_zip_roundtrip": q_las_zip_roundtrip,
     "las14_roundtrip": q_las14_roundtrip,
     "ascii_to_las": q_ascii_to_las,
     "las_to_shapefile": q_las_to_shapefile,
@@ -766,6 +809,7 @@ ORACLE_SQL = {
     "grass_roundtrip": _oracle_points_raster("first"),
     "rgb_roundtrip": _colour_composite_oracle(),
     "las_roundtrip": _ORACLE_LAS,
+    "las_zip_roundtrip": _ORACLE_LAS_ZIP,
     "las14_roundtrip": _ORACLE_LAS14,
     "ascii_to_las": _ORACLE_ASCII_TO_LAS,
     "las_to_shapefile": _ORACLE_LAS_TO_SHP,

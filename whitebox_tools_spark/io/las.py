@@ -108,7 +108,9 @@ def encode_vlrs(vlrs: list[dict]) -> bytes:
 
 
 def parse_vlrs(data: bytes) -> list[dict]:
-    """Parse the VLR block into dicts (payload kept as raw bytes)."""
+    """Parse the VLR block into dicts (payload kept as raw bytes).
+    ``.las.zip`` containers are unwrapped transparently."""
+    data = _unwrap_las_zip(data)
     (header_size,) = struct.unpack_from("<H", data, 94)
     (n_vlrs,) = struct.unpack_from("<I", data, 100)
     vlrs = []
@@ -136,7 +138,9 @@ def las_wkt(data: bytes) -> str | None:
 
 
 def las_info(data: bytes) -> dict:
-    """Header summary (version, format, counts, scales/offsets, VLRs)."""
+    """Header summary (version, format, counts, scales/offsets, VLRs).
+    ``.las.zip`` containers are unwrapped transparently."""
+    data = _unwrap_las_zip(data)
     if data[:4] != b"LASF":
         raise ValueError("not a LAS file")
     (header_size,) = struct.unpack_from("<H", data, 94)
@@ -314,6 +318,30 @@ def encode_las(
     return header + vlr_bytes + rec.tobytes()
 
 
+def _unwrap_las_zip(data: bytes) -> bytes:
+    """Transparent ``.las.zip`` container unwrap (reference las.rs:486-547:
+    ZipArchive entry 0, whose name must end ``.las``; Stored/Deflated
+    accepted). Sniffs the zip local-file-header magic rather than the
+    filename so the distributed binaryFile reader needs no path logic."""
+    # any zip record magic (PK\x03\x04 local header, PK\x05\x06 empty
+    # archive EOCD); a genuine LAS always starts 'LASF'
+    if data[:2] != b"PK":
+        return data
+    import io
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        names = z.namelist()
+        if not names:
+            raise ValueError("zipped LAS archive is empty")
+        if not names[0].lower().endswith(".las"):
+            raise ValueError(
+                "the first file in the zipped archive does not have the "
+                "'las' extension (reference las.rs:530)"
+            )
+        return z.read(names[0])
+
+
 def decode_las(data: bytes, batch_points: int = 1 << 20) -> Iterator[pd.DataFrame]:
     """Decode LAS bytes, yielding pandas batches (never one giant frame).
 
@@ -322,7 +350,10 @@ def decode_las(data: bytes, batch_points: int = 1 << 20) -> Iterator[pd.DataFram
     red/green/blue/nir (0 where the format lacks them). scan_angle is the
     raw stored value — i8 for formats 0-5, i16 for 6-10, matching the
     reference's i16 in-memory field (las.rs:765 vs :950).
+
+    ``.las.zip`` containers are unwrapped transparently (magic sniff).
     """
+    data = _unwrap_las_zip(data)
     if data[:4] != b"LASF":
         raise ValueError("not a LAS file")
     vmaj, vmin = data[24], data[25]
@@ -436,8 +467,21 @@ def write_las(
             "partitioned scale path, or raise max_points explicitly"
         )
     pdf = df.toPandas()
-    with open(path, "wb") as f:
-        f.write(encode_las(pdf, point_format, wkt=wkt))
+    payload = encode_las(pdf, point_format, wkt=wkt)
+    if path.lower().endswith(".zip"):
+        # zipped container (reference las.rs:1163-1180 ZipWriter): inner
+        # entry = path stem, with '.las' appended unless the path was
+        # 'name.las.zip' (whose stem already carries it); deflate.
+        import zipfile
+
+        inner = os.path.splitext(os.path.basename(path))[0]
+        if not inner.lower().endswith(".las"):
+            inner += ".las"
+        with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+            z.writestr(inner, payload)
+    else:
+        with open(path, "wb") as f:
+            f.write(payload)
 
 
 def write_las_tiles(
