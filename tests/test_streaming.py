@@ -94,3 +94,44 @@ def test_multi_batch_window_counts(spark, tmp_path):
 def test_stream_is_streaming_plan(spark):
     df = sp.stream_table(spark, SF, "documents")
     assert df.isStreaming
+
+
+def _split_documents(spark, tmp_path, n_files=4):
+    src = spark.read.parquet(f"{SF}/documents.parquet")
+    out = str(tmp_path / "documents.parquet")
+    src.repartition(n_files).write.mode("overwrite").parquet(out)
+    return str(tmp_path)
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """Streaming exact dedup (stateful min-id per content hash) equals
+    the batch text.exact_dedup output — including across a multi-batch
+    replay where a duplicate group spans micro-batches."""
+    from whitebox_tools_spark.operators import text as tx
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    want = sorted(map(tuple, tx.exact_dedup(docs).select(
+        "content_hash", "doc_id").collect()))
+    got1 = sorted(map(tuple, sp.streaming_exact_dedup(spark, SF).select(
+        "content_hash", "doc_id").collect()))
+    assert got1 == want
+    sf_dir = _split_documents(spark, tmp_path)
+    got_multi = sorted(map(tuple, sp.streaming_exact_dedup(spark, sf_dir).select(
+        "content_hash", "doc_id").collect()))
+    assert got_multi == want
+
+
+def test_drop_duplicates_within_watermark_smoke(spark, tmp_path):
+    """The built-in watermarked streaming dedup drops exact duplicate
+    events inside the watermark window: the surviving (user_id, ts) key
+    set equals the batch distinct (survivor row is arrival-arbitrary,
+    which is why the oracle row uses the stateful min-id variant)."""
+    sf_dir = _split_events(spark, tmp_path, n_files=2)
+    ev = sp.stream_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    ).withWatermark("ts", "1 hour")
+    dedup = ev.dropDuplicatesWithinWatermark(["user_id", "ts"])
+    got = sp.run_available_now(dedup, "wm_dedup")
+    want = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")).distinct()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

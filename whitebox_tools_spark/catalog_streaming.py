@@ -16,6 +16,10 @@ function of the input files and every row is DuckDB-oracle checkable:
   applyInPandasWithState: running per-user event count + peak value
   (a live sessionizer); the final per-key state is an arrival-order
   independent (count, max) reduction, so plain SQL is its oracle.
+- ``streaming_exact_dedup`` — streaming corpus dedup with the batch
+  ``text.exact_dedup`` min-id survivor semantics as stateful state
+  (the deterministic equivalent of ``dropDuplicatesWithinWatermark``);
+  same oracle as the batch row.
 
 Window starts are emitted as epoch seconds (BIGINT) so Spark/DuckDB
 timestamp session-zone conventions can't skew the value hash.
@@ -48,11 +52,16 @@ def q_streaming_session_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.streaming_session_peaks(spark, sf_dir)
 
 
+def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sp.streaming_exact_dedup(spark, sf_dir)
+
+
 QUERIES = {
     "streaming_tile_assign": q_streaming_tile_assign,
     "streaming_token_stats": q_streaming_token_stats,
     "streaming_window_counts": q_streaming_window_counts,
     "streaming_session_peaks": q_streaming_session_peaks,
+    "streaming_exact_dedup": q_streaming_exact_dedup,
 }
 
 # The streaming tile grid is pinned to the derived-coordinate domain
@@ -83,4 +92,7 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 """,
+    # min-id survivor semantics are arrival-order independent, so the
+    # batch exact_dedup oracle applies verbatim
+    "streaming_exact_dedup": _docs.ORACLE_SQL["exact_dedup"],
 }

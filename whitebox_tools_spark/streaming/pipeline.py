@@ -186,6 +186,53 @@ def _session_peaks_fn(
     )
 
 
+_DEDUP_SCHEMA = T.StructType(
+    [
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+    ]
+)
+
+_DEDUP_STATE = T.StructType([T.StructField("min_id", T.LongType())])
+
+
+def _exact_dedup_fn(
+    key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    mn = state.get[0] if state.exists else None
+    for pdf in pdfs:
+        if len(pdf):
+            m = int(pdf["doc_id"].min())
+            mn = m if mn is None else min(mn, m)
+    state.update((mn,))
+    yield pd.DataFrame({"content_hash": [key[0]], "doc_id": [mn]})
+
+
+def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with the batch :func:`text.exact_dedup`
+    semantics (keep the min record id per exact-content md5 group) as a
+    custom stateful operator: state per content hash = smallest doc_id
+    seen so far, updated per micro-batch. This is the deterministic
+    'stateful equivalent' of ``dropDuplicatesWithinWatermark`` — the
+    built-in keeps an ARBITRARY first-arrival survivor (fine in
+    production, not oracle-checkable), whereas min-id is arrival-order
+    independent, so the batch row's oracle applies verbatim. Update mode
+    emits the running min per key per batch; the memory-sink replay is
+    collapsed to the final state with one min() per key."""
+    docs = stream_table(spark, sf_dir, "documents").select(
+        F.md5(F.col("text")).alias("content_hash"), "doc_id"
+    )
+    out = docs.groupBy("content_hash").applyInPandasWithState(
+        _exact_dedup_fn,
+        outputStructType=_DEDUP_SCHEMA,
+        stateStructType=_DEDUP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    updates = run_available_now(out, "streaming_exact_dedup", "update")
+    return updates.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+
+
 def streaming_session_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): a
     running per-user event count + peak value, the shape of a live
