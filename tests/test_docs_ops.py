@@ -356,3 +356,47 @@ class TestNgramJaccard:
         )._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_png_media_lane_variants(spark):
+    """decode_image_features handles every PNG colour shape through
+    _to_rgb8 (grey replicate, alpha drop, 16-bit high byte), and the
+    synthesized corpus really carries all five filter types."""
+    import numpy as np
+    import pandas as pd
+
+    from whitebox_tools_spark.operators.png_codec import decode_png, encode_png
+
+    rng = np.random.default_rng(21)
+    rows = []
+    imgs = {}
+    for did, (ch, dt) in enumerate([(1, np.uint8), (2, np.uint8),
+                                    (4, np.uint8), (3, np.uint16)]):
+        img = rng.integers(0, 256 if dt == np.uint8 else 65536,
+                           size=(3, 4, ch)).astype(dt)
+        imgs[did] = img
+        rows.append((did, f"png://{did}", encode_png(img, filter_type=did % 5),
+                     {"kind": "image", "n_bytes": 0, "codec": "png"}))
+    m = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "media_ref", "payload", "meta"]),
+        schema=media.MEDIA_SCHEMA)
+    got = {r["doc_id"]: r for r in media.decode_image_features(m).collect()}
+    for did, img in imgs.items():
+        rgb = media._to_rgb8(decode_png(encode_png(img, filter_type=did % 5)))
+        assert got[did]["width"] == img.shape[1]
+        assert got[did]["mean_r"] == float(rgb[:, :, 0].mean())
+        assert got[did]["mean_b"] == float(rgb[:, :, 2].mean())
+    # the catalog corpus spans all five filter bytes
+    docs = load(spark, SF_DIR, "documents").limit(10)
+    payloads = media.synth_png_media(docs).select("doc_id", "payload").collect()
+    fts = set()
+    for r in payloads:
+        b = bytes(r["payload"])
+        import struct as _s
+        import zlib as _z
+        idat = b[b.index(b"IDAT") + 4:-16]
+        raw = _z.decompress(idat)
+        (w,) = _s.unpack_from(">I", b, 16)
+        fts.add(raw[0])
+        assert raw[0] == r["doc_id"] % 5
+    assert fts == {0, 1, 2, 3, 4}

@@ -1,0 +1,156 @@
+"""PNG codec (operators/png_codec.py): roundtrips across every
+filter/colour/depth combination, an INDEPENDENT scalar reference
+filter implementation transcribed from the spec pseudocode (§9) as a
+cross-check (so a complementary encoder+decoder bug can't hide), and
+the malformed-input guards."""
+
+import itertools
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from whitebox_tools_spark.operators import png_codec as P
+
+
+def test_roundtrip_matrix():
+    rng = np.random.default_rng(3)
+    for (h, w), ch, depth, ft in itertools.product(
+        [(1, 1), (2, 3), (7, 11), (16, 16)], [1, 2, 3, 4], [8, 16], range(5)
+    ):
+        dt = np.uint8 if depth == 8 else np.uint16
+        img = rng.integers(0, 2 ** depth, size=(h, w, ch)).astype(dt)
+        back = P.decode_png(P.encode_png(img, filter_type=ft))
+        assert back.dtype == dt and np.array_equal(back, img), (h, w, ch, depth, ft)
+
+
+def test_roundtrip_indexed_and_subbyte():
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, size=(17, 3)).astype(np.uint8)
+    idx = rng.integers(0, 17, size=(6, 9)).astype(np.uint8)
+    for ft in range(5):
+        back = P.decode_png(P.encode_png(idx, color_type=3, palette=pal,
+                                         filter_type=ft))
+        assert np.array_equal(back, pal[idx.astype(int)])
+    # sub-byte depths arrive from other encoders; build the scanlines by
+    # hand (our encoder writes depth 8/16 only)
+    for depth in (1, 2, 4):
+        w, h = 11, 3
+        img = rng.integers(0, 2 ** depth, size=(h, w)).astype(np.uint8)
+        stride = (w * depth + 7) // 8
+        lines = b""
+        for r in range(h):
+            bits = np.zeros(stride * 8, np.uint8)
+            for c in range(w):
+                for b in range(depth):
+                    bits[c * depth + b] = (img[r, c] >> (depth - 1 - b)) & 1
+            lines += b"\x00" + np.packbits(bits).tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+        data = (b"\x89PNG\r\n\x1a\n" + P._chunk(b"IHDR", ihdr)
+                + P._chunk(b"IDAT", zlib.compress(lines))
+                + P._chunk(b"IEND", b""))
+        back = P.decode_png(data)
+        assert np.array_equal(back[:, :, 0], img), depth
+
+
+def _ref_filter(ftype, row, prev, bpp):
+    """Scalar transcription of the spec §9 filter pseudocode — written
+    independently of the codec's vectorized path, byte at a time."""
+    out = bytearray(len(row))
+    for x in range(len(row)):
+        a = row[x - bpp] if x >= bpp else 0            # Raw(x-bpp)
+        b = prev[x]                                    # Prior(x)
+        c = prev[x - bpp] if x >= bpp else 0           # Prior(x-bpp)
+        if ftype == 0:
+            out[x] = row[x]
+        elif ftype == 1:
+            out[x] = (row[x] - a) % 256
+        elif ftype == 2:
+            out[x] = (row[x] - b) % 256
+        elif ftype == 3:
+            out[x] = (row[x] - (a + b) // 2) % 256
+        elif ftype == 4:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[x] = (row[x] - pr) % 256
+    return bytes(out)
+
+
+def test_decoder_against_scalar_spec_reference():
+    """Feed the decoder scanlines filtered by the independent scalar
+    reference (per-row filter cycling 0..4) and require exact pixel
+    recovery — this catches any complementary encode/decode bug."""
+    rng = np.random.default_rng(9)
+    for ch in (1, 2, 3, 4):
+        h, w = 9, 13
+        img = rng.integers(0, 256, size=(h, w, ch)).astype(np.uint8)
+        bpp = ch
+        raw = img.reshape(h, -1)
+        prev = bytes(raw.shape[1])
+        lines = b""
+        for r in range(h):
+            ft = r % 5
+            lines += bytes([ft]) + _ref_filter(ft, bytes(raw[r]), prev, bpp)
+            prev = bytes(raw[r])
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 2: 4, 3: 2, 4: 6}[ch],
+                           0, 0, 0)
+        data = (b"\x89PNG\r\n\x1a\n" + P._chunk(b"IHDR", ihdr)
+                + P._chunk(b"IDAT", zlib.compress(lines))
+                + P._chunk(b"IEND", b""))
+        assert np.array_equal(P.decode_png(data), img), ch
+
+
+def test_sixteen_bit_samples_are_big_endian():
+    """Spec §7.1: 16-bit samples are MSB-first in the datastream."""
+    img = np.array([[[0x1234]]], dtype=np.uint16)
+    data = P.encode_png(img, filter_type=0)
+    # one scanline: filter byte 0 then the two sample bytes
+    raw = zlib.decompress(data[data.index(b"IDAT") + 4:-16])
+    assert raw == b"\x00\x12\x34"
+    assert P.decode_png(data)[0, 0, 0] == 0x1234
+
+
+def test_multi_idat_and_ancillary_chunks():
+    """IDAT may be split arbitrarily; unknown ancillary chunks skip."""
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    data = P.encode_png(img)
+    # re-frame: split the IDAT payload into two chunks + insert a tEXt
+    sig, rest = data[:8], data[8:]
+    chunks = []
+    pos = 0
+    while pos < len(rest):
+        (ln,) = struct.unpack_from(">I", rest, pos)
+        chunks.append((rest[pos + 4:pos + 8], rest[pos + 8:pos + 8 + ln]))
+        pos += 12 + ln
+    out = sig
+    for ctype, payload in chunks:
+        if ctype == b"IDAT":
+            out += P._chunk(b"tEXt", b"k\x00v")
+            out += P._chunk(b"IDAT", payload[:3])
+            out += P._chunk(b"IDAT", payload[3:])
+        else:
+            out += P._chunk(ctype, payload)
+    assert np.array_equal(P.decode_png(out), img)
+
+
+def test_malformed_inputs_raise():
+    img = np.zeros((2, 2, 3), np.uint8)
+    data = bytearray(P.encode_png(img))
+    with pytest.raises(ValueError, match="not a PNG"):
+        P.decode_png(b"JUNK" + bytes(data))
+    bad = bytearray(data)
+    bad[-18] ^= 0xFF  # flip a byte inside IDAT -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        P.decode_png(bytes(bad))
+    # Adam7 rejected at the documented point
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    adam = (b"\x89PNG\r\n\x1a\n" + P._chunk(b"IHDR", ihdr)
+            + P._chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+            + P._chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        P.decode_png(adam)
+    with pytest.raises(ValueError, match="palette"):
+        P.encode_png(np.full((1, 1), 9, np.uint8), color_type=3,
+                     palette=np.zeros((4, 3), np.uint8))

@@ -428,6 +428,21 @@ def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")
 
 
+def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL PNG decode lane end-to-end: deterministic RGB PNGs —
+    scanline filter type doc_id % 5, so the corpus exercises every spec
+    filter (None/Sub/Up/Average/Paeth) — are encoded executor-side
+    (stdlib zlib + numpy, operators/png_codec.py), ride a binary column
+    through Arrow, and decode_image_features inflates + un-filters the
+    actual PNG bytes back into per-channel means. The oracle recomputes
+    the closed-form pixel field (id*11 + r*17 + c*23 + ch*41) % 256 in
+    SQL — a hash match certifies the byte codec (deflate framing, CRCs,
+    filter reconstruction), not just the plumbing."""
+    m = media.synth_png_media(documents(spark, sf_dir))
+    out = media.decode_image_features(m)
+    return out.select("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")
+
+
 def q_media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL audio decode lane end-to-end: deterministic PCM-16 WAVs
     are encoded executor-side (pure struct/numpy), ride a binary column
@@ -444,6 +459,7 @@ def q_media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["media_features"] = q_media_features
 QUERIES["frame_sample"] = q_frame_sample
 QUERIES["media_decode_real"] = q_media_decode_real
+QUERIES["media_decode_png"] = q_media_decode_png
 QUERIES["media_decode_wav"] = q_media_decode_wav
 
 # payload bytes are reconstructible from the md5 hex string: byte i is
@@ -484,6 +500,31 @@ SELECT m.doc_id, CAST(g.i AS BIGINT) AS frame_idx,
        substr(m.hx, CAST(32 * g.i + 1 AS INT), 32) AS frame_hex
 FROM m, range(0, 7) g(i)
 WHERE g.i < length(m.hx) // 32
+"""
+
+# closed-form pixel field of synth_png_media (filter type doc_id % 5
+# on the encode side, invisible to the oracle because decode must undo
+# it exactly); sums are exact small integers so the means are
+# bit-identical across engines
+ORACLE_SQL["media_decode_png"] = """
+WITH d AS (SELECT doc_id,
+                  2 + doc_id % 6 AS w,
+                  2 + doc_id % 4 AS h
+           FROM documents),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (d.doc_id * 11 + r.r * 17 + c.c * 23) % 256 AS pr,
+         (d.doc_id * 11 + r.r * 17 + c.c * 23 + 41) % 256 AS pg,
+         (d.doc_id * 11 + r.r * 17 + c.c * 23 + 82) % 256 AS pb
+  FROM d, range(0, 8) r(r), range(0, 8) c(c)
+  WHERE r.r < d.h AND c.c < d.w)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(sum(pr) AS DOUBLE) / count(*) AS mean_r,
+       CAST(sum(pg) AS DOUBLE) / count(*) AS mean_g,
+       CAST(sum(pb) AS DOUBLE) / count(*) AS mean_b
+FROM px GROUP BY doc_id, w, h
 """
 
 # closed-form pixel field of synth_bmp_media, recomputed per channel;

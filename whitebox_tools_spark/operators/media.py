@@ -4,13 +4,15 @@ Media payloads are opaque ``binary`` columns with a typed metadata struct,
 exactly how a 100 TB multimodal corpus stores them next to text spans.
 The decode / feature-extract step is a Pandas-UDF ``mapInPandas`` whose
 Spark-side plumbing (schema, Arrow batching, partition mapping) is real
-and tested. The 'real' decode lane has two dependency-free codecs — a
-pure-numpy 24-bit BMP parser (:func:`decode_bmp`) and a RIFF/WAVE
-PCM-16 parser (:func:`decode_wav`) — so the end-to-end image AND audio
-paths (encode -> binary column -> Arrow batch -> decode -> features)
-are genuinely exercised; formats that need native libraries
-(JPEG/PNG/ffmpeg) still raise NotImplementedError at the documented
-integration point.
+and tested. The 'real' decode lane has three dependency-free codecs — a
+pure-numpy 24-bit BMP parser (:func:`decode_bmp`), a full PNG codec
+(operators/png_codec.py: stdlib zlib + the five spec filters in numpy;
+grey/RGB/indexed/alpha, depths 1-16) and a RIFF/WAVE PCM-16 parser
+(:func:`decode_wav`) — so the end-to-end image AND audio paths
+(encode -> binary column -> Arrow batch -> decode -> features) are
+genuinely exercised on real formats; formats that need native
+libraries (JPEG/ffmpeg) still raise NotImplementedError at the
+documented integration point.
 """
 
 from __future__ import annotations
@@ -142,6 +144,41 @@ def synth_bmp_media(docs: DataFrame, record: str = "doc_id") -> DataFrame:
     return docs.select(record).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+def synth_png_media(docs: DataFrame, record: str = "doc_id") -> DataFrame:
+    """Deterministic PNG media table: per doc, a (2 + id%4) x (2 + id%6)
+    RGB image with pixel[r,c,ch] = (id*11 + r*17 + c*23 + ch*41) % 256 —
+    closed-form, so a SQL oracle can recompute every channel mean — and
+    scanline filter type id % 5, so the corpus exercises ALL five PNG
+    filters (None/Sub/Up/Average/Paeth). PNG bytes are built
+    executor-side in Arrow batches (stdlib zlib + numpy)."""
+    from whitebox_tools_spark.operators.png_codec import encode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[record]:
+                did = int(did)
+                w, h = 2 + did % 6, 2 + did % 4
+                r_idx = np.arange(h, dtype=np.int64)[:, None, None]
+                c_idx = np.arange(w, dtype=np.int64)[None, :, None]
+                ch_idx = np.arange(3, dtype=np.int64)[None, None, :]
+                img = ((did * 11 + r_idx * 17 + c_idx * 23 + ch_idx * 41) % 256
+                       ).astype(np.uint8)
+                payload = encode_png(img, filter_type=did % 5)
+                rows.append((
+                    did,
+                    f"png://{did}",
+                    payload,
+                    {"kind": "image", "n_bytes": len(payload), "codec": "png"},
+                ))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "media_ref", "payload", "meta"]
+                )
+
+    return docs.select(record).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 _IMG_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -154,11 +191,29 @@ _IMG_FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _to_rgb8(img: np.ndarray) -> np.ndarray:
+    """Any decoded image (grey / grey+alpha / RGB / RGBA, uint8 or
+    uint16) -> (h, w, 3) uint8 for the feature extractor: alpha dropped,
+    grey replicated, 16-bit scaled by the high byte."""
+    if img.dtype == np.uint16:
+        img = (img >> 8).astype(np.uint8)
+    ch = img.shape[2]
+    if ch == 2 or ch == 4:  # drop alpha
+        img = img[:, :, :-1]
+        ch -= 1
+    if ch == 1:
+        img = np.repeat(img, 3, axis=2)
+    return img
+
+
 def decode_image_features(media: DataFrame) -> DataFrame:
     """The REAL decode lane: parse each payload by meta.codec and emit
     per-channel image features. codec='bmp' decodes with the pure-numpy
-    parser; any other codec raises NotImplementedError at this exact
-    point — swap in PIL/ffmpeg here, the Spark plumbing is identical."""
+    BMP parser, codec='png' with the stdlib-zlib+numpy PNG codec
+    (operators/png_codec.py); any other codec raises NotImplementedError
+    at this exact point — swap in PIL/ffmpeg here, the Spark plumbing is
+    identical."""
+    from whitebox_tools_spark.operators.png_codec import decode_png
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -167,12 +222,15 @@ def decode_image_features(media: DataFrame) -> DataFrame:
                 pdf["doc_id"], pdf["payload"], pdf["meta"]
             ):
                 codec = meta["codec"]
-                if codec != "bmp":
+                if codec == "bmp":
+                    img = decode_bmp(bytes(payload))
+                elif codec == "png":
+                    img = _to_rgb8(decode_png(bytes(payload)))
+                else:
                     raise NotImplementedError(
                         f"real decode for codec {codec!r} requires native "
                         "libraries (PIL/ffmpeg); plug them in here"
                     )
-                img = decode_bmp(bytes(payload))
                 out.append((
                     int(doc_id), img.shape[1], img.shape[0],
                     float(img[:, :, 0].mean()),
