@@ -141,3 +141,150 @@ def test_shapefile_roundtrip_law(seed, nrec, stype):
         if stype in (shapefile.SHP_POLYLINE_Z, shapefile.SHP_POLYLINE_M):
             for m, w in zip(rec.ms, out.ms):
                 np.testing.assert_array_equal(w, m)
+
+
+# ----------------------------------------------------- simple-grid codecs
+# (VERDICT r4 item 7: the example-based tests missed property coverage for
+# Surfer7/SurferASCII/Idrisi/SAGA/GRASS/ArcBinary/Whitebox)
+
+from whitebox_tools_spark.io import simple_grids, whitebox_raster  # noqa: E402
+
+
+def _grid_with_nodata(rng, rows, cols, nodata, dtype="f8", frac=0.2):
+    """Random grid with ~frac nodata cells planted."""
+    if np.dtype(dtype).kind == "f":
+        g = rng.normal(0, 1e3, size=(rows, cols)).astype(np.float64)
+    else:
+        info = np.iinfo(dtype)
+        g = rng.integers(info.min + 1, info.max, size=(rows, cols),
+                         endpoint=True).astype(np.float64)
+    g[rng.random(size=(rows, cols)) < frac] = nodata
+    return g
+
+
+@settings(**_SETTINGS)
+@given(seed=st.integers(0, 2**32 - 1), rows=st.integers(1, 30),
+       cols=st.integers(1, 30))
+def test_grass_roundtrip_law(seed, rows, cols):
+    """GRASS ASCII is repr()-full-precision text: lossless for any f8."""
+    rng = np.random.default_rng(seed)
+    cfg = _cfg(rows, cols)
+    g = _grid_with_nodata(rng, rows, cols, cfg.nodata)
+    cfg2, back = simple_grids.decode_grass(simple_grids.encode_grass(g, cfg))
+    assert (cfg2.rows, cfg2.cols, cfg2.nodata) == (rows, cols, cfg.nodata)
+    np.testing.assert_array_equal(back, g)
+    assert cfg2.north == cfg.north and cfg2.west == cfg.west
+
+
+@settings(**_SETTINGS)
+@given(seed=st.integers(0, 2**32 - 1), rows=st.integers(1, 30),
+       cols=st.integers(1, 30), binary=st.booleans())
+def test_surfer_roundtrip_law(seed, rows, cols, binary):
+    """Surfer 7 (binary <f8) and Surfer ASCII (repr text) are lossless;
+    input nodata cells come back as the format's blank value."""
+    rng = np.random.default_rng(seed)
+    cfg = _cfg(rows, cols)
+    g = _grid_with_nodata(rng, rows, cols, cfg.nodata)
+    if binary:
+        cfg2, back = simple_grids.decode_surfer7(simple_grids.encode_surfer7(g, cfg))
+    else:
+        cfg2, back = simple_grids.decode_surfer_ascii(
+            simple_grids.encode_surfer_ascii(g, cfg))
+    want = np.where(g == cfg.nodata, simple_grids.SURFER_NODATA, g)
+    np.testing.assert_array_equal(back, want)
+    assert cfg2.nodata == simple_grids.SURFER_NODATA
+    assert (cfg2.rows, cfg2.cols) == (rows, cols)
+    np.testing.assert_allclose([cfg2.north, cfg2.west], [cfg.north, cfg.west],
+                               rtol=0, atol=1e-9)
+
+
+@settings(**_SETTINGS)
+@given(seed=st.integers(0, 2**32 - 1), rows=st.integers(1, 30),
+       cols=st.integers(1, 30), bo=st.sampled_from(["<", ">"]))
+def test_arcbinary_roundtrip_law(seed, rows, cols, bo):
+    """ArcBinary .flt stores <f4/>f4: roundtrip == float32 cast, both
+    byte orders, XLLCENTER alias honoured."""
+    rng = np.random.default_rng(seed)
+    cfg = _cfg(rows, cols)
+    g = _grid_with_nodata(rng, rows, cols, cfg.nodata)
+    header, data = simple_grids.encode_arcbinary(g, cfg, byteorder=bo)
+    cfg2, back = simple_grids.decode_arcbinary(header, data)
+    np.testing.assert_array_equal(back, g.astype(np.float32).astype(np.float64))
+    assert (cfg2.rows, cfg2.cols, cfg2.nodata) == (rows, cols, cfg.nodata)
+    assert cfg2.west == cfg.west and cfg2.north == cfg.north
+    # center-convention header decodes to the same corner
+    header_c = header.replace("XLLCORNER", "XLLCENTER").replace(
+        "YLLCORNER", "YLLCENTER")
+    header_c = "\n".join(
+        (f"XLLCENTER {cfg.west + cfg.res_x / 2!r}" if ln.startswith("XLLCENTER")
+         else f"YLLCENTER {cfg.south + cfg.res_y / 2!r}" if ln.startswith("YLLCENTER")
+         else ln) for ln in header_c.splitlines())
+    cfg3, _ = simple_grids.decode_arcbinary(header_c, data)
+    np.testing.assert_allclose([cfg3.west, cfg3.north], [cfg.west, cfg.north],
+                               rtol=0, atol=1e-9)
+
+
+@settings(**_SETTINGS)
+@given(seed=st.integers(0, 2**32 - 1), rows=st.integers(1, 30),
+       cols=st.integers(1, 30),
+       data_type=st.sampled_from(["real", "integer", "byte"]))
+def test_idrisi_roundtrip_law(seed, rows, cols, data_type):
+    """Idrisi .rst roundtrip == cast to the declared dtype."""
+    rng = np.random.default_rng(seed)
+    cfg = _cfg(rows, cols)
+    dt = simple_grids._IDRISI_DTYPES[data_type]
+    if data_type == "real":
+        g = _grid_with_nodata(rng, rows, cols, cfg.nodata)
+    elif data_type == "integer":
+        g = _grid_with_nodata(rng, rows, cols, cfg.nodata, dtype="i2")
+    else:
+        g = rng.integers(0, 255, size=(rows, cols), endpoint=True).astype(np.float64)
+    header, data = simple_grids.encode_idrisi(g, cfg, data_type=data_type)
+    cfg2, back = simple_grids.decode_idrisi(header, data)
+    np.testing.assert_array_equal(back, g.astype(np.dtype(dt)).astype(np.float64))
+    assert (cfg2.rows, cfg2.cols) == (rows, cols)
+
+
+@settings(**_SETTINGS)
+@given(seed=st.integers(0, 2**32 - 1), rows=st.integers(1, 30),
+       cols=st.integers(1, 30),
+       data_format=st.sampled_from(["double", "float", "integer"]))
+def test_saga_roundtrip_law(seed, rows, cols, data_format):
+    """SAGA .sgrd/.sdat roundtrip == declared-dtype cast, including the
+    bottom-up (TOPTOBOTTOM=FALSE) row flip both ways."""
+    rng = np.random.default_rng(seed)
+    cfg = _cfg(rows, cols)
+    if data_format == "integer":
+        g = _grid_with_nodata(rng, rows, cols, cfg.nodata, dtype="i4")
+    else:
+        g = _grid_with_nodata(rng, rows, cols, cfg.nodata)
+    header, data = simple_grids.encode_saga(g, cfg, data_format=data_format)
+    cfg2, back = simple_grids.decode_saga(header, data)
+    dt = np.dtype(simple_grids._SAGA_DTYPES[data_format])
+    np.testing.assert_array_equal(back, g.astype(dt).astype(np.float64))
+    assert (cfg2.rows, cfg2.cols, cfg2.nodata) == (rows, cols, cfg.nodata)
+    np.testing.assert_allclose([cfg2.north, cfg2.west], [cfg.north, cfg.west],
+                               rtol=0, atol=1e-9)
+
+
+@settings(**_SETTINGS)
+@given(seed=st.integers(0, 2**32 - 1), rows=st.integers(1, 30),
+       cols=st.integers(1, 30), bo=st.sampled_from(["<", ">"]),
+       data_type=st.sampled_from(["double", "float", "integer", "byte", "i32"]))
+def test_whitebox_roundtrip_law(seed, rows, cols, bo, data_type):
+    """Whitebox .dep/.tas roundtrip == declared-dtype cast, both byte
+    orders and all five declared data types."""
+    rng = np.random.default_rng(seed)
+    cfg = _cfg(rows, cols)
+    dt = np.dtype(whitebox_raster._DTYPES[data_type])
+    if dt.kind == "f":
+        g = _grid_with_nodata(rng, rows, cols, cfg.nodata)
+    elif data_type == "byte":
+        g = rng.integers(0, 255, size=(rows, cols), endpoint=True).astype(np.float64)
+    else:
+        g = _grid_with_nodata(rng, rows, cols, cfg.nodata, dtype=dt.str[1:])
+    header, data = whitebox_raster.encode_whitebox(
+        g, cfg, data_type=data_type, byteorder=bo)
+    cfg2, back = whitebox_raster.decode_whitebox(header, data)
+    np.testing.assert_array_equal(back, g.astype(dt).astype(np.float64))
+    assert (cfg2.rows, cfg2.cols, cfg2.nodata) == (rows, cols, cfg.nodata)
