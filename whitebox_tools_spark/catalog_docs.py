@@ -443,6 +443,23 @@ def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")
 
 
+def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL JPEG decode lane end-to-end: flat grayscale baseline
+    JPEGs (T.81 markers, Annex K tables at quality 90, Huffman entropy
+    coding) are encoded executor-side, ride a binary column through
+    Arrow, and decode_image_features Huffman-decodes + dequantizes +
+    IDCTs the actual JPEG bytes back into per-channel means. Flat blocks
+    make the lossy codec EXACTLY oracle-checkable: only the DC
+    coefficient survives quantization, so the decoded constant is
+    clamp(round(3*round(8*(v-128)/3)/8 + 128)) — recomputed verbatim in
+    SQL (tie-free for all 256 v, verified exhaustively). The AC /
+    colour / subsampling / restart paths are covered by
+    tests/test_jpeg_codec.py with error-bound laws."""
+    m = media.synth_jpeg_media(documents(spark, sf_dir))
+    out = media.decode_image_features(m)
+    return out.select("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")
+
+
 def q_media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL audio decode lane end-to-end: deterministic PCM-16 WAVs
     are encoded executor-side (pure struct/numpy), ride a binary column
@@ -460,6 +477,7 @@ QUERIES["media_features"] = q_media_features
 QUERIES["frame_sample"] = q_frame_sample
 QUERIES["media_decode_real"] = q_media_decode_real
 QUERIES["media_decode_png"] = q_media_decode_png
+QUERIES["media_decode_jpeg"] = q_media_decode_jpeg
 QUERIES["media_decode_wav"] = q_media_decode_wav
 
 # payload bytes are reconstructible from the md5 hex string: byte i is
@@ -525,6 +543,26 @@ SELECT doc_id,
        CAST(sum(pg) AS DOUBLE) / count(*) AS mean_g,
        CAST(sum(pb) AS DOUBLE) / count(*) AS mean_b
 FROM px GROUP BY doc_id, w, h
+"""
+
+# flat-gray JPEG closed form (synth_jpeg_media): the decoded constant is
+# the DC quantize/dequantize chain; qDC = 3 at quality 90, round is
+# tie-free for every v in 0..255 (verified exhaustively against exact
+# rational arithmetic), so half-even vs half-away cannot diverge
+ORACLE_SQL["media_decode_jpeg"] = """
+WITH d AS (SELECT doc_id,
+                  3 + doc_id % 6 AS w,
+                  2 + doc_id % 5 AS h,
+                  (doc_id * 37 + 11) % 256 AS v
+           FROM documents),
+k AS (SELECT *, round(8.0 * (v - 128) / 3) AS kq FROM d)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(least(255.0, greatest(0.0, round(3 * kq / 8 + 128))) AS DOUBLE) AS mean_r,
+       CAST(least(255.0, greatest(0.0, round(3 * kq / 8 + 128))) AS DOUBLE) AS mean_g,
+       CAST(least(255.0, greatest(0.0, round(3 * kq / 8 + 128))) AS DOUBLE) AS mean_b
+FROM k
 """
 
 # closed-form pixel field of synth_bmp_media, recomputed per channel;

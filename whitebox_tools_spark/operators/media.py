@@ -4,15 +4,16 @@ Media payloads are opaque ``binary`` columns with a typed metadata struct,
 exactly how a 100 TB multimodal corpus stores them next to text spans.
 The decode / feature-extract step is a Pandas-UDF ``mapInPandas`` whose
 Spark-side plumbing (schema, Arrow batching, partition mapping) is real
-and tested. The 'real' decode lane has three dependency-free codecs — a
+and tested. The 'real' decode lane has four dependency-free codecs — a
 pure-numpy 24-bit BMP parser (:func:`decode_bmp`), a full PNG codec
 (operators/png_codec.py: stdlib zlib + the five spec filters in numpy;
-grey/RGB/indexed/alpha, depths 1-16) and a RIFF/WAVE PCM-16 parser
-(:func:`decode_wav`) — so the end-to-end image AND audio paths
-(encode -> binary column -> Arrow batch -> decode -> features) are
-genuinely exercised on real formats; formats that need native
-libraries (JPEG/ffmpeg) still raise NotImplementedError at the
-documented integration point.
+grey/RGB/indexed/alpha, depths 1-16), a baseline JPEG codec
+(operators/jpeg_codec.py: T.81 Huffman + DCT, 4:4:4/4:2:0, restart
+markers) and a RIFF/WAVE PCM-16 parser (:func:`decode_wav`) — so the
+end-to-end image AND audio paths (encode -> binary column -> Arrow
+batch -> decode -> features) are genuinely exercised on real formats;
+only video (ffmpeg) still raises NotImplementedError at the documented
+integration point.
 """
 
 from __future__ import annotations
@@ -191,6 +192,40 @@ _IMG_FEATURE_SCHEMA = T.StructType(
 )
 
 
+def synth_jpeg_media(docs: DataFrame, record: str = "doc_id") -> DataFrame:
+    """Deterministic JPEG media table: per doc, a flat grayscale
+    (3 + id%6) x (2 + id%5) image with constant value (id*37 + 11) % 256
+    at quality 90. A flat 8x8 block has only a DC coefficient and every
+    AC quantizes to zero, so the decoded constant is the closed form
+    clamp(round(3*round(8*(v-128)/3)/8 + 128)) — EXACTLY reproducible in
+    SQL (verified tie-free for all 256 values), which makes the lossy
+    codec oracle-checkable with a value hash, not a tolerance. The full
+    AC path is covered by tests/test_jpeg_codec.py."""
+    from whitebox_tools_spark.operators.jpeg_codec import encode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[record]:
+                did = int(did)
+                w, h = 3 + did % 6, 2 + did % 5
+                v = (did * 37 + 11) % 256
+                img = np.full((h, w), v, dtype=np.uint8)
+                payload = encode_jpeg(img, quality=90)
+                rows.append((
+                    did,
+                    f"jpeg://{did}",
+                    payload,
+                    {"kind": "image", "n_bytes": len(payload), "codec": "jpeg"},
+                ))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "media_ref", "payload", "meta"]
+                )
+
+    return docs.select(record).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def _to_rgb8(img: np.ndarray) -> np.ndarray:
     """Any decoded image (grey / grey+alpha / RGB / RGBA, uint8 or
     uint16) -> (h, w, 3) uint8 for the feature extractor: alpha dropped,
@@ -210,9 +245,10 @@ def decode_image_features(media: DataFrame) -> DataFrame:
     """The REAL decode lane: parse each payload by meta.codec and emit
     per-channel image features. codec='bmp' decodes with the pure-numpy
     BMP parser, codec='png' with the stdlib-zlib+numpy PNG codec
-    (operators/png_codec.py); any other codec raises NotImplementedError
-    at this exact point — swap in PIL/ffmpeg here, the Spark plumbing is
-    identical."""
+    (operators/png_codec.py), codec='jpeg' with the baseline T.81 codec
+    (operators/jpeg_codec.py); any other codec raises
+    NotImplementedError at this exact point — swap in ffmpeg here for
+    video, the Spark plumbing is identical."""
     from whitebox_tools_spark.operators.png_codec import decode_png
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -226,10 +262,14 @@ def decode_image_features(media: DataFrame) -> DataFrame:
                     img = decode_bmp(bytes(payload))
                 elif codec == "png":
                     img = _to_rgb8(decode_png(bytes(payload)))
+                elif codec == "jpeg":
+                    from whitebox_tools_spark.operators.jpeg_codec import decode_jpeg
+
+                    img = _to_rgb8(decode_jpeg(bytes(payload)))
                 else:
                     raise NotImplementedError(
                         f"real decode for codec {codec!r} requires native "
-                        "libraries (PIL/ffmpeg); plug them in here"
+                        "libraries (ffmpeg for video); plug them in here"
                     )
                 out.append((
                     int(doc_id), img.shape[1], img.shape[0],
@@ -402,8 +442,9 @@ def decode_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
         if decoder == "real":
             raise NotImplementedError(
                 "byte-level 'real' decoding: use decode_image_features for "
-                "images (BMP is supported dependency-free); other codecs "
-                "require native libraries (PIL/ffmpeg) — plug them in here"
+                "images (BMP/PNG/JPEG are supported dependency-free) and "
+                "decode_audio_features for WAV; video needs native "
+                "libraries (ffmpeg) — plug them in here"
             )
         for pdf in batches:
             if len(pdf) == 0:
