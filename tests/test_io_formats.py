@@ -1357,3 +1357,33 @@ def test_las_zip_container_roundtrip(spark, tmp_path):
         pass
     with pytest.raises(ValueError, match="empty"):
         list(las.decode_las(empty.read_bytes()))
+
+
+def test_las_wkt_from_evlr():
+    """1.4 files whose WKT CRS lives in an EVLR (common GDAL output)
+    must not lose CRS on read: las_wkt falls back to the EVLR block.
+    The EVLR is appended here by hand per the 1.4 spec (60-byte header,
+    u64 payload length; header offset u64@235, count u32@243) — the
+    engine writer itself emits a regular VLR, like the reference."""
+    import struct
+
+    pdf = pd.DataFrame({"x": [1.0, 2.0], "y": [3.0, 4.0], "z": [5.0, 6.0]})
+    base = bytearray(las.encode_las(pdf, point_format=6))
+    assert las.las_wkt(bytes(base)) is None
+    wkt = 'PROJCS["evlr test"]'
+    payload = wkt.encode() + b"\0"
+    evlr = struct.pack("<H16sHQ32s", 0, b"LASF_Projection", 2112,
+                       len(payload), b"WKT via EVLR") + payload
+    off = len(base)
+    base += evlr
+    struct.pack_into("<Q", base, 235, off)   # EVLR offset
+    struct.pack_into("<I", base, 243, 1)     # EVLR count
+    assert las.las_wkt(bytes(base)) == wkt
+    assert las.las_info(bytes(base))["wkt"] == wkt
+    evlrs = las.parse_evlrs(bytes(base))
+    assert len(evlrs) == 1 and evlrs[0]["user_id"] == "LASF_Projection"
+    # point decode is unaffected by the trailing EVLR block
+    got = pd.concat(las.decode_las(bytes(base)))
+    assert list(got["x"]) == [1.0, 2.0]
+    # pre-1.4 files return no EVLRs
+    assert las.parse_evlrs(las.encode_las(pdf, point_format=1)) == []

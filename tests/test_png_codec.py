@@ -144,13 +144,84 @@ def test_malformed_inputs_raise():
     bad[-18] ^= 0xFF  # flip a byte inside IDAT -> CRC mismatch
     with pytest.raises(ValueError, match="CRC"):
         P.decode_png(bytes(bad))
-    # Adam7 rejected at the documented point
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
-    adam = (b"\x89PNG\r\n\x1a\n" + P._chunk(b"IHDR", ihdr)
+    # unknown interlace method rejected
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 9)
+    badi = (b"\x89PNG\r\n\x1a\n" + P._chunk(b"IHDR", ihdr)
             + P._chunk(b"IDAT", zlib.compress(b"\x00" * 14))
             + P._chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError, match="Adam7"):
-        P.decode_png(adam)
+    with pytest.raises(ValueError, match="interlace"):
+        P.decode_png(badi)
     with pytest.raises(ValueError, match="palette"):
         P.encode_png(np.full((1, 1), 9, np.uint8), color_type=3,
                      palette=np.zeros((4, 3), np.uint8))
+
+
+def test_adam7_interlaced_decode():
+    """Adam7 files decode to the same pixels as the progressive scatter
+    of their seven passes. The interlaced stream is built INDEPENDENTLY
+    here (scalar pass extraction + the scalar reference filter), so the
+    decoder's pass geometry and per-pass filtering are both pinned."""
+    rng = np.random.default_rng(17)
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    for (h, w), ch in [((9, 13), 3), ((8, 8), 1), ((3, 2), 4), ((1, 17), 2)]:
+        img = rng.integers(0, 256, size=(h, w, ch)).astype(np.uint8)
+        lines = b""
+        for pi, (x0, y0, dx, dy) in enumerate(passes):
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            hp, wp = sub.shape[:2]
+            raw = sub.reshape(hp, -1)
+            prev = bytes(raw.shape[1])
+            for r in range(hp):
+                ft = (r + pi) % 5
+                lines += bytes([ft]) + _ref_filter(ft, bytes(raw[r]), prev, ch)
+                prev = bytes(raw[r])
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)
+        data = (b"\x89PNG\r\n\x1a\n" + P._chunk(b"IHDR", ihdr)
+                + P._chunk(b"IDAT", zlib.compress(lines))
+                + P._chunk(b"IEND", b""))
+        assert np.array_equal(P.decode_png(data), img), (h, w, ch)
+
+
+def test_adam7_sixteen_bit_and_subbyte():
+    """Adam7 with depth 16 (bpp 2 per sample pair) and depth 1 grey
+    (bit-packed pass scanlines with per-pass padding)."""
+    rng = np.random.default_rng(23)
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    # depth 16 grey
+    h, w = 10, 11
+    img = rng.integers(0, 65536, size=(h, w, 1)).astype(np.uint16)
+    lines = b""
+    for x0, y0, dx, dy in passes:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        hp = sub.shape[0]
+        raw = np.ascontiguousarray(sub.astype(">u2")).view(np.uint8).reshape(hp, -1)
+        for r in range(hp):
+            lines += b"\x00" + raw[r].tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 1)
+    data = (b"\x89PNG\r\n\x1a\n" + P._chunk(b"IHDR", ihdr)
+            + P._chunk(b"IDAT", zlib.compress(lines)) + P._chunk(b"IEND", b""))
+    assert np.array_equal(P.decode_png(data), img)
+    # depth 1 grey
+    img1 = rng.integers(0, 2, size=(9, 10)).astype(np.uint8)
+    lines = b""
+    for x0, y0, dx, dy in passes:
+        sub = img1[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        hp, wp = sub.shape
+        stride = (wp + 7) // 8
+        for r in range(hp):
+            bits = np.zeros(stride * 8, np.uint8)
+            bits[:wp] = sub[r]
+            lines += b"\x00" + np.packbits(bits).tobytes()
+    ihdr = struct.pack(">IIBBBBB", 10, 9, 1, 0, 0, 0, 1)
+    data = (b"\x89PNG\r\n\x1a\n" + P._chunk(b"IHDR", ihdr)
+            + P._chunk(b"IDAT", zlib.compress(lines)) + P._chunk(b"IEND", b""))
+    assert np.array_equal(P.decode_png(data)[:, :, 0], img1)

@@ -129,9 +129,49 @@ def parse_vlrs(data: bytes) -> list[dict]:
     return vlrs
 
 
+_EVLR_HEADER = struct.Struct("<H16sHQ32s")  # record length is u64
+
+
+def parse_evlrs(data: bytes) -> list[dict]:
+    """Parse the LAS 1.4 EVLR block (header offset u64@235, count
+    u32@243; 60-byte record headers with a u64 payload length). Common
+    GDAL output stores the WKT CRS here rather than in a regular VLR —
+    the reference ignores EVLRs entirely (zero evlr mentions in las.rs),
+    so this is read-side tolerance BEYOND reference parity. Returns []
+    for pre-1.4 files or a zero EVLR count."""
+    data = _unwrap_las_zip(data)
+    vmaj, vmin = data[24], data[25]
+    if vmaj != 1 or vmin < 4 or len(data) < 375:
+        return []
+    (offset,) = struct.unpack_from("<Q", data, 235)
+    (count,) = struct.unpack_from("<I", data, 243)
+    evlrs = []
+    pos = offset
+    for _ in range(count):
+        if pos + _EVLR_HEADER.size > len(data):
+            break
+        reserved, user_id, record_id, rec_len, desc = _EVLR_HEADER.unpack_from(
+            data, pos)
+        pos += _EVLR_HEADER.size
+        evlrs.append({
+            "reserved": reserved,
+            "user_id": user_id.split(b"\0")[0].decode("ascii", "replace"),
+            "record_id": record_id,
+            "description": desc.split(b"\0")[0].decode("ascii", "replace"),
+            "data": data[pos:pos + rec_len],
+        })
+        pos += rec_len
+    return evlrs
+
+
 def las_wkt(data: bytes) -> str | None:
-    """The WKT CRS carried in VLR record 2112, or None."""
+    """The WKT CRS carried in VLR record 2112 — or, for 1.4 files whose
+    CRS lives in an EVLR (common GDAL output), the EVLR record 2112."""
+    data = _unwrap_las_zip(data)
     for v in parse_vlrs(data):
+        if v["record_id"] == WKT_CRS_RECORD_ID:
+            return v["data"].split(b"\0")[0].decode("utf-8", "replace")
+    for v in parse_evlrs(data):
         if v["record_id"] == WKT_CRS_RECORD_ID:
             return v["data"].split(b"\0")[0].decode("utf-8", "replace")
     return None

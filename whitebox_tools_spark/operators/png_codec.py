@@ -14,8 +14,8 @@ actually-common files:
   Sub is un-filtered with a per-lane modular cumsum, Up with one
   vectorized add, Average/Paeth with a per-pixel-column loop that
   vectorizes across the bpp byte lanes;
-- interlace 0 only (Adam7 raises NotImplementedError — rare in
-  training corpora, and the integration point is explicit).
+- both interlace methods: 0 (none) and 1 (Adam7 seven-pass, spec §8.2
+  — each pass an independently-filtered sub-image scattered back).
 
 The encoder writes greyscale / truecolour / indexed / alpha images at
 depth 8 or 16 with a selectable per-row filter type, so tests can
@@ -181,6 +181,48 @@ def _unpack_bits(data: np.ndarray, depth: int, n: int) -> np.ndarray:
     return vals[:n]
 
 
+# Adam7 pass origins and steps (spec §8.2): (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _unfilter_image(
+    raw: bytes, off: int, h: int, stride: int, bpp: int
+) -> tuple[np.ndarray, int]:
+    """Reconstruct ``h`` scanlines of ``stride`` bytes starting at
+    ``off`` in the decompressed stream; returns (rows, next offset)."""
+    need = h * (stride + 1)
+    if off + need > len(raw):
+        raise ValueError("PNG: IDAT length does not match dimensions")
+    buf = np.frombuffer(raw, np.uint8, count=need, offset=off).reshape(
+        h, stride + 1)
+    prev = np.zeros(stride, dtype=np.int16)
+    rows = np.empty((h, stride), dtype=np.uint8)
+    for r in range(h):
+        rec = _unfilter_row(int(buf[r, 0]), buf[r, 1:].copy(), prev, bpp)
+        rows[r] = rec
+        prev = rec.astype(np.int16)
+    return rows, off + need
+
+
+def _rows_to_samples(
+    rows: np.ndarray, w: int, ch: int, depth: int
+) -> np.ndarray:
+    """Reconstructed scanline bytes -> (h, w, ch) sample array (uint8,
+    or uint16 for depth 16; sub-byte depths unpacked, not rescaled)."""
+    h = rows.shape[0]
+    if depth == 16:
+        return rows.reshape(h, -1).view(">u2").astype(np.uint16).reshape(h, w, ch)
+    if depth == 8:
+        return rows.reshape(h, w, ch)
+    img = np.empty((h, w), dtype=np.uint8)
+    for r in range(h):
+        img[r] = _unpack_bits(rows[r], depth, w)
+    return img[:, :, None]
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """Decode PNG bytes.
 
@@ -188,7 +230,8 @@ def decode_png(data: bytes) -> np.ndarray:
     alpha 2, RGB 3, RGBA 4; indexed images are expanded through PLTE to
     RGB. dtype uint8 (depths 1/2/4 are unpacked but NOT rescaled — a
     1-bit white pixel decodes to 1, matching the raw sample value),
-    uint16 for depth-16 files.
+    uint16 for depth-16 files. Both interlace methods decode (0 = none,
+    1 = Adam7 seven-pass).
     """
     if data[:8] != _SIG:
         raise ValueError("not a PNG file")
@@ -217,37 +260,36 @@ def decode_png(data: bytes) -> np.ndarray:
     w, h, depth, color_type, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("PNG: unknown compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError(
-            "Adam7-interlaced PNG not supported (interlace=1)")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG: unknown interlace method {interlace}")
     if color_type not in _CHANNELS or depth not in _LEGAL_DEPTHS[color_type]:
         raise ValueError(f"PNG: illegal depth/colour combo ({depth}, {color_type})")
     ch = _CHANNELS[color_type]
 
     raw = zlib.decompress(b"".join(idat))
     bits_per_pixel = ch * depth
-    stride = (w * bits_per_pixel + 7) // 8  # bytes per scanline, sans filter byte
     bpp = max(1, bits_per_pixel // 8)  # filter distance, spec §9
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG: IDAT length does not match dimensions")
-    buf = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
 
-    prev = np.zeros(stride, dtype=np.int16)
-    rows = np.empty((h, stride), dtype=np.uint8)
-    for r in range(h):
-        rec = _unfilter_row(int(buf[r, 0]), buf[r, 1:].copy(), prev, bpp)
-        rows[r] = rec
-        prev = rec.astype(np.int16)
-
-    if depth == 16:
-        img = rows.reshape(h, -1).view(">u2").astype(np.uint16).reshape(h, w, ch)
-    elif depth == 8:
-        img = rows.reshape(h, w, ch)
-    else:  # 1/2/4-bit grey or indexed: unpack per scanline (row padding)
-        img = np.empty((h, w), dtype=np.uint8)
-        for r in range(h):
-            img[r] = _unpack_bits(rows[r], depth, w)
-        img = img[:, :, None]
+    if interlace == 0:
+        stride = (w * bits_per_pixel + 7) // 8  # per scanline, sans filter byte
+        rows, end = _unfilter_image(raw, 0, h, stride, bpp)
+        if end != len(raw):
+            raise ValueError("PNG: IDAT length does not match dimensions")
+        img = _rows_to_samples(rows, w, ch, depth)
+    else:  # Adam7: seven independently-filtered sub-images, scattered
+        dt = np.uint16 if depth == 16 else np.uint8
+        img = np.zeros((h, w, ch), dtype=dt)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            stride = (wp * bits_per_pixel + 7) // 8
+            rows, off = _unfilter_image(raw, off, hp, stride, bpp)
+            img[y0::dy, x0::dx] = _rows_to_samples(rows, wp, ch, depth)
+        if off != len(raw):
+            raise ValueError("PNG: IDAT length does not match dimensions")
 
     if color_type == 3:
         if palette is None:
