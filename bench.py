@@ -93,6 +93,10 @@ HEADLINE = [
     "streaming_window_counts", "streaming_session_peaks",
     # late round-4: exact n-gram Jaccard dedup (posting-list join)
     "ngram_jaccard",
+    # round-5 additions: PNG + JPEG real decode lanes, zipped-LAS
+    # container, streaming exact dedup (stateful min-id)
+    "media_decode_png", "media_decode_jpeg", "las_zip_roundtrip",
+    "streaming_exact_dedup",
 ]
 
 
