@@ -151,3 +151,76 @@ def test_byte_stuffing_roundtrip():
     assert b"\xFF\x00" in data[sos:]
     out = J.decode_jpeg(data)[:, :, 0]
     assert np.abs(out.astype(int) - g.astype(int)).max() <= 2
+
+
+# ---------------------------------------------------------------- round 5
+# regression tests for the dequantization-order fix and the malformed /
+# unsupported-input hardening (code-review findings on the round-5 diff)
+
+
+def test_quality75_dequant_uses_raster_order_table():
+    """The decoder must multiply zigzag-ordered coefficients by
+    q[_ZIGZAG], not q (the DQT parse stores tables in raster order).
+    With the orders mixed up, a q75 roundtrip of random gray content
+    shows max error ~138; correct dequantization keeps it ~27. q100
+    cannot catch this (every step is 1), so pin q75 explicitly."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(16, 16)).astype(np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg(img, quality=75))[:, :, 0]
+    err = np.abs(out.astype(int) - img.astype(int)).max()
+    assert err <= 40, err
+    # smooth content quantizes almost exactly at q75
+    gx = np.linspace(0, 255, 32)
+    grad = np.clip((gx[None, :] + gx[:, None]) / 2, 0, 255).astype(np.uint8)
+    out2 = J.decode_jpeg(J.encode_jpeg(grad, quality=75))[:, :, 0]
+    assert np.abs(out2.astype(int) - grad.astype(int)).max() <= 4
+    # colour 4:4:4 (4:2:0 chroma averaging on noise is legitimately lossy)
+    imc = rng.integers(0, 256, size=(24, 24, 3)).astype(np.uint8)
+    oc = J.decode_jpeg(J.encode_jpeg(imc, quality=75, subsampling="444"))
+    assert np.abs(oc.astype(int) - imc.astype(int)).max() <= 100
+
+
+def test_truncated_restart_scan_raises_valueerror():
+    """Cutting a restart-interval scan mid-stream must raise the
+    documented ValueError, not an IndexError from the marker scan."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(64, 64)).astype(np.uint8)
+    data = J.encode_jpeg(img, quality=75, restart_interval=1)
+    for frac in (0.5, 0.7, 0.9):
+        with pytest.raises(ValueError):
+            J.decode_jpeg(data[: int(len(data) * frac)])
+
+
+def test_four_component_sof_raises_notimplemented():
+    """Adobe CMYK/YCCK baseline (SOF0 nc=4) must fail at the SOF parse
+    with a clear NotImplementedError, not an unpack error later."""
+    import struct
+
+    sof_body = struct.pack(">BHHB", 8, 8, 8, 4) + bytes(
+        [1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1, 4, 0x11, 1]
+    )
+    data = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof_body)) + sof_body
+    )
+    with pytest.raises(NotImplementedError, match="4-component"):
+        J.decode_jpeg(data)
+
+
+def test_non_interleaved_multiscan_raises_notimplemented():
+    """A legal baseline file with one scan per component (SOS covers 1
+    of 3 SOF components) must raise instead of mis-decoding the first
+    scan with interleaved-MCU geometry."""
+    import struct
+
+    sof_body = struct.pack(">BHHB", 8, 8, 8, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    sos_body = bytes([1, 1, 0x00, 0, 63, 0])  # ns=1: component 1 only
+    data = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof_body)) + sof_body
+        + b"\xff\xda" + struct.pack(">H", 2 + len(sos_body)) + sos_body
+    )
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        J.decode_jpeg(data)

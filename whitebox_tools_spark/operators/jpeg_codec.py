@@ -383,15 +383,22 @@ class _BitReader:
         self.acc = 0
         self.n = 0
         # skip to the marker position and past it
+        end = len(self.data) - 1
         if self.marker is None:
             # find it (we may not have hit it while filling yet)
-            while self.data[self.pos] != 0xFF or not (
-                0xD0 <= self.data[self.pos + 1] <= 0xD7
+            while self.pos < end and (
+                self.data[self.pos] != 0xFF
+                or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
             ):
                 self.pos += 1
         else:
-            while self.data[self.pos] != 0xFF or self.data[self.pos + 1] != self.marker:
+            while self.pos < end and (
+                self.data[self.pos] != 0xFF
+                or self.data[self.pos + 1] != self.marker
+            ):
                 self.pos += 1
+        if self.pos >= end:
+            raise ValueError("JPEG: truncated scan (missing RSTn marker)")
         self.pos += 2
         self.marker = None
 
@@ -482,6 +489,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             prec, hh, ww, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"JPEG: {nc}-component images not supported "
+                    "(grayscale or YCbCr only; CMYK/YCCK not handled)")
             comps = []
             for ci in range(nc):
                 cid, samp, tq = struct.unpack_from("BBB", seg, 6 + 3 * ci)
@@ -499,6 +510,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if sof is None:
                 raise ValueError("JPEG: SOS before SOF")
             ns = seg[0]
+            if ns != len(sof[2]):
+                raise NotImplementedError(
+                    "JPEG: non-interleaved multi-scan baseline not "
+                    f"supported (scan covers {ns} of {len(sof[2])} "
+                    "components)")
             scan = []
             for si in range(ns):
                 cs, tabs = seg[1 + 2 * si], seg[2 + 2 * si]
@@ -555,7 +571,10 @@ def _decode_scan(data, pos, sof, scan, qt, huff, restart_interval):
                             zz[k] = _extend(br.bits(s), s)
                             k += 1
                         coef = np.empty(64, np.float64)
-                        coef[_ZIGZAG] = zz * q
+                        # q is raster-ordered (see DQT parse); zz is
+                        # zigzag-ordered, so the matching quant steps
+                        # are q[_ZIGZAG]
+                        coef[_ZIGZAG] = zz * q[_ZIGZAG]
                         block = _M.T @ coef.reshape(8, 8) @ _M + 128.0
                         py = (my * c["v"] + vy) * 8
                         px = (mx * c["h"] + vx) * 8

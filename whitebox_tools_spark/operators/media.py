@@ -249,6 +249,7 @@ def decode_image_features(media: DataFrame) -> DataFrame:
     (operators/jpeg_codec.py); any other codec raises
     NotImplementedError at this exact point — swap in ffmpeg here for
     video, the Spark plumbing is identical."""
+    from whitebox_tools_spark.operators.jpeg_codec import decode_jpeg
     from whitebox_tools_spark.operators.png_codec import decode_png
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -263,8 +264,6 @@ def decode_image_features(media: DataFrame) -> DataFrame:
                 elif codec == "png":
                     img = _to_rgb8(decode_png(bytes(payload)))
                 elif codec == "jpeg":
-                    from whitebox_tools_spark.operators.jpeg_codec import decode_jpeg
-
                     img = _to_rgb8(decode_jpeg(bytes(payload)))
                 else:
                     raise NotImplementedError(
