@@ -460,6 +460,26 @@ def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")
 
 
+def q_media_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL animated-frame lane end-to-end: deterministic animated
+    GIFs (1-3 frames, odd ids interlaced, 256-entry closed-form
+    palette) are encoded executor-side (operators/gif_codec.py), ride a
+    binary column through Arrow, and decode_gif_frames LZW-decodes +
+    deinterlaces + palette-expands the actual GIF bytes back into one
+    row per composited frame. The oracle recomputes the per-frame
+    channel means through the palette indirection — index
+    (id*13 + f*7 + r*19 + c*31) % 256 over pal[i] = ((i*5+3)%256,
+    (i*11+7)%256, (i*17+29)%256) — in SQL, so a hash match certifies
+    the byte codec (LZW variable-width codes, sub-block framing,
+    interlace scatter), not just the plumbing. Transparency/disposal
+    compositing and external-file interop are covered by
+    tests/test_gif_codec.py."""
+    m = media.synth_gif_media(documents(spark, sf_dir))
+    out = media.decode_gif_frames(m)
+    return out.select("doc_id", "frame_idx", "width", "height",
+                      "delay_cs", "mean_r", "mean_g", "mean_b")
+
+
 def q_media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL audio decode lane end-to-end: deterministic PCM-16 WAVs
     are encoded executor-side (pure struct/numpy), ride a binary column
@@ -478,6 +498,7 @@ QUERIES["frame_sample"] = q_frame_sample
 QUERIES["media_decode_real"] = q_media_decode_real
 QUERIES["media_decode_png"] = q_media_decode_png
 QUERIES["media_decode_jpeg"] = q_media_decode_jpeg
+QUERIES["media_decode_gif"] = q_media_decode_gif
 QUERIES["media_decode_wav"] = q_media_decode_wav
 
 # payload bytes are reconstructible from the md5 hex string: byte i is
@@ -563,6 +584,32 @@ SELECT doc_id,
        CAST(least(255.0, greatest(0.0, round(3 * kq / 8 + 128))) AS DOUBLE) AS mean_g,
        CAST(least(255.0, greatest(0.0, round(3 * kq / 8 + 128))) AS DOUBLE) AS mean_b
 FROM k
+"""
+
+# per-frame closed form of synth_gif_media: palette index
+# (id*13 + f*7 + r*19 + c*31) % 256 expanded through the closed-form
+# palette; integer sums are exact so the DOUBLE means are bit-identical
+ORACLE_SQL["media_decode_gif"] = """
+WITH d AS (SELECT doc_id,
+                  2 + doc_id % 5 AS w,
+                  2 + doc_id % 4 AS h,
+                  1 + doc_id % 3 AS nf,
+                  CAST(doc_id % 10 AS INTEGER) AS delay_cs
+           FROM documents),
+px AS (
+  SELECT d.doc_id, d.w, d.h, d.delay_cs, f.f,
+         (d.doc_id * 13 + f.f * 7 + r.r * 19 + c.c * 31) % 256 AS i
+  FROM d, range(0, 3) f(f), range(0, 8) r(r), range(0, 8) c(c)
+  WHERE f.f < d.nf AND r.r < d.h AND c.c < d.w)
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       delay_cs,
+       CAST(sum((i * 5 + 3) % 256) AS DOUBLE) / count(*) AS mean_r,
+       CAST(sum((i * 11 + 7) % 256) AS DOUBLE) / count(*) AS mean_g,
+       CAST(sum((i * 17 + 29) % 256) AS DOUBLE) / count(*) AS mean_b
+FROM px GROUP BY doc_id, f, w, h, delay_cs
 """
 
 # closed-form pixel field of synth_bmp_media, recomputed per channel;
