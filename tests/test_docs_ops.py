@@ -288,9 +288,83 @@ class TestWavRealDecode:
         with pytest.raises(ValueError):
             media.encode_wav(np.zeros(4, dtype=np.float32), 8000)
         raw = bytearray(media.encode_wav(np.zeros(4, dtype=np.int16), 8000))
-        raw[20] = 3  # IEEE-float format tag -> the codec-library hook
+        raw[20] = 3  # IEEE-float tag with bits=16 is malformed
         with pytest.raises(NotImplementedError):
             media.decode_wav(bytes(raw))
+        raw[20] = 2  # ADPCM -> the codec-library hook
+        with pytest.raises(NotImplementedError):
+            media.decode_wav(bytes(raw))
+
+    @staticmethod
+    def _wav(afmt, bits, body, ch=1, rate=8000, extensible=False):
+        import struct
+        if extensible:
+            # 40-byte fmt: cbSize=22, validbits, chanmask, SubFormat GUID
+            guid = struct.pack("<H", afmt) + b"\x00\x00" + bytes(
+                [0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA,
+                 0x00, 0x38, 0x9B, 0x71])
+            fmt = struct.pack("<HHIIHHHHI", 0xFFFE, ch, rate,
+                              rate * ch * bits // 8, ch * bits // 8, bits,
+                              22, bits, 0) + guid
+        else:
+            fmt = struct.pack("<HHIIHH", afmt, ch, rate,
+                              rate * ch * bits // 8, ch * bits // 8, bits)
+        chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + struct.pack("<I", len(body)) + body
+                  + (b"\x00" if len(body) & 1 else b""))
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    def test_wav_pcm8_unsigned(self):
+        import numpy as np
+        u = np.array([0, 128, 255, 64], np.uint8)
+        rate, s = media.decode_wav(self._wav(1, 8, u.tobytes()))
+        np.testing.assert_array_equal(
+            s[:, 0], ((u.astype(np.int32) - 128) << 8).astype(np.int16))
+
+    def test_wav_pcm24_keeps_high_16(self):
+        import numpy as np
+        vals = np.array([0x123456, -0x123456, 0x7FFFFF, -0x800000], np.int32)
+        body = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+        rate, s = media.decode_wav(self._wav(1, 24, body))
+        np.testing.assert_array_equal(s[:, 0], (vals >> 8).astype(np.int16))
+
+    def test_wav_pcm32_keeps_high_16(self):
+        import numpy as np
+        vals = np.array([1 << 30, -(1 << 30), 0, 0x7FFFFFFF], np.int32)
+        rate, s = media.decode_wav(self._wav(1, 32, vals.tobytes()))
+        np.testing.assert_array_equal(s[:, 0], (vals >> 16).astype(np.int16))
+
+    def test_wav_float32_scaled_and_clipped(self):
+        import numpy as np
+        f = np.array([0.0, 0.5, -1.0, 1.5, -2.0], "<f4")
+        rate, s = media.decode_wav(self._wav(3, 32, f.tobytes()))
+        np.testing.assert_array_equal(
+            s[:, 0], np.array([0, 16384, -32767, 32767, -32768], np.int16))
+
+    def test_wav_float64(self):
+        import numpy as np
+        f = np.array([0.25, -0.25], "<f8")
+        rate, s = media.decode_wav(self._wav(3, 64, f.tobytes()))
+        np.testing.assert_array_equal(s[:, 0], np.array([8192, -8192], np.int16))
+
+    def test_wav_extensible_resolves_subformat(self):
+        import numpy as np
+        vals = np.array([100, -100, 31000], np.int16)
+        rate, s = media.decode_wav(
+            self._wav(1, 16, vals.tobytes(), extensible=True))
+        np.testing.assert_array_equal(s[:, 0], vals)
+        f = np.array([0.5, -0.5], "<f4")
+        rate, s = media.decode_wav(
+            self._wav(3, 32, f.tobytes(), extensible=True))
+        np.testing.assert_array_equal(s[:, 0], [16384, -16384])
+
+    def test_wav_stereo_24bit_pairs(self):
+        import numpy as np
+        vals = np.array([0x010000, 0x020000, 0x030000, 0x040000], np.int32)
+        body = b"".join(int(v).to_bytes(3, "little") for v in vals)
+        _, s = media.decode_wav(self._wav(1, 24, body, ch=2))
+        assert s.shape == (2, 2)
+        np.testing.assert_array_equal(s, [[256, 512], [768, 1024]])
 
     def test_real_audio_lane_end_to_end(self, spark):
         m = media.synth_wav_media(documents(spark, SF_DIR))

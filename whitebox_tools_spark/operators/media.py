@@ -423,11 +423,22 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
 
 
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
-    """WAV bytes -> (sample_rate, (n, ch) int16). PCM-16 only; walks the
-    RIFF chunk list so extra chunks (LIST, fact) are skipped."""
+    """WAV bytes -> (sample_rate, (n, ch) int16). Walks the RIFF chunk
+    list (extra chunks — LIST, fact, cue — are skipped) and handles the
+    sample formats real corpora actually contain:
+
+    - PCM  8-bit (unsigned, rescaled to int16), 16-bit (native),
+      24-bit (packed 3-byte, high 16 bits kept) and 32-bit (high 16
+      bits kept);
+    - IEEE float 32/64 (fmt 3; [-1, 1] clipped and scaled to int16);
+    - WAVE_FORMAT_EXTENSIBLE (fmt 0xFFFE) resolving to either of the
+      above via the SubFormat GUID's leading format code.
+
+    Everything lands in one int16 representation so downstream feature
+    extraction is format-agnostic."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV file")
-    pos, rate, ch, body = 12, None, None, None
+    pos, rate, ch, bits, afmt, body = 12, None, None, None, None, None
     while pos + 8 <= len(data):
         cid = data[pos:pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
@@ -435,17 +446,48 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
             afmt, ch, rate, _br, _ba, bits = struct.unpack_from(
                 "<HHIIHH", data, pos + 8
             )
-            if afmt != 1 or bits != 16:
-                raise NotImplementedError(
-                    f"only PCM-16 WAV supported (fmt={afmt}, bits={bits})"
-                )
+            if afmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: code in GUID
+                if size < 40:
+                    raise ValueError("WAV: truncated extensible fmt chunk")
+                (afmt,) = struct.unpack_from("<H", data, pos + 8 + 24)
         elif cid == b"data":
             body = data[pos + 8:pos + 8 + size]
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or body is None:
         raise ValueError("WAV missing fmt/data chunk")
-    samples = np.frombuffer(body, dtype="<i2").reshape(-1, ch)
-    return int(rate), samples.astype(np.int16)
+    if not ch:
+        raise ValueError("WAV: zero channels")
+    if afmt == 1:
+        if bits == 16:
+            flat = np.frombuffer(body, dtype="<i2").astype(np.int16)
+        elif bits == 8:  # 8-bit PCM is unsigned
+            u = np.frombuffer(body, dtype=np.uint8).astype(np.int32)
+            flat = ((u - 128) << 8).astype(np.int16)
+        elif bits == 24:  # packed little-endian 3-byte; keep high 16
+            raw = np.frombuffer(body, dtype=np.uint8)
+            raw = raw[: raw.size - raw.size % 3].reshape(-1, 3)
+            flat = (raw[:, 1].astype(np.int32)
+                    | (raw[:, 2].astype(np.int32) << 8)).astype(np.int16)
+        elif bits == 32:
+            flat = (np.frombuffer(body, dtype="<i4") >> 16).astype(np.int16)
+        else:
+            raise NotImplementedError(f"PCM WAV with bits={bits}")
+    elif afmt == 3:  # IEEE float
+        if bits == 32:
+            f = np.frombuffer(body, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            f = np.frombuffer(body, dtype="<f8").astype(np.float64)
+        else:
+            raise NotImplementedError(f"float WAV with bits={bits}")
+        flat = np.clip(np.round(f * 32767.0), -32768, 32767).astype(np.int16)
+    else:
+        raise NotImplementedError(
+            f"WAV format {afmt} not supported (PCM and IEEE float only; "
+            "compressed codecs need native libraries)"
+        )
+    n = flat.size - flat.size % ch
+    samples = flat[:n].reshape(-1, ch)
+    return int(rate), samples
 
 
 def synth_wav_media(docs: DataFrame, record: str = "doc_id") -> DataFrame:
