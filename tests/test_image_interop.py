@@ -152,3 +152,87 @@ def test_jpeg_imageio_to_ours(jvm):
     assert diff.max() <= 16 and diff.mean() <= 5.0
     orig = np.abs(ours - img.astype(int))
     assert orig.max() <= 20 and orig.mean() <= 6.0
+
+
+def _imageio_encode_jpeg_progressive(jvm, img: np.ndarray, gray=False) -> bytes:
+    """Encode with javax.imageio's JPEG writer in progressive mode
+    (MODE_DEFAULT writes a standard multi-scan progressive script)."""
+    h, w = img.shape[:2]
+    if gray:
+        bi = jvm.java.awt.image.BufferedImage(
+            w, h, jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        )
+        raster = bi.getRaster()
+        for r in range(h):
+            for c in range(w):
+                raster.setSample(c, r, 0, int(img[r, c]))
+    else:
+        bi = jvm.java.awt.image.BufferedImage(
+            w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+        )
+        flat = (
+            (img[:, :, 0].astype(np.int64) << 16)
+            | (img[:, :, 1].astype(np.int64) << 8)
+            | img[:, :, 2].astype(np.int64)
+        ).reshape(-1)
+        jarr = _java_int_array(jvm, flat)
+        bi.setRGB(0, 0, w, h, jarr, 0, w)
+    it = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg")
+    writer = it.next()
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(
+        jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT
+    )
+    bos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+    writer.dispose()
+    ios.close()
+    return bytes(bos.toByteArray())
+
+
+def test_progressive_jpeg_imageio_to_ours(jvm):
+    """Our decoder must read an externally produced PROGRESSIVE JPEG
+    (SOF2, multi-scan spectral selection + successive approximation —
+    the dominant shape of web JPEGs). Pin against javax's own decode of
+    the same bytes (both see identical coefficients; only IDCT/upsample
+    rounding differs) and against the original image."""
+    img = _gradient_rgb(40, 56)
+    data = _imageio_encode_jpeg_progressive(jvm, img)
+    assert b"\xFF\xC2" in data  # really progressive
+    ours = decode_jpeg(data).astype(int)
+    theirs = _imageio_decode(jvm, data).astype(int)
+    diff = np.abs(theirs - ours)
+    assert diff.max() <= 16 and diff.mean() <= 5.0
+    orig = np.abs(ours - img.astype(int))
+    assert orig.max() <= 24 and orig.mean() <= 6.0
+
+
+def test_progressive_jpeg_grayscale_imageio_to_ours(jvm):
+    gray = (np.add.outer(np.arange(24) * 9, np.arange(33) * 5) % 256
+            ).astype(np.uint8)
+    data = _imageio_encode_jpeg_progressive(jvm, gray, gray=True)
+    assert b"\xFF\xC2" in data
+    ours = decode_jpeg(data)[:, :, 0].astype(int)
+    bis = jvm.java.io.ByteArrayInputStream(bytearray(data))
+    bi = jvm.javax.imageio.ImageIO.read(bis)
+    samples = bi.getRaster().getSamples(0, 0, bi.getWidth(), bi.getHeight(),
+                                        0, None)
+    theirs = np.array(samples, dtype=np.int64).reshape(ours.shape)
+    assert np.abs(theirs - ours).max() <= 3
+
+
+def test_progressive_jpeg_flat_exact(jvm):
+    """A flat gray progressive file must hit the same closed-form DC
+    constant as baseline (all scans beyond DC-first contribute zeros)."""
+    v = 77
+    img = np.full((20, 20), v, np.uint8)
+    data = _imageio_encode_jpeg_progressive(jvm, img, gray=True)
+    assert b"\xFF\xC2" in data
+    ours = decode_jpeg(data)[:, :, 0]
+    assert (ours == ours[0, 0]).all()
+    theirs = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(data)))
+    assert int(ours[0, 0]) == int(
+        theirs.getRaster().getSample(0, 0, 0))

@@ -129,11 +129,16 @@ def test_unsupported_and_malformed_raise():
     data = bytearray(J.encode_jpeg(img))
     with pytest.raises(ValueError, match="not a JPEG"):
         J.decode_jpeg(b"XX" + bytes(data))
-    # flip SOF0 marker to SOF2 (progressive)
+    # a baseline full-band scan relabeled SOF2 is malformed progressive
+    # (a progressive scan may not mix DC and AC, T.81 G.1.1.1.1)
     i = bytes(data).index(b"\xFF\xC0")
     prog = bytes(data[:i]) + b"\xFF\xC2" + bytes(data[i + 2:])
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="mixes DC and AC"):
         J.decode_jpeg(prog)
+    # lossless SOF3 stays the documented NotImplementedError
+    lossless = bytes(data[:i]) + b"\xFF\xC3" + bytes(data[i + 2:])
+    with pytest.raises(NotImplementedError, match="lossless"):
+        J.decode_jpeg(lossless)
     with pytest.raises(ValueError):
         J.encode_jpeg(img.astype(np.uint16))
     with pytest.raises(ValueError, match="quality"):

@@ -1,11 +1,17 @@
 """Dependency-free baseline JPEG codec (numpy), for the 'real' media
 decode lane.
 
-Implements the ITU-T T.81 baseline sequential DCT process, 8-bit:
+Implements the ITU-T T.81 DCT processes, 8-bit:
 
-- markers: SOI / APP0(JFIF) / DQT / SOF0 / DHT / DRI / SOS / RSTn / EOI
-  (APPn/COM skipped); progressive (SOF2) and arithmetic coding raise
-  NotImplementedError at the documented point;
+- markers: SOI / APP0(JFIF) / DQT / SOF0/1/2 / DHT / DRI / SOS / RSTn /
+  EOI (APPn/COM skipped); lossless (SOF3), hierarchical and arithmetic
+  coding raise NotImplementedError at the documented point;
+- decode covers BOTH the baseline sequential process and the
+  progressive process (T.81 Annex G: spectral selection + successive
+  approximation — interleaved/single-component DC first + refinement,
+  per-component AC first + refinement with EOB runs), the dominant
+  shape of web JPEGs; scans accumulate into a zigzag coefficient
+  buffer and one vectorized batch IDCT reconstructs at EOI;
 - entropy coding: canonical Huffman per Annex C, byte stuffing (FF 00),
   DC differential + AC run/size with ZRL and EOB, restart-interval DC
   predictor resets;
@@ -442,15 +448,23 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline JPEG bytes -> (h, w) grayscale has shape
-    (h, w, 1); colour decodes to (h, w, 3) RGB uint8 (JFIF BT.601)."""
+    """Decode JPEG bytes -> (h, w) grayscale has shape (h, w, 1); colour
+    decodes to (h, w, 3) RGB uint8 (JFIF BT.601). Both the baseline
+    sequential (SOF0/1) and the progressive (SOF2) DCT processes decode
+    — progressive accumulates spectral-selection / successive-
+    approximation scans (T.81 Annex G: DC first + refine, AC first +
+    refine with EOB runs) into the coefficient buffer and reconstructs
+    once at EOI."""
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG file")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffDecoder] = {}
     sof = None
+    progressive = False
     restart_interval = 0
+    coefs: list[np.ndarray] | None = None
+    saw_scan = False
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG: expected marker")
@@ -458,8 +472,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
-        if marker == 0xD9:  # EOI before SOS
-            raise ValueError("JPEG: no scan data")
+        if marker == 0xD9:  # EOI
+            break
         (seglen,) = struct.unpack_from(">H", data, pos)
         seg = data[pos + 2:pos + seglen]
         if marker == 0xDB:  # DQT
@@ -485,7 +499,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 values = list(seg[p + 17:p + 17 + n])
                 huff[(cls, tid)] = _HuffDecoder(bits, values)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline/ext seq
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             prec, hh, ww, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -499,47 +513,88 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF,
                               "tq": tq})
             sof = (hh, ww, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+            coefs = _alloc_coefs(sof)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/hierarchical/arithmetic JPEG not supported "
+                "lossless/hierarchical/arithmetic JPEG not supported "
                 f"(SOF marker 0xFF{marker:02X})")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
-            if sof is None:
+            if sof is None or coefs is None:
                 raise ValueError("JPEG: SOS before SOF")
             ns = seg[0]
-            if ns != len(sof[2]):
-                raise NotImplementedError(
-                    "JPEG: non-interleaved multi-scan baseline not "
-                    f"supported (scan covers {ns} of {len(sof[2])} "
-                    "components)")
             scan = []
             for si in range(ns):
                 cs, tabs = seg[1 + 2 * si], seg[2 + 2 * si]
                 scan.append((cs, tabs >> 4, tabs & 0xF))
-            return _decode_scan(data, pos + seglen, sof, scan, qt, huff,
-                                restart_interval)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if not progressive:
+                if ns != len(sof[2]):
+                    raise NotImplementedError(
+                        "JPEG: non-interleaved multi-scan baseline not "
+                        f"supported (scan covers {ns} of {len(sof[2])} "
+                        "components)")
+                _decode_scan_baseline(data, pos + seglen, sof, scan, huff,
+                                      restart_interval, coefs)
+                saw_scan = True
+                break  # baseline: one complete scan
+            pos = _decode_scan_progressive(
+                data, pos + seglen, sof, scan, (ss, se, ah, al), huff,
+                restart_interval, coefs)
+            saw_scan = True
+            continue
         pos += seglen
-    raise ValueError("JPEG: missing SOS")
+    if sof is None or coefs is None or not saw_scan:
+        raise ValueError("JPEG: no scan data")
+    return _reconstruct(sof, coefs, qt)
 
 
-def _decode_scan(data, pos, sof, scan, qt, huff, restart_interval):
+def _geometry(sof):
     h, w, comps = sof
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    by_id = {c["id"]: c for c in comps}
+    return hmax, vmax, mcux, mcuy
+
+
+def _true_block_dims(sof, c):
+    """Non-interleaved scan coverage: the component's OWN block grid
+    (ceil of its sample dims / 8), not the MCU-padded grid (T.81 A.2.2)."""
+    h, w, _ = sof
+    hmax, vmax, _, _ = _geometry(sof)
+    cw = (w * c["h"] + hmax - 1) // hmax
+    chh = (h * c["v"] + vmax - 1) // vmax
+    return (chh + 7) // 8, (cw + 7) // 8
+
+
+def _alloc_coefs(sof) -> list[np.ndarray]:
+    """One zigzag-ordered int32 coefficient cube per component, on the
+    MCU-padded block grid (covers interleaved and non-interleaved
+    scans; pad blocks stay zero and are cropped after IDCT)."""
+    _, _, comps = sof
+    hmax, vmax, mcux, mcuy = _geometry(sof)
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32) for c in comps
+    ]
+
+
+def _decode_scan_baseline(data, pos, sof, scan, huff, restart_interval,
+                          coefs):
+    """Baseline sequential scan: every component, full spectral range,
+    one pass. Fills ``coefs`` with quantized zigzag coefficients."""
+    h, w, comps = sof
+    hmax, vmax, mcux, mcuy = _geometry(sof)
+    by_id = {c["id"]: (i, c) for i, c in enumerate(comps)}
     order = []
     for cs, td, ta in scan:
-        c = by_id[cs]
-        order.append((c, huff[(0, td)], huff[(1, ta)], qt[c["tq"]]))
-    planes = [
-        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64)
-        for c, _, _, _ in order
-    ]
+        i, c = by_id[cs]
+        order.append((i, c, huff[(0, td)], huff[(1, ta)]))
     pred = [0] * len(order)
     br = _BitReader(data, pos)
     mcu_count = 0
@@ -548,14 +603,14 @@ def _decode_scan(data, pos, sof, scan, qt, huff, restart_interval):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                 br.restart()
                 pred = [0] * len(order)
-            for ci, (c, dct_, act_, q) in enumerate(order):
+            for si, (ci, c, dct_, act_) in enumerate(order):
                 for vy in range(c["v"]):
                     for vx in range(c["h"]):
-                        zz = np.zeros(64, np.int64)
+                        zz = coefs[ci][my * c["v"] + vy, mx * c["h"] + vx]
                         size = dct_.decode(br)
                         diff = _extend(br.bits(size), size)
-                        pred[ci] += diff
-                        zz[0] = pred[ci]
+                        pred[si] += diff
+                        zz[0] = pred[si]
                         k = 1
                         while k < 64:
                             rs = act_.decode(br)
@@ -570,24 +625,179 @@ def _decode_scan(data, pos, sof, scan, qt, huff, restart_interval):
                                 raise ValueError("JPEG: AC index overflow")
                             zz[k] = _extend(br.bits(s), s)
                             k += 1
-                        coef = np.empty(64, np.float64)
-                        # q is raster-ordered (see DQT parse); zz is
-                        # zigzag-ordered, so the matching quant steps
-                        # are q[_ZIGZAG]
-                        coef[_ZIGZAG] = zz * q[_ZIGZAG]
-                        block = _M.T @ coef.reshape(8, 8) @ _M + 128.0
-                        py = (my * c["v"] + vy) * 8
-                        px = (mx * c["h"] + vx) * 8
-                        planes[ci][py:py + 8, px:px + 8] = block
             mcu_count += 1
 
-    # upsample to full resolution by replication, crop, clamp
+
+def _refine_nonzero(br, zz, k, p1):
+    """Apply one correction bit to an already-nonzero coefficient
+    (G.2.2.3; abs() form is exact because every stored value is a
+    multiple of p1)."""
+    if br.bits(1) and (abs(int(zz[k])) & p1) == 0:
+        zz[k] += p1 if zz[k] > 0 else -p1
+
+
+def _decode_scan_progressive(data, pos, sof, scan, band, huff,
+                             restart_interval, coefs):
+    """One progressive scan (T.81 Annex G): spectral band [Ss, Se] at
+    successive-approximation stage Ah -> Al. Returns the byte offset of
+    the next marker after the scan's entropy data."""
+    ss, se, ah, al = band
+    h, w, comps = sof
+    hmax, vmax, mcux, mcuy = _geometry(sof)
+    by_id = {c["id"]: (i, c) for i, c in enumerate(comps)}
+    br = _BitReader(data, pos)
+
+    if ss == 0:  # DC scan: ns components, interleaved MCU order
+        if se != 0:
+            raise ValueError("JPEG: progressive scan mixes DC and AC")
+        order = [(by_id[cs][0], by_id[cs][1], huff.get((0, td)))
+                 for cs, td, _ta in scan]
+        interleaved = len(order) > 1
+        pred = [0] * len(order)
+        count = 0
+
+        def dc_block(si, zz):
+            if ah == 0:  # first DC scan
+                dct_ = order[si][2]
+                size = dct_.decode(br)
+                pred[si] += _extend(br.bits(size), size)
+                zz[0] = pred[si] << al
+            else:  # refinement: one bit
+                zz[0] |= br.bits(1) << al
+
+        if interleaved:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and count and count % restart_interval == 0:
+                        br.restart()
+                        pred = [0] * len(order)
+                    for si, (ci, c, _t) in enumerate(order):
+                        for vy in range(c["v"]):
+                            for vx in range(c["h"]):
+                                dc_block(si, coefs[ci][my * c["v"] + vy,
+                                                       mx * c["h"] + vx])
+                    count += 1
+        else:
+            ci, c, _t = order[0]
+            bh, bw = _true_block_dims(sof, c)
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_interval and count and count % restart_interval == 0:
+                        br.restart()
+                        pred = [0] * len(order)
+                    dc_block(0, coefs[ci][by, bx])
+                    count += 1
+    else:  # AC scan: exactly one component (T.81 G.1.1.1.1)
+        if len(scan) != 1:
+            raise ValueError("JPEG: interleaved progressive AC scan")
+        cs, _td, ta = scan[0]
+        ci, c = by_id[cs]
+        act_ = huff[(1, ta)]
+        bh, bw = _true_block_dims(sof, c)
+        eobrun = 0
+        p1 = 1 << al
+        count = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and count and count % restart_interval == 0:
+                    br.restart()
+                    eobrun = 0
+                count += 1
+                zz = coefs[ci][by, bx]
+                if ah == 0:  # AC first scan
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = act_.decode(br)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG: AC index overflow")
+                        zz[k] = _extend(br.bits(s), s) << al
+                        k += 1
+                else:  # AC refinement scan (G.2.2.3)
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = act_.decode(br)
+                            r, s = rs >> 4, rs & 0xF
+                            val = 0
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = (1 << r)
+                                    if r:
+                                        eobrun += br.bits(r)
+                                    break
+                                # r == 15: pass over 16 zero-history coefs
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "JPEG: bad refinement magnitude")
+                                val = p1 if br.bits(1) else -p1
+                            while k <= se:
+                                if zz[k] != 0:
+                                    _refine_nonzero(br, zz, k, p1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val and k <= se:
+                                zz[k] = val
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            if zz[k] != 0:
+                                _refine_nonzero(br, zz, k, p1)
+                            k += 1
+                        eobrun -= 1
+
+    # locate the next marker after this scan's entropy bytes (skip
+    # stuffed FF00, RSTn consumed as data, and FF fill bytes)
+    p = br.pos
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF and data[p + 1] not in (0x00, 0xFF) and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return n
+
+
+def _reconstruct(sof, coefs, qt):
+    """Dequantize + batch IDCT + upsample + colour-convert the
+    accumulated coefficient cubes into the final image."""
+    h, w, comps = sof
+    hmax, vmax, _, _ = _geometry(sof)
     full = []
-    for (c, _, _, _), p in zip(order, planes):
+    for c, cube in zip(comps, coefs):
+        bh, bw, _ = cube.shape
+        q = qt[c["tq"]]  # raster-ordered
+        deq = np.zeros((bh, bw, 64), np.float64)
+        # cube is zigzag-ordered; matching quant steps are q[_ZIGZAG]
+        deq[:, :, _ZIGZAG] = cube * q[_ZIGZAG].astype(np.float64)
+        blocks = deq.reshape(-1, 8, 8)
+        pix = np.einsum("ij,njk,kl->nil", _M.T, blocks, _M) + 128.0
+        plane = (
+            pix.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
         fy, fx = vmax // c["v"], hmax // c["h"]
         if fy > 1 or fx > 1:
-            p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
-        full.append(p[:h, :w])
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+        full.append(plane[:h, :w])
     # final sample rounding is floor(x + 0.5) (libjpeg's DESCALE), not
     # banker's np.round: half-way cases round up, which is also what SQL
     # round()/floor(x+0.5) computes — keeps the flat-gray oracle exact
