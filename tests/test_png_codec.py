@@ -225,3 +225,79 @@ def test_adam7_sixteen_bit_and_subbyte():
     data = (b"\x89PNG\r\n\x1a\n" + P._chunk(b"IHDR", ihdr)
             + P._chunk(b"IDAT", zlib.compress(lines)) + P._chunk(b"IEND", b""))
     assert np.array_equal(P.decode_png(data)[:, :, 0], img1)
+
+
+class TestTrns:
+    """tRNS transparency (spec 11.3.2): per-entry alpha for indexed
+    images, single transparent-colour key for grey/RGB."""
+
+    @staticmethod
+    def _insert_trns(data: bytes, payload: bytes) -> bytes:
+        from whitebox_tools_spark.operators.png_codec import _chunk
+        # place tRNS right before the first IDAT (after PLTE if any)
+        i = data.index(b"IDAT") - 4
+        return data[:i] + _chunk(b"tRNS", payload) + data[i:]
+
+    def test_indexed_trns_expands_to_rgba(self):
+        import numpy as np
+        from whitebox_tools_spark.operators.png_codec import (
+            decode_png, encode_png)
+        pal = np.array([[10, 20, 30], [40, 50, 60], [70, 80, 90]], np.uint8)
+        idx = np.array([[0, 1, 2], [2, 1, 0]], np.uint8)
+        data = self._insert_trns(
+            encode_png(idx, color_type=3, palette=pal), bytes([0, 128]))
+        out = decode_png(data)
+        assert out.shape == (2, 3, 4)
+        np.testing.assert_array_equal(out[:, :, :3], pal[idx.astype(int)])
+        alpha = np.array([[0, 128, 255], [255, 128, 0]], np.uint8)
+        np.testing.assert_array_equal(out[:, :, 3], alpha)
+
+    def test_gray_colour_key(self):
+        import numpy as np
+        from whitebox_tools_spark.operators.png_codec import (
+            decode_png, encode_png)
+        g = np.array([[7, 8], [8, 9]], np.uint8)
+        data = self._insert_trns(encode_png(g), (8).to_bytes(2, "big"))
+        out = decode_png(data)
+        assert out.shape == (2, 2, 2)
+        np.testing.assert_array_equal(out[:, :, 1],
+                                      [[255, 0], [0, 255]])
+
+    def test_rgb_colour_key_16bit(self):
+        import numpy as np
+        from whitebox_tools_spark.operators.png_codec import (
+            decode_png, encode_png)
+        img = np.zeros((2, 2, 3), np.uint16)
+        img[0, 0] = (1000, 2000, 3000)
+        key = b"".join(int(v).to_bytes(2, "big") for v in (1000, 2000, 3000))
+        out = decode_png(self._insert_trns(encode_png(img), key))
+        assert out.shape == (2, 2, 4) and out.dtype == np.uint16
+        assert out[0, 0, 3] == 0 and out[0, 1, 3] == 65535
+
+    def test_imageio_indexed_alpha_to_ours(self, spark):
+        """A javax-written indexed PNG with per-entry alpha (ICM with
+        alpha table) must decode to the same RGBA."""
+        import numpy as np
+        from whitebox_tools_spark.operators.png_codec import decode_png
+        jvm = spark.sparkContext._jvm
+        pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]],
+                       np.uint8)
+        alpha = np.array([255, 128, 0, 255], np.uint8)
+        idx = np.array([[0, 1], [2, 3], [1, 1]], np.uint8)
+        h, w = idx.shape
+        icm = jvm.java.awt.image.IndexColorModel(
+            2, 4,
+            bytearray(pal[:, 0].tobytes()), bytearray(pal[:, 1].tobytes()),
+            bytearray(pal[:, 2].tobytes()), bytearray(alpha.tobytes()))
+        bi = jvm.java.awt.image.BufferedImage(
+            w, h, jvm.java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        raster = bi.getRaster()
+        for r in range(h):
+            for c in range(w):
+                raster.setSample(c, r, 0, int(idx[r, c]))
+        bos = jvm.java.io.ByteArrayOutputStream()
+        assert jvm.javax.imageio.ImageIO.write(bi, "png", bos)
+        out = decode_png(bytes(bos.toByteArray()))
+        assert out.shape[2] == 4
+        np.testing.assert_array_equal(out[:, :, :3], pal[idx.astype(int)])
+        np.testing.assert_array_equal(out[:, :, 3], alpha[idx.astype(int)])

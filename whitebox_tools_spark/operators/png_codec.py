@@ -228,16 +228,19 @@ def decode_png(data: bytes) -> np.ndarray:
 
     Returns (h, w, ch) with the image's natural channels — grey 1, grey+
     alpha 2, RGB 3, RGBA 4; indexed images are expanded through PLTE to
-    RGB. dtype uint8 (depths 1/2/4 are unpacked but NOT rescaled — a
-    1-bit white pixel decodes to 1, matching the raw sample value),
-    uint16 for depth-16 files. Both interlace methods decode (0 = none,
-    1 = Adam7 seven-pass).
+    RGB, or RGBA when a tRNS chunk carries per-entry alpha; grey/RGB
+    files with a tRNS transparent-colour key gain an alpha channel
+    (0 at the key, opaque elsewhere). dtype uint8 (depths 1/2/4 are
+    unpacked but NOT rescaled — a 1-bit white pixel decodes to 1,
+    matching the raw sample value), uint16 for depth-16 files. Both
+    interlace methods decode (0 = none, 1 = Adam7 seven-pass).
     """
     if data[:8] != _SIG:
         raise ValueError("not a PNG file")
     pos = 8
     ihdr = None
     palette = None
+    trns = None
     idat = []
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
@@ -250,6 +253,8 @@ def decode_png(data: bytes) -> np.ndarray:
             ihdr = struct.unpack(">IIBBBBB", payload)
         elif ctype == b"PLTE":
             palette = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = payload
         elif ctype == b"IDAT":
             idat.append(payload)
         elif ctype == b"IEND":
@@ -298,4 +303,18 @@ def decode_png(data: bytes) -> np.ndarray:
         if idx.max(initial=0) >= len(palette):
             raise ValueError("PNG palette index out of range")
         img = palette[idx]
+        if trns is not None:  # per-palette-entry alpha -> RGBA
+            alpha = np.full(len(palette), 255, np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, np.uint8)
+            img = np.concatenate([img, alpha[idx][:, :, None]], axis=2)
+    elif trns is not None and color_type in (0, 2):
+        # single transparent colour (16-bit sample fields, spec 11.3.2)
+        vals = np.frombuffer(trns, ">u2").astype(np.int64)
+        if depth < 16:
+            vals = vals & ((1 << depth) - 1)
+        key = vals[: ch].reshape(1, 1, ch)
+        mask = (img.astype(np.int64) == key).all(axis=2)
+        amax = 65535 if depth == 16 else 255
+        alpha = np.where(mask, 0, amax).astype(img.dtype)
+        img = np.concatenate([img, alpha[:, :, None]], axis=2)
     return img
