@@ -96,7 +96,7 @@ HEADLINE = [
     # round-5 additions: PNG + JPEG real decode lanes, zipped-LAS
     # container, streaming exact dedup (stateful min-id)
     "media_decode_png", "media_decode_jpeg", "las_zip_roundtrip",
-    "streaming_exact_dedup", "media_decode_gif",
+    "streaming_exact_dedup", "media_decode_gif", "media_decode_avi",
 ]
 
 

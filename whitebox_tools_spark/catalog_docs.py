@@ -480,6 +480,23 @@ def q_media_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "delay_cs", "mean_r", "mean_g", "mean_b")
 
 
+def q_media_decode_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL video-container lane end-to-end: deterministic MJPEG
+    AVIs (RIFF hdrl/movi/idx1, one flat grayscale baseline JPEG per
+    frame) are encoded executor-side (operators/avi_codec.py), ride a
+    binary column through Arrow, and decode_video_frames walks the
+    container and Huffman-decodes + IDCTs every frame back into one row
+    per frame. Flat frames make the lossy frame codec EXACTLY
+    oracle-checkable (the media_decode_jpeg closed form per frame), so
+    a hash match certifies the container walk AND the frame codec.
+    Non-flat frames, rec-list nesting and codec rejection are covered
+    by tests/test_avi_codec.py."""
+    m = media.synth_avi_media(documents(spark, sf_dir))
+    out = media.decode_video_frames(m)
+    return out.select("doc_id", "frame_idx", "width", "height", "fps",
+                      "mean_r", "mean_g", "mean_b")
+
+
 def q_media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL audio decode lane end-to-end: deterministic PCM-16 WAVs
     are encoded executor-side (pure struct/numpy), ride a binary column
@@ -499,6 +516,7 @@ QUERIES["media_decode_real"] = q_media_decode_real
 QUERIES["media_decode_png"] = q_media_decode_png
 QUERIES["media_decode_jpeg"] = q_media_decode_jpeg
 QUERIES["media_decode_gif"] = q_media_decode_gif
+QUERIES["media_decode_avi"] = q_media_decode_avi
 QUERIES["media_decode_wav"] = q_media_decode_wav
 
 # payload bytes are reconstructible from the md5 hex string: byte i is
@@ -610,6 +628,30 @@ SELECT doc_id,
        CAST(sum((i * 11 + 7) % 256) AS DOUBLE) / count(*) AS mean_g,
        CAST(sum((i * 17 + 29) % 256) AS DOUBLE) / count(*) AS mean_b
 FROM px GROUP BY doc_id, f, w, h, delay_cs
+"""
+
+# per-frame flat-gray closed form of synth_avi_media: the
+# media_decode_jpeg DC chain per frame (qDC = 3 at quality 90,
+# tie-free round, see that row), plus container-carried fps
+ORACLE_SQL["media_decode_avi"] = """
+WITH d AS (SELECT doc_id,
+                  3 + doc_id % 6 AS w,
+                  2 + doc_id % 5 AS h,
+                  1 + doc_id % 3 AS nf,
+                  CAST(5 + doc_id % 10 AS DOUBLE) AS fps
+           FROM documents),
+fr AS (SELECT d.*, f.f, (d.doc_id * 37 + f.f * 53 + 11) % 256 AS v
+       FROM d, range(0, 3) f(f) WHERE f.f < d.nf),
+k AS (SELECT *, round(8.0 * (v - 128) / 3) AS kq FROM fr)
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       fps,
+       CAST(least(255.0, greatest(0.0, round(3 * kq / 8 + 128))) AS DOUBLE) AS mean_r,
+       CAST(least(255.0, greatest(0.0, round(3 * kq / 8 + 128))) AS DOUBLE) AS mean_g,
+       CAST(least(255.0, greatest(0.0, round(3 * kq / 8 + 128))) AS DOUBLE) AS mean_b
+FROM k
 """
 
 # closed-form pixel field of synth_bmp_media, recomputed per channel;

@@ -401,6 +401,108 @@ def decode_gif_frames(media: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------- MJPEG-AVI lane
+# A REAL video container: RIFF AVI with one JPEG per frame, decoded by
+# the in-repo T.81 codec — so the video path (container walk -> frame
+# bytes -> image decode -> per-frame features) runs end-to-end without
+# ffmpeg. Inter-coded codecs (H.264 etc.) still raise at decode.
+
+
+_VIDEO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("fps", T.DoubleType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def synth_avi_media(docs: DataFrame, record: str = "doc_id") -> DataFrame:
+    """Deterministic MJPEG-AVI media table: per doc, (1 + id%3) flat
+    grayscale JPEG frames of (3 + id%6) x (2 + id%5) at quality 90 with
+    frame f constant (id*37 + f*53 + 11) % 256, at fps 5 + id%10. Flat
+    frames keep the lossy codec EXACTLY oracle-checkable per frame (the
+    media_decode_jpeg closed form), so the whole container + entropy +
+    DCT chain pins with a value hash. AVI bytes are built executor-side
+    (operators/avi_codec.py)."""
+    from whitebox_tools_spark.operators.avi_codec import encode_avi_mjpeg
+    from whitebox_tools_spark.operators.jpeg_codec import encode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[record]:
+                did = int(did)
+                w, h = 3 + did % 6, 2 + did % 5
+                frames = [
+                    encode_jpeg(
+                        np.full((h, w), (did * 37 + f * 53 + 11) % 256,
+                                np.uint8),
+                        quality=90,
+                    )
+                    for f in range(1 + did % 3)
+                ]
+                payload = encode_avi_mjpeg(frames, w, h, fps=5 + did % 10)
+                rows.append((
+                    did,
+                    f"avi://{did}",
+                    payload,
+                    {"kind": "video", "n_bytes": len(payload), "codec": "mjpeg-avi"},
+                ))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "media_ref", "payload", "meta"]
+                )
+
+    return docs.select(record).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def decode_video_frames(media: DataFrame) -> DataFrame:
+    """REAL video frame extraction: walk each AVI container, decode
+    every MJPEG frame with the in-repo JPEG codec, emit one row per
+    frame with per-channel means. Codecs beyond MJPEG raise at this
+    documented point — plug ffmpeg in here, the Spark plumbing (binary
+    column -> Arrow batch -> frame rows) is identical."""
+    from whitebox_tools_spark.operators.avi_codec import decode_avi_mjpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                if meta["codec"] != "mjpeg-avi":
+                    raise NotImplementedError(
+                        f"video decode for codec {meta['codec']!r} requires "
+                        "native libraries (ffmpeg); plug them in here"
+                    )
+                frames, fps = decode_avi_mjpeg(bytes(payload))
+                for fi, img in enumerate(frames):
+                    img3 = _to_rgb8(img)
+                    out.append((
+                        int(doc_id), fi, img3.shape[1], img3.shape[0],
+                        float(fps),
+                        float(img3[:, :, 0].mean()),
+                        float(img3[:, :, 1].mean()),
+                        float(img3[:, :, 2].mean()),
+                    ))
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["doc_id", "frame_idx", "width", "height",
+                             "fps", "mean_r", "mean_g", "mean_b"],
+                )
+
+    return media.select("doc_id", "payload", "meta").mapInPandas(
+        run, schema=_VIDEO_FEATURE_SCHEMA
+    )
+
+
 # --------------------------------------------------------------- WAV codec
 # Pure-struct/numpy RIFF/WAVE PCM-16 — the audio twin of the BMP lane, so
 # the 'real' decode path covers both image and audio without native libs.
