@@ -1387,3 +1387,193 @@ def test_las_wkt_from_evlr():
     assert list(got["x"]) == [1.0, 2.0]
     # pre-1.4 files return no EVLRs
     assert las.parse_evlrs(las.encode_las(pdf, point_format=1)) == []
+
+
+# ------------------------------------------------- JPEG-in-TIFF (Compression 7)
+# TIFF TechNote 2: strips/tiles are JPEG streams, optionally abbreviated
+# against a shared JPEGTables tag (347). The reference rejects this
+# variant (geotiff/mod.rs:424-432); the engine reads AND writes it via
+# the in-repo T.81 codec.
+
+
+def _jit_cfg(rows=20, cols=20):
+    return GridConfig(rows=rows, cols=cols, north=1000.0, west=0.0,
+                      res_x=50.0, res_y=50.0)
+
+
+def test_jpeg_in_tiff_flat_strips_exact():
+    # strip constants with (v-128) % 3 == 0 are fixed points of the
+    # quality-90 DC chain -> the lossy codec roundtrips them EXACTLY
+    cfg = _jit_cfg()
+    g = np.empty((20, 20), np.uint8)
+    for s, v in enumerate((98, 119, 140)):
+        g[s * 8:(s + 1) * 8] = v
+    data = geotiff.encode_geotiff(g, cfg, compression=7, rows_per_strip=8)
+    cfg2, back = geotiff.decode_geotiff(data)
+    assert np.array_equal(back.astype(np.uint8), g)
+    assert (cfg2.rows, cfg2.cols) == (20, 20)
+
+
+def test_jpeg_in_tiff_plumbing_adds_zero_loss():
+    # container law: decode(tiff) == per-strip decode_jpeg(encode_jpeg)
+    # for arbitrary (lossy) content, gray and RGB
+    from whitebox_tools_spark.operators.jpeg_codec import (
+        decode_jpeg, encode_jpeg)
+
+    rng = np.random.RandomState(7)
+    cfg = _jit_cfg()
+    for shape in ((20, 20), (20, 20, 3)):
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        data = geotiff.encode_geotiff(img, cfg, compression=7,
+                                      rows_per_strip=8, jpeg_quality=75)
+        _, back = geotiff.decode_geotiff_multi(data)
+        want = np.vstack([
+            decode_jpeg(encode_jpeg(img[s * 8:(s + 1) * 8], quality=75))
+            for s in range(3)
+        ])
+        assert np.array_equal(back.astype(np.uint8), want)
+
+
+def test_jpeg_in_tiff_partial_last_strip():
+    cfg = _jit_cfg(rows=19)
+    g = np.empty((19, 20), np.uint8)
+    for s, v in enumerate((98, 119, 140)):
+        g[s * 8:(s + 1) * 8] = v  # last strip is 3 rows
+    data = geotiff.encode_geotiff(g, cfg, compression=7, rows_per_strip=8)
+    _, back = geotiff.decode_geotiff(data)
+    assert np.array_equal(back.astype(np.uint8), g)
+
+
+def _split_abbreviated(stream: bytes):
+    """Split a complete JPEG stream into (tables_stream, image_stream):
+    DQT/DHT segments move to a tables-only stream (T.81 §B.5)."""
+    import struct as _s
+
+    tables = bytearray(b"\xFF\xD8")
+    image = bytearray(b"\xFF\xD8")
+    pos = 2
+    while pos < len(stream):
+        assert stream[pos] == 0xFF
+        marker = stream[pos + 1]
+        if marker == 0xD9:
+            image += stream[pos:pos + 2]
+            break
+        if marker == 0xDA:  # SOS: entropy data runs to EOI
+            image += stream[pos:]
+            break
+        (seglen,) = _s.unpack_from(">H", stream, pos + 2)
+        seg = stream[pos:pos + 2 + seglen]
+        (tables if marker in (0xDB, 0xC4) else image).extend(seg)
+        pos += 2 + seglen
+    tables += b"\xFF\xD9"
+    return bytes(tables), bytes(image)
+
+
+def _build_jpegtables_tiff(tables: bytes, strips: list[bytes],
+                           width: int, height: int, rps: int) -> bytes:
+    """Minimal classic TIFF with a JPEGTables tag and abbreviated
+    grayscale JPEG strips."""
+    import struct as _s
+
+    tag_rows = [
+        (256, 4, 1, width, None), (257, 4, 1, height, None),
+        (258, 3, 1, 8, None), (259, 3, 1, 7, None), (262, 3, 1, 1, None),
+        (273, 4, len(strips), None, "offsets"),
+        (277, 3, 1, 1, None), (278, 4, 1, rps, None),
+        (279, 4, len(strips), None, "counts"),
+        (339, 3, 1, 1, None), (347, 7, len(tables), None, "tables"),
+    ]
+    n = len(tag_rows)
+    ifd_off = 8
+    extra_off = ifd_off + 2 + 12 * n + 4
+    extra = bytearray()
+    placements = {}
+    noff = len(strips)
+    if noff > 1:
+        placements["offsets"] = extra_off + len(extra)
+        extra += b"\0" * (4 * noff)
+        placements["counts"] = extra_off + len(extra)
+        extra += _s.pack("<" + "I" * noff, *(len(s) for s in strips))
+    if len(extra) & 1:
+        extra += b"\0"
+    placements["tables"] = extra_off + len(extra)
+    extra += tables
+    if len(extra) & 1:
+        extra += b"\0"
+    data_off = extra_off + len(extra)
+    offs = []
+    p = data_off
+    for s in strips:
+        offs.append(p)
+        p += len(s)
+    if noff > 1:
+        extra[placements["offsets"] - extra_off:
+              placements["offsets"] - extra_off + 4 * noff] = _s.pack(
+                  "<" + "I" * noff, *offs)
+    out = bytearray(b"II" + _s.pack("<HI", 42, ifd_off) + _s.pack("<H", n))
+    for tag, ftype, count, val, role in tag_rows:
+        out += _s.pack("<HHI", tag, ftype, count)
+        if role == "offsets":
+            out += _s.pack("<I", offs[0] if noff == 1 else placements["offsets"])
+        elif role == "counts":
+            out += _s.pack("<I", len(strips[0]) if noff == 1
+                           else placements["counts"])
+        elif role == "tables":
+            out += _s.pack("<I", placements["tables"])
+        elif ftype == 3:
+            out += _s.pack("<HH", val, 0)
+        else:
+            out += _s.pack("<I", val)
+    out += _s.pack("<I", 0)  # next IFD
+    out += extra
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def test_jpeg_in_tiff_jpegtables_abbreviated_read():
+    # GDAL-style layout: shared DQT/DHT in tag 347, abbreviated strips
+    from whitebox_tools_spark.operators.jpeg_codec import encode_jpeg
+
+    g = np.empty((20, 20), np.uint8)
+    for s, v in enumerate((98, 119, 140)):
+        g[s * 8:(s + 1) * 8] = v
+    full = [encode_jpeg(g[s * 8:(s + 1) * 8], quality=90) for s in range(3)]
+    splits = [_split_abbreviated(f) for f in full]
+    tables = splits[0][0]
+    strips = [im for _, im in splits]
+    data = _build_jpegtables_tiff(tables, strips, 20, 20, 8)
+    _, back = geotiff.decode_geotiff(data)
+    assert np.array_equal(back.astype(np.uint8), g)
+
+
+def test_jpeg_in_tiff_writer_validation():
+    cfg = _jit_cfg()
+    with pytest.raises(ValueError, match="uint8"):
+        geotiff.encode_geotiff(np.zeros((20, 20), np.float32), cfg,
+                               compression=7)
+    with pytest.raises(ValueError, match="predictor"):
+        geotiff.encode_geotiff(np.zeros((20, 20), np.uint8), cfg,
+                               compression=7, predictor=2)
+    with pytest.raises(ValueError, match="palette"):
+        geotiff.encode_geotiff(np.zeros((20, 20), np.uint8), cfg,
+                               compression=7,
+                               palette=np.zeros((4, 3), np.uint16))
+    with pytest.raises(ValueError, match="samples/pixel"):
+        geotiff.encode_geotiff(np.zeros((20, 20, 2), np.uint8), cfg,
+                               compression=7)
+
+
+def test_jpeg_in_tiff_reader_validation():
+    cfg = _jit_cfg()
+    data = bytearray(geotiff.encode_geotiff(
+        np.full((20, 20), 128, np.uint8), cfg, compression=7))
+    # flip SampleFormat (339) to 2 (signed) in the IFD -> reader rejects
+    import struct as _s
+    (n,) = _s.unpack_from("<H", data, 8)
+    for i in range(n):
+        tag, = _s.unpack_from("<H", data, 10 + 12 * i)
+        if tag == 339:
+            _s.pack_into("<H", data, 10 + 12 * i + 8, 2)
+    with pytest.raises(ValueError, match="8-bit unsigned"):
+        geotiff.decode_geotiff(bytes(data))

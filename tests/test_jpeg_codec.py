@@ -229,3 +229,57 @@ def test_non_interleaved_multiscan_raises_notimplemented():
     )
     with pytest.raises(NotImplementedError, match="non-interleaved"):
         J.decode_jpeg(data)
+
+
+# ----------------------------------------- abbreviated streams (JPEGTables)
+
+
+def _split_tables(stream: bytes):
+    import struct as _s
+
+    tables = bytearray(b"\xFF\xD8")
+    image = bytearray(b"\xFF\xD8")
+    pos = 2
+    while pos < len(stream):
+        marker = stream[pos + 1]
+        if marker == 0xD9:
+            image += stream[pos:pos + 2]
+            break
+        if marker == 0xDA:
+            image += stream[pos:]
+            break
+        (seglen,) = _s.unpack_from(">H", stream, pos + 2)
+        seg = stream[pos:pos + 2 + seglen]
+        (tables if marker in (0xDB, 0xC4) else image).extend(seg)
+        pos += 2 + seglen
+    tables += b"\xFF\xD9"
+    return bytes(tables), bytes(image)
+
+
+def test_tables_param_decodes_abbreviated_stream():
+    # T.81 §B.5 / TIFF TechNote 2: DQT+DHT in a tables-only stream,
+    # image stream abbreviated — decode must match the full stream
+    rng = np.random.RandomState(11)
+    for shape in ((24, 16), (24, 16, 3)):
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        full = J.encode_jpeg(img, quality=80)
+        tables, abbrev = _split_tables(full)
+        want = J.decode_jpeg(full)
+        got = J.decode_jpeg(abbrev, tables=tables)
+        assert np.array_equal(got, want)
+        # in-stream tables take precedence: full stream + tables is fine
+        assert np.array_equal(J.decode_jpeg(full, tables=tables), want)
+
+
+def test_abbreviated_stream_without_tables_raises():
+    img = np.full((8, 8), 77, np.uint8)
+    _, abbrev = _split_tables(J.encode_jpeg(img))
+    with pytest.raises(Exception):
+        J.decode_jpeg(abbrev)
+
+
+def test_tables_stream_with_frame_marker_rejected():
+    img = np.full((8, 8), 77, np.uint8)
+    full = J.encode_jpeg(img)
+    with pytest.raises(ValueError, match="tables-only"):
+        J.decode_jpeg(full, tables=full)

@@ -121,6 +121,47 @@ def q_grass_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_in_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG-in-TIFF (Compression 7, TIFF TechNote 2) write -> read. The
+    reference REJECTS this variant (geotiff/mod.rs:424-432); the engine
+    writes self-contained baseline-JPEG strips and reads both those and
+    JPEGTables-abbreviated files via the in-repo T.81 codec. The grid is
+    flat per 4-row strip with constants that are FIXED POINTS of the
+    quality-90 DC chain ((v-128) % 3 == 0 -> the lossy codec returns v
+    exactly), so a value-hash match certifies the strip segmentation,
+    the per-strip JPEG encode/decode, the partial-strip crop and the
+    GeoKey CRS carry-through — exactly, despite the lossy format.
+    Arbitrary-content laws live in tests/test_io_formats.py."""
+    rows, cols = GRID.rows, GRID.cols
+    cells = spark.range(rows * cols).select(
+        (F.col("id") / cols).cast("int").alias("row"),
+        (F.col("id") % cols).cast("int").alias("col"),
+    )
+    vals = cells.withColumn(
+        "value",
+        (F.lit(128) + 3 * ((F.floor(F.col("row") / 4) * 7) % 21 - 10)
+         ).cast("double"),
+    )
+    d = tempfile.mkdtemp(prefix="wts_jit_")
+    path = os.path.join(d, "grid.tif")
+    geotiff.write_geotiff(vals, dataclasses.replace(GRID, epsg=26917), path,
+                          dtype="u1", compression=7, rows_per_strip=4)
+    back = geotiff.read_geotiff(spark, path)
+    decoded_epsg = geotiff.read_geotiff_config(path).epsg
+    return back.select(
+        F.col("row").alias("cell_row"), F.col("col").alias("cell_col"),
+        "value", F.lit(int(decoded_epsg)).alias("epsg"),
+    )
+
+
+_ORACLE_JPEG_IN_TIFF = f"""
+SELECT CAST(r.i AS INT) AS cell_row, CAST(c.i AS INT) AS cell_col,
+       CAST(128 + 3 * (((r.i // 4) * 7) % 21 - 10) AS DOUBLE) AS value,
+       CAST(26917 AS INT) AS epsg
+FROM range(0, {GRID.rows}) r(i), range(0, {GRID.cols}) c(i)
+"""
+
+
 # f8 roundtrips are lossless, so the oracles are the block oracles verbatim;
 # the GeoTIFF rows additionally pin the GeoKeyDirectory CRS carry-through
 # (the written EPSG must survive decode / re-encode byte-exactly).
@@ -780,6 +821,7 @@ QUERIES = {
     "geotiff_pred_roundtrip": q_geotiff_pred_roundtrip,
     "geotiff_palette_roundtrip": q_geotiff_palette_roundtrip,
     "geotiff_lzw_roundtrip": q_geotiff_lzw_roundtrip,
+    "jpeg_in_tiff_roundtrip": q_jpeg_in_tiff_roundtrip,
     "bigtiff_roundtrip": q_bigtiff_roundtrip,
     "rgb_roundtrip": q_rgb_roundtrip,
     "arcascii_roundtrip": q_arcascii_roundtrip,
@@ -802,6 +844,7 @@ ORACLE_SQL = {
     "geotiff_pred_roundtrip": _ORACLE_GEOTIFF_PRED,
     "geotiff_palette_roundtrip": _ORACLE_GEOTIFF_PALETTE,
     "geotiff_lzw_roundtrip": _oracle_block("min"),
+    "jpeg_in_tiff_roundtrip": _ORACLE_JPEG_IN_TIFF,
     "bigtiff_roundtrip": _ORACLE_GEOTIFF,
     "arcascii_roundtrip": _ORACLE_ARCASCII,
     "whitebox_roundtrip": _oracle_points_raster("max"),

@@ -34,9 +34,16 @@ rasters, src/raster/geotiff/mod.rs:214 read_geotiff / :1564 write_geotiff):
   :1289-1297 pixel mapping); the writer can emit paletted u8 grids too
   (``palette=``), which the reference writer cannot.
 
+- JPEG-in-TIFF (Compression 7, TIFF TechNote 2) read AND write via the
+  in-repo T.81 codec (operators/jpeg_codec.py): read accepts
+  self-contained or JPEGTables-abbreviated (tag 347) strips/tiles for
+  grayscale and YCbCr imagery; the writer emits self-contained baseline
+  strips (``compression=7, jpeg_quality=``, uint8 only). The reference
+  rejects this variant outright (geotiff/mod.rs:424-432) — this
+  exceeds it.
+
 Out of scope (rejected with a clear error, like the reference's
-unsupported-variant errors): JPEG compression, the floating-point
-predictor (3).
+unsupported-variant errors): the floating-point predictor (3).
 """
 
 from __future__ import annotations
@@ -74,6 +81,7 @@ _TILE_OFFSETS = 324
 _TILE_BYTE_COUNTS = 325
 _COLOR_MAP = 320
 _SAMPLE_FORMAT = 339
+_JPEG_TABLES = 347
 _MODEL_PIXEL_SCALE = 33550
 _MODEL_TIEPOINT = 33922
 _GEOKEY_DIRECTORY = 34735
@@ -151,8 +159,8 @@ def _geokey_directory_values(epsg: int, geographic: bool | None = None) -> tuple
 # TIFF field types -> (struct code, size); 16/17/18 are the BigTIFF
 # 8-byte LONG8/SLONG8/IFD8 types (BigTIFF spec, version 43)
 _FIELD = {1: ("B", 1), 2: ("c", 1), 3: ("H", 2), 4: ("I", 4), 5: ("II", 8),
-          6: ("b", 1), 8: ("h", 2), 9: ("i", 4), 11: ("f", 4), 12: ("d", 8),
-          16: ("Q", 8), 17: ("q", 8), 18: ("Q", 8)}
+          6: ("b", 1), 7: ("B", 1), 8: ("h", 2), 9: ("i", 4), 11: ("f", 4),
+          12: ("d", 8), 16: ("Q", 8), 17: ("q", 8), 18: ("Q", 8)}
 
 _DTYPES = {  # (sample_format, bits) -> numpy dtype char (endian applied later)
     (1, 8): "u1", (1, 16): "u2", (1, 32): "u4",
@@ -187,6 +195,8 @@ def _read_ifd_entries(
             (voff,) = struct.unpack_from(bo + ("Q" if big else "I"), buf, voff)
         if ftype == 2:  # ASCII
             entries[tag] = (buf[voff:voff + count].split(b"\0")[0].decode("ascii", "replace"),)
+        elif ftype == 7:  # UNDEFINED: opaque bytes (e.g. JPEGTables)
+            entries[tag] = (buf[voff:voff + count],)
         elif ftype == 5:  # RATIONAL
             vals = struct.unpack_from(bo + "I" * (2 * count), buf, voff)
             entries[tag] = tuple(vals[2 * j] / max(vals[2 * j + 1], 1) for j in range(count))
@@ -408,6 +418,35 @@ def decode_geotiff_multi(data: bytes) -> tuple[GridConfig, np.ndarray]:
         raise ValueError(f"unsupported sample format/bits {key}")
     dt = np.dtype(bo + _DTYPES[key])
 
+    jpeg_tables = None
+    if compression == 7:
+        # JPEG-in-TIFF (TechNote 2): each strip/tile is a JPEG image
+        # stream, optionally abbreviated against the shared JPEGTables
+        # tag. The reference rejects this variant (geotiff/mod.rs:
+        # 424-432) — this exceeds it via the in-repo T.81 codec.
+        if bits != 8 or sfmt != 1:
+            raise ValueError("JPEG-in-TIFF requires 8-bit unsigned samples")
+        if predictor == 2:
+            raise ValueError("TIFF predictor does not apply to JPEG strips")
+        if photometric not in (1, 6) or spp not in (1, 3):
+            raise ValueError(
+                "JPEG-in-TIFF supported for grayscale (photometric 1) or "
+                f"YCbCr (photometric 6) only, got photometric {photometric} "
+                f"with {spp} samples/pixel")
+        if _JPEG_TABLES in tags:
+            jpeg_tables = bytes(tags[_JPEG_TABLES][0])
+
+    def _jpeg_chunk(chunk: bytes, nrows: int, ncols: int) -> np.ndarray:
+        from whitebox_tools_spark.operators.jpeg_codec import decode_jpeg
+
+        img = decode_jpeg(chunk, tables=jpeg_tables)
+        if img.shape[2] != spp:
+            raise ValueError(
+                f"JPEG strip has {img.shape[2]} components, IFD says {spp}")
+        if img.shape[0] < nrows or img.shape[1] < ncols:
+            raise ValueError("JPEG strip smaller than its raster window")
+        return img[:nrows, :ncols]
+
     grid = np.empty((height, width, spp), dtype=dt)
     if _TILE_OFFSETS in tags:
         tw = int(tags[_TILE_WIDTH][0])
@@ -416,25 +455,32 @@ def decode_geotiff_multi(data: bytes) -> tuple[GridConfig, np.ndarray]:
         cnts = tags[_TILE_BYTE_COUNTS]
         tiles_across = math.ceil(width / tw)
         for idx, (o, c) in enumerate(zip(offs, cnts)):
+            r0 = (idx // tiles_across) * th
+            c0 = (idx % tiles_across) * tw
+            nr, nc = min(th, height - r0), min(tw, width - c0)
+            if compression == 7:
+                grid[r0:r0 + nr, c0:c0 + nc] = _jpeg_chunk(
+                    data[o:o + c], nr, nc)
+                continue
             raw = _decompress(data[o:o + c], compression)
             tile = np.frombuffer(raw, dtype=dt, count=tw * th * spp).reshape(
                 th, tw, spp
             )
             if predictor == 2:
                 tile = _undiff(tile)
-            r0 = (idx // tiles_across) * th
-            c0 = (idx % tiles_across) * tw
-            grid[r0:min(r0 + th, height), c0:min(c0 + tw, width)] = (
-                tile[: min(th, height - r0), : min(tw, width - c0)]
-            )
+            grid[r0:r0 + nr, c0:c0 + nc] = tile[:nr, :nc]
     else:
         rps = int(tags.get(_ROWS_PER_STRIP, (height,))[0])
         offs = tags[_STRIP_OFFSETS]
         cnts = tags[_STRIP_BYTE_COUNTS]
         r = 0
         for o, c in zip(offs, cnts):
-            raw = _decompress(data[o:o + c], compression)
             nrows = min(rps, height - r)
+            if compression == 7:
+                grid[r:r + nrows] = _jpeg_chunk(data[o:o + c], nrows, width)
+                r += nrows
+                continue
+            raw = _decompress(data[o:o + c], compression)
             strip = np.frombuffer(
                 raw, dtype=dt, count=nrows * width * spp
             ).reshape(nrows, width, spp)
@@ -483,7 +529,7 @@ _TAG_NAMES = {
     284: "PlanarConfiguration", 317: "Predictor", 320: "ColorMap",
     322: "TileWidth",
     323: "TileLength", 324: "TileOffsets", 325: "TileByteCounts",
-    339: "SampleFormat", 33550: "ModelPixelScaleTag",
+    339: "SampleFormat", 347: "JPEGTables", 33550: "ModelPixelScaleTag",
     33922: "ModelTiepointTag", 34735: "GeoKeyDirectoryTag",
     34736: "GeoDoubleParamsTag", 34737: "GeoAsciiParamsTag",
     42113: "GDAL_NODATA",
@@ -527,6 +573,7 @@ def encode_geotiff(
     big: bool = False,
     predictor: int = 1,
     palette: np.ndarray | None = None,
+    jpeg_quality: int = 90,
 ) -> bytes:
     """Encode a numpy array as GeoTIFF bytes (strips): 2-D -> single
     band; 3-D (h, w, s) -> s samples/pixel, chunky (PlanarConfig 1) —
@@ -537,17 +584,30 @@ def encode_geotiff(
     usually a large deflate/LZW-size win on smooth rasters."""
     if grid.ndim not in (2, 3):
         raise ValueError("grid must be 2-D or 3-D (h, w, samples)")
-    if compression not in (1, 5, 8):
+    if compression not in (1, 5, 7, 8):
         # only emit labels the writer actually compresses — anything
         # else would mislabel raw strips as compressed (ADVICE r3)
         raise ValueError(
-            "writer supports compression 1 (none), 5 (LZW) or 8 (deflate), "
-            f"got {compression}"
+            "writer supports compression 1 (none), 5 (LZW), 7 (JPEG) or "
+            f"8 (deflate), got {compression}"
         )
     if predictor not in (1, 2):
         raise ValueError(f"writer supports predictor 1 or 2, got {predictor}")
     if predictor == 2 and grid.dtype.kind == "f":
         raise ValueError("predictor 2 applies to integer samples only")
+    if compression == 7:
+        # JPEG-in-TIFF (TechNote 2): every strip is a complete baseline
+        # JPEG stream from the in-repo T.81 codec (no JPEGTables tag —
+        # self-contained strips, which every reader accepts). Lossy:
+        # imagery path, not a DEM path.
+        if grid.dtype != np.uint8:
+            raise ValueError("JPEG compression requires uint8 samples")
+        if grid.ndim == 3 and grid.shape[2] != 3:
+            raise ValueError("JPEG compression supports 1 or 3 samples/pixel")
+        if predictor == 2:
+            raise ValueError("TIFF predictor does not apply to JPEG strips")
+        if palette is not None:
+            raise ValueError("JPEG compression cannot carry a palette")
     if palette is not None:
         palette = np.asarray(palette, dtype=np.uint16)
         if grid.ndim != 2 or grid.dtype != np.uint8:
@@ -576,6 +636,12 @@ def encode_geotiff(
             else:
                 d[:, 1:, :] = block[:, 1:, :] - block[:, :-1, :]
             block = d
+        if compression == 7:
+            from whitebox_tools_spark.operators.jpeg_codec import encode_jpeg
+
+            strips.append(encode_jpeg(
+                np.ascontiguousarray(block), quality=jpeg_quality))
+            continue
         raw = block.tobytes()
         if compression == 8:
             strips.append(zlib.compress(raw, 6))
@@ -620,6 +686,8 @@ def encode_geotiff(
         tags.append((_COLOR_MAP, 3, 3 * palette.shape[0],
                      struct.pack(bo + "H" * (3 * palette.shape[0]),
                                  *(int(v) for v in planes))))
+    elif compression == 7 and spp >= 3:
+        _short(_PHOTOMETRIC, 6)  # colour JPEG strips store YCbCr
     else:
         _short(_PHOTOMETRIC, 2 if spp >= 3 else 1)
     tags.append((_STRIP_OFFSETS, off_type, nstrips, None))  # patched below
@@ -818,6 +886,7 @@ def write_geotiff(
     df: DataFrame, cfg: GridConfig, path: str, dtype: str = "f4",
     compression: int = 8, big: bool = False,
     max_cells: int = 268_435_456, predictor: int = 1,
+    rows_per_strip: int = 64, jpeg_quality: int = 90,
 ) -> None:
     """Single-file writer: assembles the grid driver-side. Fine for
     summaries/small rasters; use :func:`write_geotiff_tiles` at scale.
@@ -833,7 +902,9 @@ def write_geotiff(
     arr = _grid_from_df(df, cfg, dtype)
     with open(path, "wb") as f:
         f.write(encode_geotiff(arr, cfg, compression=compression, big=big,
-                               predictor=predictor))
+                               predictor=predictor,
+                               rows_per_strip=rows_per_strip,
+                               jpeg_quality=jpeg_quality))
 
 
 def write_geotiff_tiles(

@@ -447,14 +447,81 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
+def _parse_tables_stream(
+    tables: bytes,
+    qt: dict[int, np.ndarray],
+    huff: dict[tuple[int, int], "_HuffDecoder"],
+) -> int:
+    """Parse a tables-only JPEG stream (T.81 §B.5 abbreviated format —
+    the payload of the TIFF ``JPEGTables`` tag 347): collect DQT / DHT
+    (and a DRI default) into the caller's dicts. Returns the restart
+    interval (0 if none). Frame/scan markers are illegal here."""
+    if tables[:2] != b"\xFF\xD8":
+        raise ValueError("JPEGTables: not a JPEG tables stream")
+    pos = 2
+    restart_interval = 0
+    while pos < len(tables):
+        if tables[pos] != 0xFF:
+            raise ValueError("JPEGTables: expected marker")
+        marker = tables[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI ends the abbreviated stream
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+            continue
+        (seglen,) = struct.unpack_from(">H", tables, pos)
+        seg = tables[pos + 2:pos + seglen]
+        if marker == 0xDB:
+            _parse_dqt(seg, qt)
+        elif marker == 0xC4:
+            _parse_dht(seg, huff)
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif 0xC0 <= marker <= 0xCF:
+            raise ValueError(
+                "JPEGTables: frame marker in a tables-only stream")
+        pos += seglen
+    return restart_interval
+
+
+def _parse_dqt(seg: bytes, qt: dict[int, np.ndarray]) -> None:
+    p = 0
+    while p < len(seg):
+        pq, tq = seg[p] >> 4, seg[p] & 0xF
+        p += 1
+        if pq == 0:
+            t = np.frombuffer(seg, np.uint8, 64, p).astype(np.int64)
+            p += 64
+        else:
+            t = np.frombuffer(seg, ">u2", 64, p).astype(np.int64)
+            p += 128
+        raster = np.empty(64, np.int64)
+        raster[_ZIGZAG] = t
+        qt[tq] = raster
+
+
+def _parse_dht(seg: bytes, huff: dict[tuple[int, int], "_HuffDecoder"]) -> None:
+    p = 0
+    while p < len(seg):
+        cls, tid = seg[p] >> 4, seg[p] & 0xF
+        bits = list(seg[p + 1:p + 17])
+        n = sum(bits)
+        values = list(seg[p + 17:p + 17 + n])
+        huff[(cls, tid)] = _HuffDecoder(bits, values)
+        p += 17 + n
+
+
+def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
     """Decode JPEG bytes -> (h, w) grayscale has shape (h, w, 1); colour
     decodes to (h, w, 3) RGB uint8 (JFIF BT.601). Both the baseline
     sequential (SOF0/1) and the progressive (SOF2) DCT processes decode
     — progressive accumulates spectral-selection / successive-
     approximation scans (T.81 Annex G: DC first + refine, AC first +
     refine with EOB runs) into the coefficient buffer and reconstructs
-    once at EOI."""
+    once at EOI. ``tables`` primes the decoder with a tables-only
+    abbreviated stream (TIFF JPEGTables tag 347, TechNote 2) so that
+    ``data`` may be an abbreviated image stream whose DQT/DHT live in
+    the shared tables; in-stream tables still override."""
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG file")
     pos = 2
@@ -463,6 +530,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     sof = None
     progressive = False
     restart_interval = 0
+    if tables is not None:
+        restart_interval = _parse_tables_stream(tables, qt, huff)
     coefs: list[np.ndarray] | None = None
     saw_scan = False
     while pos < len(data):
@@ -477,28 +546,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         (seglen,) = struct.unpack_from(">H", data, pos)
         seg = data[pos + 2:pos + seglen]
         if marker == 0xDB:  # DQT
-            p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 0xF
-                p += 1
-                if pq == 0:
-                    t = np.frombuffer(seg, np.uint8, 64, p).astype(np.int64)
-                    p += 64
-                else:
-                    t = np.frombuffer(seg, ">u2", 64, p).astype(np.int64)
-                    p += 128
-                raster = np.empty(64, np.int64)
-                raster[_ZIGZAG] = t
-                qt[tq] = raster
+            _parse_dqt(seg, qt)
         elif marker == 0xC4:  # DHT
-            p = 0
-            while p < len(seg):
-                cls, tid = seg[p] >> 4, seg[p] & 0xF
-                bits = list(seg[p + 1:p + 17])
-                n = sum(bits)
-                values = list(seg[p + 17:p + 17 + n])
-                huff[(cls, tid)] = _HuffDecoder(bits, values)
-                p += 17 + n
+            _parse_dht(seg, huff)
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             prec, hh, ww, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
