@@ -474,3 +474,57 @@ def test_png_media_lane_variants(spark):
         fts.add(raw[0])
         assert raw[0] == r["doc_id"] % 5
     assert fts == {0, 1, 2, 3, 4}
+
+
+class TestG711Wav:
+    """G.711 µ-law (fmt 7) / A-law (fmt 6) telephony WAV decode."""
+
+    @staticmethod
+    def _ulaw_ref(code):
+        # CCITT/Sun scalar reference (G.191 softtools ulaw_expand form)
+        u = ~code & 0xFF
+        t = (((u & 0xF) << 3) + 0x84) << ((u >> 4) & 7)
+        return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+    @staticmethod
+    def _alaw_ref(code):
+        a = code ^ 0x55
+        seg = (a >> 4) & 7
+        base = (a & 0xF) << 4
+        if seg == 0:
+            mag = base + 8
+        elif seg == 1:
+            mag = base + 0x108
+        else:
+            mag = (base + 0x108) << (seg - 1)
+        return mag if (a & 0x80) else -mag
+
+    def test_luts_match_scalar_reference_all_256(self):
+        import numpy as np
+        for code in range(256):
+            assert media._ULAW_LUT[code] == self._ulaw_ref(code)
+            assert media._ALAW_LUT[code] == self._alaw_ref(code)
+        # canonical anchors: all-ones µ-law code is 0; A-law 0x55 is -8
+        assert media._ULAW_LUT[0xFF] == 0
+        assert media._ULAW_LUT[0x00] == -32124
+        assert media._ALAW_LUT[0x55] == -8
+        assert int(np.abs(media._ALAW_LUT).max()) == 32256
+
+    def test_g711_wav_decode(self):
+        import numpy as np
+        codes = np.arange(256, dtype=np.uint8)
+        for afmt, lut in ((7, media._ULAW_LUT), (6, media._ALAW_LUT)):
+            rate, s = media.decode_wav(
+                TestWavRealDecode._wav(afmt, 8, codes.tobytes()))
+            np.testing.assert_array_equal(s[:, 0], lut[codes])
+        # stereo interleave and WAVE_FORMAT_EXTENSIBLE routing
+        rate, s = media.decode_wav(
+            TestWavRealDecode._wav(7, 8, codes.tobytes(), ch=2,
+                                   extensible=True))
+        assert s.shape == (128, 2)
+        np.testing.assert_array_equal(s.reshape(-1), media._ULAW_LUT[codes])
+
+    def test_g711_wrong_bits_rejected(self):
+        import numpy as np
+        with pytest.raises(ValueError, match="8-bit"):
+            media.decode_wav(TestWavRealDecode._wav(7, 16, b"\0" * 8))

@@ -524,6 +524,29 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     return out
 
 
+def _g711_luts() -> tuple[np.ndarray, np.ndarray]:
+    """256-entry µ-law / A-law -> int16 expansion tables (ITU-T G.711;
+    the classic Sun/CCITT reference expressions, vectorized once)."""
+    c = np.arange(256, dtype=np.int32)
+    # µ-law: complement, then mag = (((mant<<3) + 0x84) << exp) - 0x84
+    u = ~c & 0xFF
+    t = (((u & 0xF) << 3) + 0x84) << ((u >> 4) & 7)
+    ulaw = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+    # A-law: xor 0x55, segment 0/1 linear, higher segments shifted
+    a = c ^ 0x55
+    seg = (a >> 4) & 7
+    base = (a & 0xF) << 4
+    mag = np.where(
+        seg == 0, base + 8,
+        np.where(seg == 1, base + 0x108, (base + 0x108) << np.maximum(seg - 1, 0)),
+    )
+    alaw = np.where(a & 0x80, mag, -mag).astype(np.int16)
+    return ulaw, alaw
+
+
+_ULAW_LUT, _ALAW_LUT = _g711_luts()
+
+
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     """WAV bytes -> (sample_rate, (n, ch) int16). Walks the RIFF chunk
     list (extra chunks — LIST, fact, cue — are skipped) and handles the
@@ -533,7 +556,9 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
       24-bit (packed 3-byte, high 16 bits kept) and 32-bit (high 16
       bits kept);
     - IEEE float 32/64 (fmt 3; [-1, 1] clipped and scaled to int16);
-    - WAVE_FORMAT_EXTENSIBLE (fmt 0xFFFE) resolving to either of the
+    - ITU-T G.711 A-law (fmt 6) and µ-law (fmt 7) telephony companding,
+      expanded through 256-entry LUTs;
+    - WAVE_FORMAT_EXTENSIBLE (fmt 0xFFFE) resolving to any of the
       above via the SubFormat GUID's leading format code.
 
     Everything lands in one int16 representation so downstream feature
@@ -582,10 +607,15 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         else:
             raise NotImplementedError(f"float WAV with bits={bits}")
         flat = np.clip(np.round(f * 32767.0), -32768, 32767).astype(np.int16)
+    elif afmt in (6, 7):  # G.711 A-law / µ-law (8-bit companded)
+        if bits not in (0, 8):
+            raise ValueError(f"G.711 WAV must be 8-bit, got bits={bits}")
+        lut = _ALAW_LUT if afmt == 6 else _ULAW_LUT
+        flat = lut[np.frombuffer(body, dtype=np.uint8)]
     else:
         raise NotImplementedError(
-            f"WAV format {afmt} not supported (PCM and IEEE float only; "
-            "compressed codecs need native libraries)"
+            f"WAV format {afmt} not supported (PCM, IEEE float and G.711 "
+            "only; compressed codecs need native libraries)"
         )
     n = flat.size - flat.size % ch
     samples = flat[:n].reshape(-1, ch)
