@@ -1577,3 +1577,48 @@ def test_jpeg_in_tiff_reader_validation():
             _s.pack_into("<H", data, 10 + 12 * i + 8, 2)
     with pytest.raises(ValueError, match="8-bit unsigned"):
         geotiff.decode_geotiff(bytes(data))
+
+
+# --------------------------------------------------- tiled single-file write
+# TIFF 6.0 §15 tiled layout (the GDAL/COG shape). The reader always
+# handled tiles; the writer emits them with ``tile=(tw, th)``.
+
+
+@pytest.mark.parametrize("dtype,comp,pred", [
+    ("f4", 1, 1), ("f8", 8, 1), ("i2", 5, 2), ("u1", 8, 1)])
+def test_geotiff_tiled_write_roundtrip(dtype, comp, pred):
+    g = _demo_grid(dtype)
+    data = geotiff.encode_geotiff(g, CFG, compression=comp, predictor=pred,
+                                  tile=(16, 16))
+    tags = geotiff.print_geotiff_tags(data)
+    assert tags["TileWidth"] == (16,) and tags["TileLength"] == (16,)
+    assert "RowsPerStrip" not in tags and "StripOffsets" not in tags
+    cfg2, g2 = geotiff.decode_geotiff(data)
+    assert np.array_equal(g2.astype(dtype), g)
+    assert (cfg2.rows, cfg2.cols) == (CFG.rows, CFG.cols)
+
+
+def test_geotiff_tiled_multiband_and_bigtiff():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (CFG.rows, CFG.cols, 3)).astype(np.uint8)
+    for big in (False, True):
+        data = geotiff.encode_geotiff(img, CFG, tile=(16, 32), big=big)
+        _, back = geotiff.decode_geotiff_multi(data)
+        assert np.array_equal(back.astype(np.uint8), img)
+
+
+def test_geotiff_tiled_jpeg_flat_exact():
+    cfg = GridConfig(rows=32, cols=32, north=0.0, west=0.0,
+                     res_x=1.0, res_y=1.0)
+    g = np.empty((32, 32), np.uint8)
+    g[:16, :16], g[:16, 16:], g[16:, :16], g[16:, 16:] = 98, 119, 140, 128
+    data = geotiff.encode_geotiff(g, cfg, compression=7, tile=(16, 16))
+    _, back = geotiff.decode_geotiff(data)
+    assert np.array_equal(back.astype(np.uint8), g)
+
+
+def test_geotiff_tile_size_validation():
+    g = np.zeros((20, 20), np.uint8)
+    for bad in ((15, 16), (16, 0), (-16, 16)):
+        with pytest.raises(ValueError, match="multiples of 16"):
+            geotiff.encode_geotiff(g, CFG, tile=bad)

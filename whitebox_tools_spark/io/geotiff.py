@@ -574,6 +574,7 @@ def encode_geotiff(
     predictor: int = 1,
     palette: np.ndarray | None = None,
     jpeg_quality: int = 90,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
     """Encode a numpy array as GeoTIFF bytes (strips): 2-D -> single
     band; 3-D (h, w, s) -> s samples/pixel, chunky (PlanarConfig 1) —
@@ -581,7 +582,11 @@ def encode_geotiff(
     BigTIFF (version 43: 8-byte offsets, 20-byte IFD entries, LONG8
     strip tables) so files past 4 GiB stay addressable. ``predictor=2``
     (integer samples only) stores horizontal differences per strip row —
-    usually a large deflate/LZW-size win on smooth rasters."""
+    usually a large deflate/LZW-size win on smooth rasters.
+    ``tile=(tw, th)`` (multiples of 16, TIFF 6.0 §15) switches to the
+    tiled layout (TileWidth/TileLength/TileOffsets/TileByteCounts — the
+    GDAL/COG shape) with edge tiles padded by replication; composes
+    with every compression including JPEG, and with ``big=True``."""
     if grid.ndim not in (2, 3):
         raise ValueError("grid must be 2-D or 3-D (h, w, samples)")
     if compression not in (1, 5, 7, 8):
@@ -618,17 +623,40 @@ def encode_geotiff(
             raise ValueError("palette must be (n<=256, 3) 16-bit channels")
         if int(grid.max(initial=0)) >= palette.shape[0]:
             raise ValueError("index grid references beyond the palette")
+    if tile is not None:
+        tw_, th_ = tile
+        # TIFF 6.0 §15: tile dimensions must be multiples of 16
+        if tw_ <= 0 or th_ <= 0 or tw_ % 16 or th_ % 16:
+            raise ValueError(
+                f"tile dimensions must be positive multiples of 16, got {tile}")
     sfmt, bits = _np_to_tiff_type(grid)
     bo = byteorder
     grid = np.ascontiguousarray(grid, dtype=grid.dtype.newbyteorder(bo))
     height, width = grid.shape[:2]
     spp = 1 if grid.ndim == 2 else grid.shape[2]
     rps = min(rows_per_strip, height)
-    nstrips = math.ceil(height / rps)
+
+    if tile is not None:
+        # tiled layout (the GDAL/COG shape): row-major tw_ x th_ blocks,
+        # edge tiles padded by replication to the full tile size (§15 —
+        # tiles are always complete; the reader crops)
+        blocks = []
+        for ty in range(math.ceil(height / th_)):
+            for tx in range(math.ceil(width / tw_)):
+                blk = grid[ty * th_:(ty + 1) * th_, tx * tw_:(tx + 1) * tw_]
+                pr, pc = th_ - blk.shape[0], tw_ - blk.shape[1]
+                if pr or pc:
+                    pad = ((0, pr), (0, pc)) + (
+                        ((0, 0),) if grid.ndim == 3 else ())
+                    blk = np.pad(blk, pad, mode="edge")
+                blocks.append(blk)
+    else:
+        blocks = [grid[s * rps:(s + 1) * rps]
+                  for s in range(math.ceil(height / rps))]
+    nstrips = len(blocks)
 
     strips = []
-    for s in range(nstrips):
-        block = grid[s * rps:(s + 1) * rps]
+    for block in blocks:
         if predictor == 2:
             d = block.copy()
             if block.ndim == 2:
@@ -690,10 +718,16 @@ def encode_geotiff(
         _short(_PHOTOMETRIC, 6)  # colour JPEG strips store YCbCr
     else:
         _short(_PHOTOMETRIC, 2 if spp >= 3 else 1)
-    tags.append((_STRIP_OFFSETS, off_type, nstrips, None))  # patched below
+    off_tag = _TILE_OFFSETS if tile is not None else _STRIP_OFFSETS
+    cnt_tag = _TILE_BYTE_COUNTS if tile is not None else _STRIP_BYTE_COUNTS
+    tags.append((off_tag, off_type, nstrips, None))  # patched below
     _short(_SAMPLES_PER_PIXEL, spp)
-    _long(_ROWS_PER_STRIP, rps)
-    tags.append((_STRIP_BYTE_COUNTS, off_type, nstrips, None))
+    if tile is not None:
+        _long(_TILE_WIDTH, tw_)
+        _long(_TILE_LENGTH, th_)
+    else:
+        _long(_ROWS_PER_STRIP, rps)
+    tags.append((cnt_tag, off_type, nstrips, None))
     _short(_PLANAR_CONFIG, 1)
     if predictor == 2:
         _short(_PREDICTOR, 2)
@@ -761,11 +795,11 @@ def encode_geotiff(
     cnt_code = "Q" if big else "I"
     for tag, ftype, count, val in tags:
         out.write(struct.pack(bo + "HH" + cnt_code, tag, ftype, count))
-        if tag == _STRIP_OFFSETS:
+        if tag == off_tag:
             out.write(struct.pack(
                 bo + off_code,
                 strip_offsets[0] if nstrips == 1 else offsets_pos))
-        elif tag == _STRIP_BYTE_COUNTS:
+        elif tag == cnt_tag:
             out.write(struct.pack(
                 bo + off_code,
                 len(strips[0]) if nstrips == 1 else counts_pos))
