@@ -1622,3 +1622,77 @@ def test_geotiff_tile_size_validation():
     for bad in ((15, 16), (16, 0), (-16, 16)):
         with pytest.raises(ValueError, match="multiples of 16"):
             geotiff.encode_geotiff(g, CFG, tile=bad)
+
+
+# ------------------------------------------------- COG overview pyramids
+# Multi-IFD files: full-resolution IFD + chained reduced-resolution
+# IFDs (NewSubfileType 1), the Cloud-Optimized GeoTIFF layout.
+
+
+@pytest.mark.parametrize("big", [False, True])
+@pytest.mark.parametrize("comp", [1, 5, 8])
+def test_cog_overview_pyramid_roundtrip(big, comp):
+    g = _demo_grid("f8")
+    data = geotiff.encode_geotiff_overviews(g, CFG, overviews=3,
+                                            compression=comp, big=big)
+    assert geotiff.count_overviews(data) == 3
+    _, full = geotiff.decode_geotiff_multi(data, ifd=0)
+    assert np.array_equal(full[:, :, 0], g)
+    lv = g
+    res = CFG.res_x
+    for k in (1, 2, 3):
+        lv = lv[::2, ::2]  # 'nearest' = exact top-left decimation
+        res *= 2
+        ck, a = geotiff.decode_geotiff_multi(data, ifd=k)
+        assert np.array_equal(a[:, :, 0], lv)
+        assert (ck.rows, ck.cols) == lv.shape
+        assert ck.res_x == res
+    # the primary decode path ignores the chain (reference parity:
+    # single-IFD readers read the full image)
+    _, d = geotiff.decode_geotiff(data)
+    assert np.array_equal(d, g)
+
+
+def test_cog_mean_resample_and_tiled():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (CFG.rows, CFG.cols, 3)).astype(np.uint8)
+    data = geotiff.encode_geotiff_overviews(img, CFG, overviews=2,
+                                            resample="mean", tile=(16, 16))
+    _, a1 = geotiff.decode_geotiff_multi(data, ifd=1)
+    assert np.array_equal(a1.astype(np.uint8), geotiff._downsample2(img, "mean"))
+    _, a2 = geotiff.decode_geotiff_multi(data, ifd=2)
+    want2 = geotiff._downsample2(geotiff._downsample2(img, "mean"), "mean")
+    assert np.array_equal(a2.astype(np.uint8), want2)
+
+
+def test_cog_mean_edge_blocks_average_what_exists():
+    # odd dims: edge 2x2 blocks are partial; mean divides by the count
+    g = np.array([[0, 10, 20], [30, 40, 50], [60, 70, 80]], np.float64)
+    got = geotiff._downsample2(g, "mean")
+    want = np.array([[20.0, 35.0], [65.0, 80.0]])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cog_validation_and_limits():
+    g = np.zeros((4, 4), np.float32)
+    with pytest.raises(ValueError, match="overviews"):
+        geotiff.encode_geotiff_overviews(g, CFG, overviews=-1)
+    with pytest.raises(ValueError, match="resample"):
+        geotiff.encode_geotiff_overviews(g, CFG, overviews=1, resample="cubic")
+    # pyramid stops when a dimension hits 1 instead of emitting empties
+    data = geotiff.encode_geotiff_overviews(g, CFG, overviews=10)
+    assert geotiff.count_overviews(data) == 2  # 4 -> 2 -> 1, then stop
+    with pytest.raises(ValueError, match="out of range"):
+        geotiff.decode_geotiff_multi(data, ifd=9)
+
+
+def test_cog_subfile_type_tagged():
+    import struct as _s
+    g = _demo_grid("f4")
+    data = geotiff.encode_geotiff_overviews(g, CFG, overviews=1)
+    bo, big, offs = geotiff._ifd_chain(data)
+    assert len(offs) == 2
+    tags1 = geotiff._read_ifd_entries(data, offs[1], bo, big=big)
+    assert tags1[254] == (1,)  # NewSubfileType reduced-resolution
+    tags0 = geotiff._read_ifd_entries(data, offs[0], bo, big=big)
+    assert 254 not in tags0

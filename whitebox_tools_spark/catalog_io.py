@@ -154,6 +154,49 @@ def q_jpeg_in_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cog_overviews_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COG-style overview pyramid write -> per-level distributed read.
+    A closed-form f8 grid ((row*13 + col*29) % 211) is written as a
+    multi-IFD GeoTIFF (full IFD + 2 reduced-resolution IFDs, nearest
+    decimation, NewSubfileType 1 — the Cloud-Optimized GeoTIFF layout;
+    the reference's single-IFD reader, geotiff/mod.rs, would still read
+    the full image). Each level re-reads through read_geotiff(ifd=k);
+    the oracle recomputes nearest decimation (level k value at (r, c) =
+    base value at (r*2^k, c*2^k)), so a hash match certifies the IFD
+    chain, the per-IFD relocation and the level geometries exactly."""
+    rows, cols = GRID.rows, GRID.cols
+    cells = spark.range(rows * cols).select(
+        (F.col("id") / cols).cast("int").alias("row"),
+        (F.col("id") % cols).cast("int").alias("col"),
+    )
+    vals = cells.withColumn(
+        "value", ((F.col("row") * 13 + F.col("col") * 29) % 211).cast("double")
+    )
+    d = tempfile.mkdtemp(prefix="wts_cog_")
+    path = os.path.join(d, "grid.tif")
+    geotiff.write_geotiff(vals, GRID, path, dtype="f8", overviews=2)
+    out = None
+    for k in (0, 1, 2):
+        lvl = geotiff.read_geotiff(spark, path, ifd=k).select(
+            F.lit(k).alias("level"),
+            F.col("row").alias("cell_row"), F.col("col").alias("cell_col"),
+            "value",
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+    return out
+
+
+_ORACLE_COG = f"""
+SELECT lv.k AS level,
+       CAST(r.i AS INT) AS cell_row, CAST(c.i AS INT) AS cell_col,
+       CAST(((r.i << lv.k) * 13 + (c.i << lv.k) * 29) % 211 AS DOUBLE) AS value
+FROM (VALUES (0), (1), (2)) lv(k),
+     range(0, {GRID.rows}) r(i), range(0, {GRID.cols}) c(i)
+WHERE r.i < CAST(ceil({GRID.rows} / POW(2, lv.k)) AS BIGINT)
+  AND c.i < CAST(ceil({GRID.cols} / POW(2, lv.k)) AS BIGINT)
+"""
+
+
 _ORACLE_JPEG_IN_TIFF = f"""
 SELECT CAST(r.i AS INT) AS cell_row, CAST(c.i AS INT) AS cell_col,
        CAST(128 + 3 * (((r.i // 4) * 7) % 21 - 10) AS DOUBLE) AS value,
@@ -822,6 +865,7 @@ QUERIES = {
     "geotiff_palette_roundtrip": q_geotiff_palette_roundtrip,
     "geotiff_lzw_roundtrip": q_geotiff_lzw_roundtrip,
     "jpeg_in_tiff_roundtrip": q_jpeg_in_tiff_roundtrip,
+    "cog_overviews_roundtrip": q_cog_overviews_roundtrip,
     "bigtiff_roundtrip": q_bigtiff_roundtrip,
     "rgb_roundtrip": q_rgb_roundtrip,
     "arcascii_roundtrip": q_arcascii_roundtrip,
@@ -845,6 +889,7 @@ ORACLE_SQL = {
     "geotiff_palette_roundtrip": _ORACLE_GEOTIFF_PALETTE,
     "geotiff_lzw_roundtrip": _oracle_block("min"),
     "jpeg_in_tiff_roundtrip": _ORACLE_JPEG_IN_TIFF,
+    "cog_overviews_roundtrip": _ORACLE_COG,
     "bigtiff_roundtrip": _ORACLE_GEOTIFF,
     "arcascii_roundtrip": _ORACLE_ARCASCII,
     "whitebox_roundtrip": _oracle_points_raster("max"),

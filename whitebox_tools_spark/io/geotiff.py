@@ -48,6 +48,7 @@ unsupported-variant errors): the floating-point predictor (3).
 
 from __future__ import annotations
 
+import dataclasses
 import io as _io
 import math
 import os
@@ -64,6 +65,7 @@ from pyspark.sql import types as T
 from whitebox_tools_spark.operators.gridding import GridConfig
 
 # TIFF tag ids used (TIFF 6.0 spec)
+_NEW_SUBFILE_TYPE = 254
 _IMAGE_WIDTH = 256
 _IMAGE_LENGTH = 257
 _BITS_PER_SAMPLE = 258
@@ -354,11 +356,10 @@ def decode_geotiff(data: bytes) -> tuple[GridConfig, np.ndarray]:
     return cfg, arr[:, :, 0]
 
 
-def decode_geotiff_multi(data: bytes) -> tuple[GridConfig, np.ndarray]:
-    """Decode GeoTIFF bytes -> (GridConfig, (h, w, samples) float64 array;
-    nodata left as the raw value so callers choose the sentinel policy).
-    Chunky (PlanarConfig 1) layout, equal bits/format across samples —
-    the reference's RGB(A) composite shape."""
+def _ifd_chain(data: bytes) -> tuple[str, bool, list[int]]:
+    """Parse the TIFF header and follow the next-IFD chain ->
+    (byteorder, is_bigtiff, [ifd offsets]). Multi-IFD files are how
+    overview pyramids (the Cloud-Optimized GeoTIFF shape) are stored."""
     magic = data[:2]
     if magic == b"II":
         bo = "<"
@@ -371,13 +372,45 @@ def decode_geotiff_multi(data: bytes) -> tuple[GridConfig, np.ndarray]:
         osize, zero = struct.unpack_from(bo + "HH", data, 4)
         if osize != 8 or zero != 0:
             raise ValueError(f"bad BigTIFF header (offset size {osize})")
-        (ifd_off,) = struct.unpack_from(bo + "Q", data, 8)
-        tags = _read_ifd_entries(data, ifd_off, bo, big=True)
+        (off,) = struct.unpack_from(bo + "Q", data, 8)
+        big = True
     elif version == 42:
-        (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
-        tags = _read_ifd_entries(data, ifd_off, bo)
+        (off,) = struct.unpack_from(bo + "I", data, 4)
+        big = False
     else:
         raise ValueError(f"bad TIFF version {version}")
+    offs: list[int] = []
+    while off:
+        if off in offs or len(offs) > 64:
+            raise ValueError("TIFF IFD chain loops")
+        offs.append(off)
+        if big:
+            (n,) = struct.unpack_from(bo + "Q", data, off)
+            (off,) = struct.unpack_from(bo + "Q", data, off + 8 + 20 * n)
+        else:
+            (n,) = struct.unpack_from(bo + "H", data, off)
+            (off,) = struct.unpack_from(bo + "I", data, off + 2 + 12 * n)
+    return bo, big, offs
+
+
+def count_overviews(data: bytes) -> int:
+    """Number of reduced-resolution IFDs after the primary one."""
+    return len(_ifd_chain(data)[2]) - 1
+
+
+def decode_geotiff_multi(
+    data: bytes, ifd: int = 0
+) -> tuple[GridConfig, np.ndarray]:
+    """Decode GeoTIFF bytes -> (GridConfig, (h, w, samples) float64 array;
+    nodata left as the raw value so callers choose the sentinel policy).
+    Chunky (PlanarConfig 1) layout, equal bits/format across samples —
+    the reference's RGB(A) composite shape. ``ifd`` selects the IFD in a
+    multi-IFD file (0 = full resolution; k = overview level k in a
+    COG-style pyramid)."""
+    bo, big, offs = _ifd_chain(data)
+    if not 0 <= ifd < len(offs):
+        raise ValueError(f"IFD {ifd} out of range (file has {len(offs)})")
+    tags = _read_ifd_entries(data, offs[ifd], bo, big=big)
 
     width = int(tags[_IMAGE_WIDTH][0])
     height = int(tags[_IMAGE_LENGTH][0])
@@ -575,6 +608,7 @@ def encode_geotiff(
     palette: np.ndarray | None = None,
     jpeg_quality: int = 90,
     tile: tuple[int, int] | None = None,
+    reduced: bool = False,
 ) -> bytes:
     """Encode a numpy array as GeoTIFF bytes (strips): 2-D -> single
     band; 3-D (h, w, s) -> s samples/pixel, chunky (PlanarConfig 1) —
@@ -698,6 +732,8 @@ def encode_geotiff(
     def _long(tag, v):
         tags.append((tag, 4, 1, struct.pack(bo + "I", v)))
 
+    if reduced:  # NewSubfileType: reduced-resolution overview IFD
+        _long(_NEW_SUBFILE_TYPE, 1)
     _long(_IMAGE_WIDTH, width)
     _long(_IMAGE_LENGTH, height)
     if spp == 1:
@@ -814,6 +850,117 @@ def encode_geotiff(
     return out.getvalue()
 
 
+def _downsample2(grid: np.ndarray, resample: str) -> np.ndarray:
+    """One 2x overview level. 'nearest' keeps the top-left sample of
+    each 2x2 block (exact, any dtype — the categorical/DEM choice);
+    'mean' block-averages with edge blocks averaged over what exists
+    (the imagery choice), cast back to the input dtype."""
+    if resample == "nearest":
+        return np.ascontiguousarray(grid[::2, ::2])
+    if resample != "mean":
+        raise ValueError(f"resample must be 'nearest' or 'mean', got {resample!r}")
+    h, w = grid.shape[:2]
+    ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+    acc = np.zeros((ph, pw) + grid.shape[2:], np.float64)
+    cnt = np.zeros((ph, pw) + (1,) * (grid.ndim - 2), np.float64)
+    acc[:h, :w] = grid
+    cnt[:h, :w] = 1.0
+    s = (acc[0::2, 0::2] + acc[0::2, 1::2] + acc[1::2, 0::2] + acc[1::2, 1::2])
+    n = (cnt[0::2, 0::2] + cnt[0::2, 1::2] + cnt[1::2, 0::2] + cnt[1::2, 1::2])
+    out = s / n
+    if grid.dtype.kind in "iu":
+        out = np.round(out)
+    return out.astype(grid.dtype.newbyteorder("="))
+
+
+def _relocate_ifd_part(part: bytes, delta: int, bo: str, big: bool,
+                       next_ifd: int) -> bytes:
+    """Shift one single-IFD TIFF's body (everything past the header) by
+    ``delta`` bytes: out-of-line value pointers and the strip/tile
+    offset-table contents are rebased, and the next-IFD pointer is set
+    to ``next_ifd``. This is how the COG writer chains independently
+    encoded IFD blocks into one file."""
+    hdr = 16 if big else 8
+    body = bytearray(part[hdr:])
+    ifd = 0  # IFD sits immediately after the header in encode_geotiff
+    if big:
+        (n,) = struct.unpack_from(bo + "Q", body, ifd)
+        base, stride, inline, val_skip = ifd + 8, 20, 8, 12
+        ocode = "Q"
+    else:
+        (n,) = struct.unpack_from(bo + "H", body, ifd)
+        base, stride, inline, val_skip = ifd + 2, 12, 4, 8
+        ocode = "I"
+    for i in range(n):
+        epos = base + stride * i
+        tag, ftype, count = struct.unpack_from(
+            bo + ("HHQ" if big else "HHI"), body, epos)
+        code, size = _FIELD.get(ftype, ("B", 1))
+        total = size * count
+        vpos = epos + val_skip
+        out_of_line = total > inline
+        if out_of_line:
+            (ptr,) = struct.unpack_from(bo + ocode, body, vpos)
+            struct.pack_into(bo + ocode, body, vpos, ptr + delta)
+        if tag in (_STRIP_OFFSETS, _TILE_OFFSETS):
+            # the table VALUES are file offsets too
+            tpos = (struct.unpack_from(bo + ocode, body, vpos)[0] - hdr
+                    if out_of_line else vpos)
+            if out_of_line:
+                tpos -= delta  # we just rebased the pointer; read original
+            vals = struct.unpack_from(bo + code * count, body, tpos)
+            struct.pack_into(bo + code * count, body, tpos,
+                             *(v + delta for v in vals))
+    next_pos = base + stride * n
+    struct.pack_into(bo + ocode, body, next_pos, next_ifd)
+    return bytes(body)
+
+
+def encode_geotiff_overviews(
+    grid: np.ndarray,
+    cfg: GridConfig,
+    overviews: int = 2,
+    resample: str = "nearest",
+    **kw,
+) -> bytes:
+    """Encode a COG-style overview pyramid: the full-resolution IFD
+    followed by ``overviews`` reduced-resolution IFDs (NewSubfileType 1,
+    each 2x coarser, resolution doubled in the GridConfig) chained via
+    the next-IFD pointers — the layout GDAL's COPY_SRC_OVERVIEWS /
+    rio-cogeo produce. Readers that look at the first IFD only (like
+    the reference, geotiff/mod.rs single-IFD walk) still read the full
+    image; ``decode_geotiff_multi(data, ifd=k)`` opens level k.
+    ``**kw`` passes through to :func:`encode_geotiff` (compression,
+    tile=, jpeg_quality, big=, ...)."""
+    if overviews < 0:
+        raise ValueError("overviews must be >= 0")
+    big = bool(kw.get("big", False))
+    bo = kw.get("byteorder", "<")
+    levels: list[tuple[np.ndarray, GridConfig]] = [(grid, cfg)]
+    g, c = grid, cfg
+    for _ in range(overviews):
+        if min(g.shape[:2]) <= 1:
+            break
+        g = _downsample2(g, resample)
+        c = dataclasses.replace(
+            c, rows=g.shape[0], cols=g.shape[1],
+            res_x=c.res_x * 2.0, res_y=c.res_y * 2.0)
+        levels.append((g, c))
+    hdr = 16 if big else 8
+    parts = [encode_geotiff(gl, cl, reduced=(i > 0), **kw)
+             for i, (gl, cl) in enumerate(levels)]
+    out = bytearray(parts[0][:hdr])  # header points at IFD 0 (= hdr)
+    bases = []
+    pos = hdr
+    for p in parts:
+        bases.append(pos)
+        pos += len(p) - hdr
+    for i, p in enumerate(parts):
+        nxt = bases[i + 1] if i + 1 < len(parts) else 0
+        out += _relocate_ifd_part(p, bases[i] - hdr, bo, big, nxt)
+    return bytes(out)
+
+
 # ------------------------------------------------------------------ spark
 
 _GRID_SCHEMA = T.StructType([
@@ -833,20 +980,29 @@ def read_geotiff_config(path: str) -> GridConfig:
 
 
 def read_geotiff(
-    spark: SparkSession, path: str, drop_nodata: bool = False, batch_rows: int = 256
+    spark: SparkSession, path: str, drop_nodata: bool = False,
+    batch_rows: int = 256, ifd: int = 0
 ) -> DataFrame:
     """Distributed decode: one task per .tif file -> (path, row, col, value).
 
     Each file decodes independently inside ``mapInPandas`` and is yielded
     in row-band batches so a large tile never materializes as one pandas
     frame. A tiled 100-TB raster = many files = full parallelism.
+    ``ifd`` selects the overview level in a COG-style pyramid (0 = full
+    resolution) — reading level k scans k-times-4^-k the pixels, the
+    cheap path for coarse passes over an imagery lake.
     """
     bf = spark.read.format("binaryFile").load(path)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for p, content in zip(pdf["path"], pdf["content"]):
-                cfg, arr = decode_geotiff(bytes(content))
+                mcfg, marr = decode_geotiff_multi(bytes(content), ifd=ifd)
+                if marr.shape[2] != 1:
+                    raise ValueError(
+                        f"multi-band file ({marr.shape[2]} samples/pixel); "
+                        "use read_geotiff_bands")
+                cfg, arr = mcfg, marr[:, :, 0]
                 rows, cols = arr.shape
                 cc = np.arange(cols, dtype=np.int64)
                 for r0 in range(0, rows, batch_rows):
@@ -921,12 +1077,15 @@ def write_geotiff(
     compression: int = 8, big: bool = False,
     max_cells: int = 268_435_456, predictor: int = 1,
     rows_per_strip: int = 64, jpeg_quality: int = 90,
+    tile: tuple[int, int] | None = None,
+    overviews: int = 0, resample: str = "nearest",
 ) -> None:
     """Single-file writer: assembles the grid driver-side. Fine for
     summaries/small rasters; use :func:`write_geotiff_tiles` at scale.
     Guarded: a grid past ``max_cells`` (default 2^28 ~ 2 GiB of f8)
     raises instead of silently collecting a cluster-scale raster onto
-    the driver."""
+    the driver. ``overviews > 0`` emits a COG-style pyramid (see
+    :func:`encode_geotiff_overviews`)."""
     if cfg.rows * cfg.cols > max_cells:
         raise ValueError(
             f"grid has {cfg.rows * cfg.cols} cells > max_cells={max_cells}; "
@@ -934,11 +1093,15 @@ def write_geotiff(
             "for cluster-scale rasters (executor-side tiled encode)"
         )
     arr = _grid_from_df(df, cfg, dtype)
+    kw = dict(compression=compression, big=big, predictor=predictor,
+              rows_per_strip=rows_per_strip, jpeg_quality=jpeg_quality,
+              tile=tile)
     with open(path, "wb") as f:
-        f.write(encode_geotiff(arr, cfg, compression=compression, big=big,
-                               predictor=predictor,
-                               rows_per_strip=rows_per_strip,
-                               jpeg_quality=jpeg_quality))
+        if overviews > 0:
+            f.write(encode_geotiff_overviews(arr, cfg, overviews=overviews,
+                                             resample=resample, **kw))
+        else:
+            f.write(encode_geotiff(arr, cfg, **kw))
 
 
 def write_geotiff_tiles(
