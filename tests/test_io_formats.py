@@ -1696,3 +1696,29 @@ def test_cog_subfile_type_tagged():
     assert tags1[254] == (1,)  # NewSubfileType reduced-resolution
     tags0 = geotiff._read_ifd_entries(data, offs[0], bo, big=big)
     assert 254 not in tags0
+
+
+# --------------------------------------------------------- PackBits encode
+
+
+@pytest.mark.parametrize("dtype", ["f4", "u1", "i2"])
+@pytest.mark.parametrize("layout", [{"rows_per_strip": 8}, {"tile": (16, 16)}])
+def test_geotiff_packbits_encode_roundtrip(dtype, layout):
+    g = _demo_grid(dtype)
+    data = geotiff.encode_geotiff(g, CFG, compression=32773, **layout)
+    assert geotiff.print_geotiff_tags(data)["Compression"] == (32773,)
+    _, g2 = geotiff.decode_geotiff(data)
+    assert np.array_equal(g2.astype(dtype), g)
+
+
+def test_packbits_raw_law():
+    from whitebox_tools_spark.io.geotiff import _packbits, _unpackbits
+    rng = np.random.RandomState(5)
+    for _ in range(100):
+        n, rb = rng.randint(1, 600), rng.randint(1, 40)
+        pool = 4 if rng.rand() < 0.5 else 256  # runs likely / incompressible
+        raw = bytes(rng.randint(0, pool, n).astype(np.uint8))
+        assert _unpackbits(_packbits(raw, rb)) == raw
+    # replicate runs longer than one control byte's 128-max
+    raw = b"\x07" * 1000 + b"\x01\x02" + b"\x00" * 300
+    assert _unpackbits(_packbits(raw, 5000)) == raw

@@ -13,6 +13,8 @@ import pytest
 
 from whitebox_tools_spark.operators import png_codec as P
 
+RNG = np.random.RandomState(20260820)
+
 
 def test_roundtrip_matrix():
     rng = np.random.default_rng(3)
@@ -301,3 +303,32 @@ class TestTrns:
         assert out.shape[2] == 4
         np.testing.assert_array_equal(out[:, :, :3], pal[idx.astype(int)])
         np.testing.assert_array_equal(out[:, :, 3], alpha[idx.astype(int)])
+
+
+# --------------------------------------------------- Adam7 interlaced WRITE
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (2, 3), (7, 7), (8, 8),
+                                   (13, 17), (16, 16, 3), (11, 5, 4)])
+@pytest.mark.parametrize("ft", [0, 2, 4])
+def test_interlaced_write_roundtrip(shape, ft):
+    img = RNG.randint(0, 256, shape).astype(np.uint8)
+    back = P.decode_png(P.encode_png(img, filter_type=ft, interlace=1))
+    want = img if img.ndim == 3 else img[:, :, None]
+    assert np.array_equal(back, want)
+
+
+def test_interlaced_write_16bit_and_indexed():
+    img = RNG.randint(0, 65536, (9, 13)).astype(np.uint16)
+    back = P.decode_png(P.encode_png(img, interlace=1))
+    assert np.array_equal(back[:, :, 0], img)
+    pal = RNG.randint(0, 256, (256, 3)).astype(np.uint8)
+    idx = RNG.randint(0, 256, (10, 11)).astype(np.uint8)
+    back = P.decode_png(P.encode_png(idx, color_type=3, palette=pal,
+                                     interlace=1))
+    assert np.array_equal(back, pal[idx.astype(np.int64)])
+
+
+def test_interlace_validation():
+    with pytest.raises(ValueError, match="interlace"):
+        P.encode_png(np.zeros((4, 4), np.uint8), interlace=2)

@@ -224,6 +224,37 @@ def _unpackbits(chunk: bytes) -> bytes:
     return bytes(out)
 
 
+def _packbits(raw: bytes, row_bytes: int) -> bytes:
+    """PackBits RLE encode (TIFF 6.0 §9). Each row is packed separately
+    as the spec directs ("pack each row separately") — decode is
+    boundary-agnostic, so `_unpackbits` reads the concatenation back
+    verbatim. Greedy: replicate runs of >= 2 (max 128), literals
+    otherwise (max 128 per control byte)."""
+    out = bytearray()
+    for r0 in range(0, len(raw), row_bytes):
+        row = raw[r0:r0 + row_bytes]
+        i, n = 0, len(row)
+        while i < n:
+            # measure the run at i
+            j = i + 1
+            while j < n and j - i < 128 and row[j] == row[i]:
+                j += 1
+            if j - i >= 2:
+                out.append(257 - (j - i))
+                out.append(row[i])
+                i = j
+                continue
+            # literal: until the next >=3 run or 128 bytes
+            lit = i
+            while i < n and i - lit < 128:
+                if i + 2 < n and row[i] == row[i + 1] == row[i + 2]:
+                    break
+                i += 1
+            out.append(i - lit - 1)
+            out += row[lit:i]
+    return bytes(out)
+
+
 def _unlzw(chunk: bytes) -> bytes:
     """TIFF-variant LZW (MSB-first codes, early-change; TIFF 6.0 §13 —
     the reference decoder's LZW arm, geotiff/mod.rs:424-432)."""
@@ -623,12 +654,12 @@ def encode_geotiff(
     with every compression including JPEG, and with ``big=True``."""
     if grid.ndim not in (2, 3):
         raise ValueError("grid must be 2-D or 3-D (h, w, samples)")
-    if compression not in (1, 5, 7, 8):
+    if compression not in (1, 5, 7, 8, 32773):
         # only emit labels the writer actually compresses — anything
         # else would mislabel raw strips as compressed (ADVICE r3)
         raise ValueError(
-            "writer supports compression 1 (none), 5 (LZW), 7 (JPEG) or "
-            f"8 (deflate), got {compression}"
+            "writer supports compression 1 (none), 5 (LZW), 7 (JPEG), "
+            f"8 (deflate) or 32773 (PackBits), got {compression}"
         )
     if predictor not in (1, 2):
         raise ValueError(f"writer supports predictor 1 or 2, got {predictor}")
@@ -709,6 +740,9 @@ def encode_geotiff(
             strips.append(zlib.compress(raw, 6))
         elif compression == 5:
             strips.append(_lzw_compress(raw))
+        elif compression == 32773:
+            row_bytes = block.shape[1] * spp * grid.dtype.itemsize
+            strips.append(_packbits(raw, row_bytes))
         else:
             strips.append(raw)
 

@@ -120,6 +120,7 @@ def encode_png(
     color_type: int | None = None,
     palette: np.ndarray | None = None,
     filter_type: int = 0,
+    interlace: int = 0,
 ) -> bytes:
     """Encode an image as PNG.
 
@@ -129,6 +130,9 @@ def encode_png(
     ``palette`` (n<=256, 3) uint8 to write an indexed image from a
     (h, w) uint8 index grid. ``filter_type`` applies one spec filter to
     every scanline (0-4), so tests can pin each decode arm.
+    ``interlace=1`` writes Adam7 (spec §8.2: seven sub-images, filter
+    state resets per pass — 8/16-bit samples only here; sub-byte
+    interlaced packing is a read-side-only case).
     """
     if img.dtype not in (np.uint8, np.uint16):
         raise ValueError("encode_png expects uint8 or uint16")
@@ -149,20 +153,35 @@ def encode_png(
         raise ValueError(f"depth {depth} illegal for colour type {color_type}")
     if filter_type not in (0, 1, 2, 3, 4):
         raise ValueError("filter_type must be 0-4")
+    if interlace not in (0, 1):
+        raise ValueError("interlace must be 0 (none) or 1 (Adam7)")
 
-    if depth == 16:
-        raw = np.ascontiguousarray(img.astype(">u2")).view(np.uint8).reshape(h, -1)
-    else:
-        raw = np.ascontiguousarray(img).reshape(h, -1)
     bpp = ch * depth // 8
-    prev = np.zeros(raw.shape[1], dtype=np.int16)
-    lines = []
-    for r in range(h):
-        row = raw[r]
-        lines.append(bytes([filter_type]) + _filter_row(
-            filter_type, row, prev, bpp).tobytes())
-        prev = row.astype(np.int16)
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+
+    def _pass_lines(sub: np.ndarray) -> list[bytes]:
+        if depth == 16:
+            raw = np.ascontiguousarray(sub.astype(">u2")).view(
+                np.uint8).reshape(sub.shape[0], -1)
+        else:
+            raw = np.ascontiguousarray(sub).reshape(sub.shape[0], -1)
+        prev = np.zeros(raw.shape[1], dtype=np.int16)
+        out = []
+        for r in range(raw.shape[0]):
+            row = raw[r]
+            out.append(bytes([filter_type]) + _filter_row(
+                filter_type, row, prev, bpp).tobytes())
+            prev = row.astype(np.int16)
+        return out
+
+    if interlace == 0:
+        lines = _pass_lines(img)
+    else:
+        lines = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                lines.extend(_pass_lines(sub))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
     out = _SIG + _chunk(b"IHDR", ihdr)
     if color_type == 3:
         out += _chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
