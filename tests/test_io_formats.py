@@ -692,12 +692,17 @@ def test_bigtiff_bad_offset_size_rejected():
 
 
 def test_encode_rejects_unwritable_compression():
-    """The writer emits none/LZW/deflate; labeling strips PackBits/JPEG
-    without compressing them would corrupt the file (ADVICE r3)."""
+    """Labeling strips with a compression the writer does not perform
+    would corrupt the file (ADVICE r3). PackBits (32773) and JPEG (7)
+    became writable in round 5; codes the writer still has no encoder
+    for must keep raising."""
     g = _demo_grid("f4")
-    for comp in (32773, 7):
+    for comp in (2, 6, 34712):  # CCITT RLE, old-JPEG, JPEG2000
         with pytest.raises(ValueError, match="compression"):
             geotiff.encode_geotiff(g, CFG, compression=comp)
+    # JPEG is writable but only for uint8 imagery — f4 still raises
+    with pytest.raises(ValueError, match="uint8"):
+        geotiff.encode_geotiff(g, CFG, compression=7)
 
 
 def test_read_geotiff_bands_spark(spark, tmp_path):
