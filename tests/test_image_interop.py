@@ -236,3 +236,106 @@ def test_progressive_jpeg_flat_exact(jvm):
         jvm.java.io.ByteArrayInputStream(bytearray(data)))
     assert int(ours[0, 0]) == int(
         theirs.getRaster().getSample(0, 0, 0))
+
+
+# ----------------------------------------------- TIFF interop (JDK plugin)
+# The JDK bundles a TIFF reader/writer (javax.imageio, Java 9+). These
+# laws caught the round-5 LZW early-change off-by-one: our encoder and
+# decoder were mutually consistent yet desynced from libtiff/javax
+# semantics mid-strip, so every roundtrip test passed while real LZW
+# TIFFs misdecoded (and our files NPE'd strict decoders).
+
+from whitebox_tools_spark.io import geotiff as G
+from whitebox_tools_spark.operators.gridding import GridConfig
+
+_TCFG = GridConfig(rows=64, cols=60, north=0.0, west=0.0, res_x=1.0, res_y=1.0)
+
+
+def _imageio_gray(jvm, data: bytes) -> np.ndarray:
+    bis = jvm.java.io.ByteArrayInputStream(bytearray(data))
+    bi = jvm.javax.imageio.ImageIO.read(bis)
+    assert bi is not None, "javax.imageio could not parse our TIFF"
+    w, h = bi.getWidth(), bi.getHeight()
+    r = bi.getRaster()
+    return np.array(
+        [[r.getSample(x, y, 0) for x in range(w)] for y in range(h)],
+        dtype=np.int64)
+
+
+def _gray_fixture():
+    rng = np.random.RandomState(0)
+    return rng.randint(0, 256, (_TCFG.rows, _TCFG.cols)).astype(np.uint8)
+
+
+@pytest.mark.parametrize("kw", [
+    {"compression": 1},
+    {"compression": 8},
+    {"compression": 5, "rows_per_strip": 16},
+    {"compression": 5, "tile": (16, 16)},
+    {"compression": 5, "predictor": 2},
+    {"compression": 32773},
+], ids=["none", "deflate", "lzw-strips", "lzw-tiles", "lzw-pred2",
+        "packbits"])
+def test_tiff_ours_to_imageio_exact(jvm, kw):
+    g = _gray_fixture()
+    got = _imageio_gray(jvm, G.encode_geotiff(g, _TCFG, **kw))
+    assert np.array_equal(got, g)
+
+
+def test_tiff_lzw_clear_reset_ours_to_imageio(jvm):
+    # one 60k-byte strip forces the 12-bit table-full CLEAR mid-stream
+    big = np.tile(np.arange(251, dtype=np.uint8), 240)[:60000].reshape(250, 240)
+    cfg = GridConfig(rows=250, cols=240, north=0.0, west=0.0,
+                     res_x=1.0, res_y=1.0)
+    got = _imageio_gray(jvm, G.encode_geotiff(big, cfg, compression=5,
+                                              rows_per_strip=250))
+    assert np.array_equal(got, big)
+
+
+def test_tiff_jpeg_ours_to_imageio_tolerance(jvm):
+    g = _gray_fixture()
+    data = G.encode_geotiff(g, _TCFG, compression=7)
+    theirs = _imageio_gray(jvm, data)
+    _, ours = G.decode_geotiff_multi(data)
+    # decoder-vs-decoder on the SAME lossy stream: IDCT rounding only
+    assert np.abs(theirs - ours[:, :, 0].astype(np.int64)).max() <= 1
+
+
+def _imageio_write_tiff(jvm, img: np.ndarray, compression: str | None) -> bytes:
+    h, w = img.shape
+    bi = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    r = bi.getRaster()
+    for y in range(h):
+        for x in range(w):
+            r.setSample(x, y, 0, int(img[y, x]))
+    it = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
+    wr = it.next()
+    param = wr.getDefaultWriteParam()
+    if compression is not None:
+        param.setCompressionMode(
+            jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionType(compression)
+    bos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+    ios.flush()
+    return bytes(bos.toByteArray())
+
+
+@pytest.mark.parametrize("compression", [None, "LZW", "PackBits", "Deflate"])
+def test_tiff_imageio_to_ours_exact(jvm, compression):
+    g = _gray_fixture()
+    data = _imageio_write_tiff(jvm, g, compression)
+    _, arr = G.decode_geotiff_multi(data)
+    assert np.array_equal(arr[:, :, 0].astype(np.uint8), g)
+
+
+# ------------------------------------------------- interlaced PNG interop
+
+
+def test_png_interlaced_ours_to_imageio_exact(jvm):
+    img = _fixture_rgb(13, 17)
+    theirs = _imageio_decode(jvm, encode_png(img, interlace=1))
+    assert np.array_equal(theirs, img)

@@ -457,11 +457,15 @@ def test_geotiff_packbits_and_lzw_decode():
                 pairs.append((table[w], width))
                 table[wc] = next_code
                 next_code += 1
-                if next_code == (1 << width) - 1 and width < 12:
+                # libtiff/javax timing: widen when next_code hits 2^w
+                # (decoder's table lags one entry; see _lzw_compress)
+                if next_code == (1 << width) and width < 12:
                     width += 1
                 w = bytes([ch])
         if w:
             pairs.append((table[w], width))
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
         pairs.append((EOI, width))
         out = bytearray()
         buf = nbits = 0

@@ -294,9 +294,14 @@ def _unlzw(chunk: bytes) -> bytes:
                 table.append(entry)
             out += entry
             prev = entry
-            # early-change: the decoder lags the encoder's table by one
-            # entry, so it widens at size 2^w - 2 (libtiff's maxcode-1)
-            if len(table) + 2 >= (1 << width) and width < 12:
+            # early-change width step, at the de-facto libtiff/javax.
+            # imageio timing: the code AFTER the table reaches 2^w - 1
+            # entries is read at w+1 bits. (Round 5 found the previous
+            # rule here widened one code early — self-consistent with
+            # the old encoder but misreading REAL LZW TIFFs; pinned
+            # against a javax.imageio-written file in
+            # tests/test_image_interop.py.)
+            if len(table) == (1 << width) - 1 and width < 12:
                 width += 1
     return bytes(out)
 
@@ -333,8 +338,15 @@ def _lzw_compress(data: bytes) -> bytes:
         emit(table[w], width)
         table[wc] = next_code
         next_code += 1
-        # early-change: widen one code before the table actually fills
-        if next_code == (1 << width) - 1 and width < 12:
+        # early-change width step at the libtiff/javax.imageio timing:
+        # the decoder's table lags the encoder's by ONE entry (it adds
+        # nothing for the first code after CLEAR), so the encoder
+        # widens when ITS next_code reaches 2^w — at that moment the
+        # decoder's table has just reached 2^w - 1 and it reads the
+        # next code at w+1 bits. (Round 5: the previous `2^w - 1` rule
+        # here widened one code early; roundtrips passed while real
+        # decoders — javax.imageio, libtiff — desynced mid-strip.)
+        if next_code == (1 << width) and width < 12:
             width += 1
         elif next_code == 4094:  # 12-bit table full: reset both sides
             emit(CLEAR, width)
@@ -343,13 +355,11 @@ def _lzw_compress(data: bytes) -> bytes:
         w = ch
     if w:
         emit(table[w], width)
-        # Mirror the decoder's post-code widen (libtiff does the same
-        # after its final data code): the decoder adds one table entry
-        # after reading that code and widens BEFORE reading EOI, so if
-        # the final data code lands exactly on the early-change
-        # boundary, EOI must be emitted at the widened width or strict
-        # EOI-honoring decoders misread it as a data code.
-        if next_code + 1 == (1 << width) - 1 and width < 12:
+        # The decoder adds one table entry after this final data code
+        # (the encoder does not), catching its table up to next_code —
+        # so if that lands exactly on 2^w - 1, EOI must be emitted at
+        # the widened width or strict EOI-honoring decoders misread it.
+        if next_code == (1 << width) - 1 and width < 12:
             width += 1
     emit(EOI, width)
     if nbits:
