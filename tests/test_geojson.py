@@ -1,0 +1,146 @@
+"""GeoJSON (RFC 7946) codec laws: winding normalization on write,
+positional ring roles on read, Multi* flattening, the JVM-side
+GeoJSONSeq lane's row parity with the Python FeatureCollection lane,
+and error cases."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from whitebox_tools_spark.io import geojson, shapefile
+from whitebox_tools_spark.io.shapefile import ShapeRecord, _signed_area
+from whitebox_tools_spark.sources import vectors
+
+
+def _rect_recs():
+    return [
+        ShapeRecord(parts=list(f.rings), shape_type=shapefile.SHP_POLYGON,
+                    attrs={"zone": int(f.attrs["zone"])})
+        for f in vectors.rect_layer()
+    ]
+
+
+def test_writer_emits_rfc7946_winding(tmp_path):
+    # engine-internal rings are CW shells / CCW holes (shapefile
+    # convention); RFC 7946 wants the opposite
+    p = str(tmp_path / "l.geojson")
+    geojson.write_geojson(_rect_recs(), p)
+    doc = json.loads(open(p).read())
+    assert doc["type"] == "FeatureCollection"
+    for feat in doc["features"]:
+        rings = feat["geometry"]["coordinates"]
+        for i, ring in enumerate(rings):
+            a = _signed_area(np.asarray(ring))
+            assert (a > 0) if i == 0 else (a < 0), (feat["id"], i)
+
+
+def test_roundtrip_polygons(spark, tmp_path):
+    p = str(tmp_path / "l.geojson")
+    geojson.write_geojson(_rect_recs(), p)
+    rows = geojson.read_geojson(spark, p).orderBy("fid", "part").collect()
+    feats = vectors.rect_layer()
+    assert len(rows) == sum(len(f.rings) for f in feats)
+    for row in rows:
+        ring = feats[row.fid].rings[row.part]
+        assert row.is_hole == feats[row.fid].holes[row.part]
+        assert row.geom_type == "Polygon"
+        assert row.properties["zone"] == str(feats[row.fid].attrs["zone"])
+        # same vertex SET (winding may flip, closure point preserved)
+        got = set(zip(row.xs, row.ys))
+        want = set(map(tuple, ring.tolist()))
+        assert got == want
+        assert len(row.xs) == len(ring)
+
+
+def test_geojsonl_matches_featurecollection(spark, tmp_path):
+    recs = _rect_recs()
+    p1 = str(tmp_path / "l.geojson")
+    p2 = str(tmp_path / "l.geojsonl")
+    geojson.write_geojson(recs, p1)
+    geojson.write_geojsonl(recs, p2)
+    a = geojson.read_geojson(spark, p1).drop("path")
+    b = geojson.read_geojsonl_polygons(spark, p2)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+
+
+def test_points_and_lines_roundtrip(spark, tmp_path):
+    recs = [
+        ShapeRecord(parts=[np.array([[3.5, -2.25]])],
+                    shape_type=shapefile.SHP_POINT, attrs={"n": 1}),
+        ShapeRecord(parts=[np.array([[0.0, 0.0], [10.0, 5.0], [20.0, 0.0]])],
+                    shape_type=shapefile.SHP_POLYLINE, attrs={"n": 2}),
+        ShapeRecord(parts=[np.array([[0.0, 0.0], [1.0, 1.0]]),
+                           np.array([[5.0, 5.0], [6.0, 7.0]])],
+                    shape_type=shapefile.SHP_POLYLINE, attrs={"n": 3}),
+    ]
+    p = str(tmp_path / "pl.geojson")
+    geojson.write_geojson(recs, p)
+    rows = geojson.read_geojson(spark, p).orderBy("fid", "part").collect()
+    assert [r.geom_type for r in rows] == [
+        "Point", "LineString", "LineString", "LineString"]
+    assert rows[0].xs == [3.5] and rows[0].ys == [-2.25]
+    assert rows[1].xs == [0.0, 10.0, 20.0]
+    assert [r.part for r in rows] == [0, 0, 0, 1]
+
+
+def test_multipolygon_flattens_to_parts(spark, tmp_path):
+    doc = {"type": "FeatureCollection", "features": [{
+        "type": "Feature", "id": 7,
+        "geometry": {"type": "MultiPolygon", "coordinates": [
+            [[[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]],
+             [[1, 1], [1, 2], [2, 2], [2, 1], [1, 1]]],
+            [[[10, 10], [14, 10], [14, 14], [10, 14], [10, 10]]],
+        ]},
+        "properties": {"a": "b"},
+    }]}
+    p = str(tmp_path / "mp.geojson")
+    open(p, "w").write(json.dumps(doc))
+    rows = geojson.read_geojson(spark, p).orderBy("part").collect()
+    assert len(rows) == 3
+    assert [r.is_hole for r in rows] == [False, True, False]
+    assert all(r.fid == 7 for r in rows)
+
+
+def test_null_geometry_and_bad_type(spark, tmp_path):
+    doc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "geometry": None, "properties": {"k": "v"}},
+        {"type": "Feature",
+         "geometry": {"type": "Point", "coordinates": [1, 2]},
+         "properties": None},
+    ]}
+    p = str(tmp_path / "n.geojson")
+    open(p, "w").write(json.dumps(doc))
+    rows = geojson.read_geojson(spark, p).collect()
+    assert len(rows) == 1 and rows[0].geom_type == "Point"
+    bad = str(tmp_path / "bad.geojson")
+    open(bad, "w").write('{"type": "Topology"}')
+    with pytest.raises(Exception, match=r"Feature\(Collection\)"):
+        geojson.read_geojson(spark, bad).collect()
+    gc = str(tmp_path / "gc.geojson")
+    open(gc, "w").write(json.dumps({"type": "FeatureCollection", "features": [
+        {"type": "Feature",
+         "geometry": {"type": "GeometryCollection", "geometries": []},
+         "properties": {}}]}))
+    with pytest.raises(Exception, match="GeometryCollection"):
+        geojson.read_geojson(spark, gc).collect()
+
+
+def test_shapefile_and_geojson_agree(spark, tmp_path):
+    # the same records through both codecs produce the same rings
+    recs = _rect_recs()
+    base = str(tmp_path / "layer")
+    shapefile.write_shapefile(recs, base)
+    shp = shapefile.read_shapefile(spark, base).select(
+        "fid", "part", "is_hole", "xs", "ys").orderBy("fid", "part").collect()
+    p = str(tmp_path / "layer.geojson")
+    geojson.write_geojson(recs, p)
+    gj = geojson.read_geojson(spark, p).select(
+        "fid", "part", "is_hole", "xs", "ys").orderBy("fid", "part").collect()
+    assert len(shp) == len(gj)
+    for a, b in zip(shp, gj):
+        assert (a.fid, a.part, a.is_hole) == (b.fid, b.part, b.is_hole)
+        assert set(zip(a.xs, a.ys)) == set(zip(b.xs, b.ys))

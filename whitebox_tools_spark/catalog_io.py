@@ -154,6 +154,83 @@ def q_jpeg_in_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _geojson_recs():
+    from whitebox_tools_spark.io import shapefile as _shp
+
+    return [
+        _shp.ShapeRecord(
+            parts=list(f.rings), shape_type=_shp.SHP_POLYGON,
+            attrs={"zone": int(f.attrs["zone"])},
+        )
+        for f in vectors.rect_layer()
+    ]
+
+
+def _geojson_ring_projection(df: DataFrame) -> DataFrame:
+    return df.select(
+        "fid",
+        "part",
+        F.col("is_hole").cast("int").alias("hole"),
+        F.size("xs").alias("nv"),
+        F.round(F.aggregate("xs", F.lit(0.0), lambda a, v: a + v), 6).alias("xsum"),
+        F.round(F.aggregate("ys", F.lit(0.0), lambda a, v: a + v), 6).alias("ysum"),
+        F.element_at("properties", "zone").cast("int").alias("zone"),
+    )
+
+
+def q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rect_layer fixture -> GeoJSON FeatureCollection (RFC 7946 —
+    writer re-orients to CCW shells / CW holes) -> distributed decode
+    -> ring rows. GeoJSON is an engine-only surface (the reference
+    speaks shapefile exclusively, src/vector/shapefile/); the oracle
+    transcribes the fixture literally, with vertex sums chosen
+    winding-invariant, so a hash match certifies vertex preservation,
+    positional ring roles and the properties carry-through."""
+    from whitebox_tools_spark.io import geojson
+
+    d = tempfile.mkdtemp(prefix="wts_gj_")
+    path = os.path.join(d, "layer.geojson")
+    geojson.write_geojson(_geojson_recs(), path)
+    return _geojson_ring_projection(geojson.read_geojson(spark, path))
+
+
+def q_geojsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE lane for the same data: newline-delimited GeoJSON
+    (GDAL GeoJSONSeq, one Feature per line — splittable like any text
+    table) parsed entirely JVM-side (spark.read.text + from_json +
+    posexplode; zero Python, whole plan visible to Catalyst). Same
+    output rows and oracle as geojson_roundtrip, so the two lanes pin
+    each other."""
+    from whitebox_tools_spark.io import geojson
+
+    d = tempfile.mkdtemp(prefix="wts_gjl_")
+    path = os.path.join(d, "layer.geojsonl")
+    geojson.write_geojsonl(_geojson_recs(), path)
+    return _geojson_ring_projection(geojson.read_geojsonl_polygons(spark, path))
+
+
+def _geojson_oracle() -> str:
+    rows = []
+    for fid, f in enumerate(vectors.rect_layer()):
+        zone = int(f.attrs["zone"])
+        for part, ring in enumerate(f.rings):
+            hole = 1 if f.holes[part] else 0
+            xsum = round(float(ring[:, 0].sum()), 6)
+            ysum = round(float(ring[:, 1].sum()), 6)
+            rows.append(
+                f"({fid}, {part}, {hole}, {len(ring)}, {xsum!r}, {ysum!r}, "
+                f"{zone})"
+            )
+    return (
+        "SELECT CAST(fid AS BIGINT) AS fid, CAST(part AS INTEGER) AS part, "
+        "CAST(hole AS INTEGER) AS hole, CAST(nv AS INTEGER) AS nv, "
+        "CAST(xsum AS DOUBLE) AS xsum, CAST(ysum AS DOUBLE) AS ysum, "
+        "CAST(zone AS INTEGER) AS zone "
+        "FROM (VALUES " + ", ".join(rows)
+        + ") t(fid, part, hole, nv, xsum, ysum, zone)"
+    )
+
+
 def q_cog_overviews_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COG-style overview pyramid write -> per-level distributed read.
     A closed-form f8 grid ((row*13 + col*29) % 211) is written as a
@@ -866,6 +943,8 @@ QUERIES = {
     "geotiff_lzw_roundtrip": q_geotiff_lzw_roundtrip,
     "jpeg_in_tiff_roundtrip": q_jpeg_in_tiff_roundtrip,
     "cog_overviews_roundtrip": q_cog_overviews_roundtrip,
+    "geojson_roundtrip": q_geojson_roundtrip,
+    "geojsonl_scan": q_geojsonl_scan,
     "bigtiff_roundtrip": q_bigtiff_roundtrip,
     "rgb_roundtrip": q_rgb_roundtrip,
     "arcascii_roundtrip": q_arcascii_roundtrip,
@@ -890,6 +969,8 @@ ORACLE_SQL = {
     "geotiff_lzw_roundtrip": _oracle_block("min"),
     "jpeg_in_tiff_roundtrip": _ORACLE_JPEG_IN_TIFF,
     "cog_overviews_roundtrip": _ORACLE_COG,
+    "geojson_roundtrip": _geojson_oracle(),
+    "geojsonl_scan": _geojson_oracle(),
     "bigtiff_roundtrip": _ORACLE_GEOTIFF,
     "arcascii_roundtrip": _ORACLE_ARCASCII,
     "whitebox_roundtrip": _oracle_points_raster("max"),
