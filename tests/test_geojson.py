@@ -144,3 +144,22 @@ def test_shapefile_and_geojson_agree(spark, tmp_path):
     for a, b in zip(shp, gj):
         assert (a.fid, a.part, a.is_hole) == (b.fid, b.part, b.is_hole)
         assert set(zip(a.xs, a.ys)) == set(zip(b.xs, b.ys))
+
+
+def test_executor_side_geojsonl_writer_roundtrips(spark, tmp_path):
+    # JVM-rendered Feature lines parse back identically through the
+    # JVM-side reader: the scale lane closes both ways with zero Python
+    recs = _rect_recs()
+    p = str(tmp_path / "in.geojsonl")
+    geojson.write_geojsonl(recs, p)
+    ring_rows = geojson.read_geojsonl_polygons(spark, p)
+    out_dir = str(tmp_path / "out")
+    geojson.polygons_to_geojsonl(ring_rows).coalesce(1).write.text(out_dir)
+    back = geojson.read_geojsonl_polygons(spark, out_dir + "/*.txt")
+    a = sorted(map(tuple, ring_rows.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+    # and the plan stays Python-free
+    plan = geojson.polygons_to_geojsonl(ring_rows)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan

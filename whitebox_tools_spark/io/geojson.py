@@ -203,6 +203,45 @@ def write_geojsonl(recs: list[ShapeRecord], path: str) -> None:
                                separators=(",", ":")) + "\n")
 
 
+def polygons_to_geojsonl(df: DataFrame) -> DataFrame:
+    """The executor-side GeoJSONSeq render: polygon ring rows
+    (fid, part, is_hole, xs, ys, properties) -> one `value` column of
+    Feature JSON lines, built entirely with JVM expressions
+    (zip_with + collect_list + to_json — zero Python), so a
+    cluster-scale layer writes with plain ``df.write.text``. Rings
+    regroup per fid ordered by part; coordinates render as
+    [x, y] pairs. The output parses back through
+    :func:`read_geojsonl_polygons` (law in tests/test_geojson.py)."""
+    ring = df.select(
+        "fid", "part", "properties",
+        F.zip_with("xs", "ys", lambda x, y: F.array(x, y)).alias("ring"),
+    )
+    grouped = (
+        ring.groupBy("fid")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("part", "ring"))
+            ).alias("parts"),
+            F.first("properties").alias("properties"),
+        )
+        .select(
+            "fid",
+            F.transform("parts", lambda p: p["ring"]).alias("coordinates"),
+            "properties",
+        )
+    )
+    feature = F.struct(
+        F.lit("Feature").alias("type"),
+        F.col("fid").alias("id"),
+        F.struct(
+            F.lit("Polygon").alias("type"),
+            F.col("coordinates").alias("coordinates"),
+        ).alias("geometry"),
+        F.col("properties").alias("properties"),
+    )
+    return grouped.select(F.to_json(feature).alias("value"))
+
+
 def read_geojsonl_polygons(spark: SparkSession, path: str) -> DataFrame:
     """JVM-side GeoJSONSeq polygon scan: spark.read.text + ``from_json``
     + ring explode — zero Python, so Catalyst sees the whole plan and
