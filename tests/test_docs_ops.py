@@ -528,3 +528,34 @@ class TestG711Wav:
         import numpy as np
         with pytest.raises(ValueError, match="8-bit"):
             media.decode_wav(TestWavRealDecode._wav(7, 16, b"\0" * 8))
+
+
+class TestAudioStats:
+    def test_stats_on_handcrafted_clip(self, spark):
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        s = np.array([[100], [-200], [32767], [-32768], [0], [5000]],
+                     np.int16)
+        payload = media.encode_wav(s, 8000)
+        schema = media.MEDIA_SCHEMA
+        pdf = pd.DataFrame({
+            "doc_id": [1], "media_ref": ["wav://1"],
+            "payload": [payload],
+            "meta": [{"kind": "audio", "n_bytes": len(payload),
+                      "codec": "wav"}],
+        })
+        m = spark.createDataFrame(pdf, schema=schema)
+        row = media.audio_stats(m).collect()[0]
+        v = s.astype(np.int64)[:, 0]
+        assert row.rms_energy == float((v * v).sum()) / v.size
+        # sign pattern (v>=0): T F T F T T -> 4 changes
+        assert row.zero_crossings == 4
+        assert row.silence_ratio == 3 / 6  # |100|,|‑200|,|0| < 1024
+        assert row.clip_ratio == 2 / 6     # 32767, -32768
+
+    def test_non_wav_codec_raises(self, spark):
+        m = media.synth_media(documents(spark, SF_DIR))  # codec='raw'
+        with pytest.raises(Exception):
+            media.audio_stats(m).collect()

@@ -517,6 +517,20 @@ QUERIES["media_decode_png"] = q_media_decode_png
 QUERIES["media_decode_jpeg"] = q_media_decode_jpeg
 QUERIES["media_decode_gif"] = q_media_decode_gif
 QUERIES["media_decode_avi"] = q_media_decode_avi
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data audio QUALITY lane: RMS energy, channel-0 zero
+    crossings, silence ratio and clip ratio over the decoded WAV clips
+    — the filters an audio corpus pipeline actually gates on. Every
+    stat is an exact integer count/sum divided once, so the oracle
+    recomputes them bit-identically from the closed-form sample field
+    (zero crossings via a lag window over the ordered frame index)."""
+    m = media.synth_wav_media(documents(spark, sf_dir))
+    return media.audio_stats(m).select(
+        "doc_id", "rms_energy", "zero_crossings", "silence_ratio",
+        "clip_ratio")
+
+
+QUERIES["audio_stats"] = q_audio_stats
 QUERIES["media_decode_wav"] = q_media_decode_wav
 
 # payload bytes are reconstructible from the md5 hex string: byte i is
@@ -697,6 +711,36 @@ SELECT doc_id,
        CAST(sum(v) AS DOUBLE) / count(*) AS mean_sample,
        CAST(max(abs(v)) AS INTEGER) AS peak
 FROM s GROUP BY doc_id, n, ch, rate
+"""
+
+
+# same closed-form sample field; zero crossings = lag() sign changes on
+# channel 0, silence/clip are exact counts over all channels
+ORACLE_SQL["audio_stats"] = """
+WITH d AS (SELECT doc_id,
+                  8 + doc_id % 16 AS n,
+                  1 + doc_id % 2 AS ch
+           FROM documents),
+s AS (
+  SELECT d.doc_id, d.n, d.ch, i.i, c.c,
+         (d.doc_id * 31 + i.i * 17 + c.c * 101) % 65536 - 32768 AS v
+  FROM d, range(0, 24) i(i), range(0, 2) c(c)
+  WHERE i.i < d.n AND c.c < d.ch),
+z AS (
+  SELECT doc_id,
+         CASE WHEN (v >= 0) <> lag(v >= 0) OVER (
+             PARTITION BY doc_id ORDER BY i) THEN 1 ELSE 0 END AS zc
+  FROM s WHERE c = 0),
+zs AS (SELECT doc_id, sum(zc) AS zcs FROM z GROUP BY doc_id)
+SELECT s.doc_id,
+       CAST(sum(v * v) AS DOUBLE) / count(*) AS rms_energy,
+       CAST(any_value(zs.zcs) AS INTEGER) AS zero_crossings,
+       CAST(sum(CASE WHEN abs(v) < 1024 THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS silence_ratio,
+       CAST(sum(CASE WHEN abs(v) >= 32256 THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS clip_ratio
+FROM s JOIN zs ON s.doc_id = zs.doc_id
+GROUP BY s.doc_id
 """
 
 

@@ -703,6 +703,66 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
     )
 
 
+_AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("rms_energy", T.DoubleType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+        T.StructField("silence_ratio", T.DoubleType()),
+        T.StructField("clip_ratio", T.DoubleType()),
+    ]
+)
+
+
+def audio_stats(
+    media: DataFrame,
+    silence_threshold: int = 1024,
+    clip_threshold: int = 32256,
+) -> DataFrame:
+    """Training-data audio quality stats over decoded WAV clips, all
+    integer-exact so a SQL oracle recomputes them bit-identically:
+
+    - ``rms_energy``: sum(v^2)/count as DOUBLE (the exact integer sum
+      divides once — no per-sample float accumulation);
+    - ``zero_crossings``: channel-0 sign changes, sign(v) := v >= 0;
+    - ``silence_ratio``: fraction of samples with \\|v\\| < threshold —
+      the mostly-silent-clip filter;
+    - ``clip_ratio``: fraction with \\|v\\| >= clip_threshold — the
+      clipped/distorted-recording filter.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                if meta["codec"] != "wav":
+                    raise NotImplementedError(
+                        f"real audio decode for codec {meta['codec']!r} "
+                        "requires native libraries (ffmpeg); plug them in here"
+                    )
+                _, s = decode_wav(bytes(payload))
+                v = s.astype(np.int64)
+                c0 = v[:, 0] >= 0
+                out.append((
+                    int(doc_id),
+                    float((v * v).sum()) / v.size,
+                    int(np.count_nonzero(c0[1:] != c0[:-1])),
+                    float(np.count_nonzero(np.abs(v) < silence_threshold))
+                    / v.size,
+                    float(np.count_nonzero(np.abs(v) >= clip_threshold))
+                    / v.size,
+                ))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=[f.name for f in _AUDIO_STATS_SCHEMA.fields])
+
+    return media.select("doc_id", "payload", "meta").mapInPandas(
+        run, schema=_AUDIO_STATS_SCHEMA
+    )
+
+
 _FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
