@@ -98,7 +98,7 @@ HEADLINE = [
     "media_decode_png", "media_decode_jpeg", "las_zip_roundtrip",
     "streaming_exact_dedup", "media_decode_gif", "media_decode_avi",
     "jpeg_in_tiff_roundtrip", "cog_overviews_roundtrip",
-    "geojson_roundtrip", "geojsonl_scan", "audio_stats",
+    "geojson_roundtrip", "geojsonl_scan", "audio_stats", "image_stats",
 ]
 
 

@@ -559,3 +559,33 @@ class TestAudioStats:
         m = media.synth_media(documents(spark, SF_DIR))  # codec='raw'
         with pytest.raises(Exception):
             media.audio_stats(m).collect()
+
+
+class TestImageStats:
+    def test_stats_on_handcrafted_image(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        img = np.array([[[0, 0, 0], [255, 255, 255]],
+                        [[10, 20, 30], [10, 20, 30]]], np.uint8)
+        payload = media.encode_bmp(img)
+        pdf = pd.DataFrame({
+            "doc_id": [1], "media_ref": ["bmp://1"], "payload": [payload],
+            "meta": [{"kind": "image", "n_bytes": len(payload),
+                      "codec": "bmp"}],
+        })
+        m = spark.createDataFrame(pdf, schema=media.MEDIA_SCHEMA)
+        row = media.image_stats(m).collect()[0]
+        v = img.astype(np.int64)
+        n = v.size
+        mean = v.sum() / n
+        assert row.brightness == mean
+        assert row.contrast == (v * v).sum() / n - mean * mean
+        dx = np.abs(v[:, 1:, :] - v[:, :-1, :])
+        assert row.edge_energy == dx.sum() / dx.size
+
+    def test_png_and_jpeg_codecs_route(self, spark):
+        # image_stats shares the codec dispatch with the decode lane
+        m = media.synth_png_media(documents(spark, SF_DIR).limit(5))
+        rows = media.image_stats(m).collect()
+        assert len(rows) == 5 and all(r.contrast >= 0 for r in rows)

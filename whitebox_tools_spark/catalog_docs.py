@@ -530,6 +530,19 @@ def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clip_ratio")
 
 
+def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data image QUALITY lane: brightness, contrast
+    (variance) and horizontal edge energy over the real BMP decode —
+    the blank-/flat-/blurred-image filters an image corpus gates on.
+    All three are exact integer sums with one double division (contrast
+    = E[v^2] - E[v]^2 on those exact quotients), so the oracle
+    recomputes them bit-identically from the closed-form pixel field."""
+    m = media.synth_bmp_media(documents(spark, sf_dir))
+    return media.image_stats(m).select(
+        "doc_id", "brightness", "contrast", "edge_energy")
+
+
+QUERIES["image_stats"] = q_image_stats
 QUERIES["audio_stats"] = q_audio_stats
 QUERIES["media_decode_wav"] = q_media_decode_wav
 
@@ -711,6 +724,38 @@ SELECT doc_id,
        CAST(sum(v) AS DOUBLE) / count(*) AS mean_sample,
        CAST(max(abs(v)) AS INTEGER) AS peak
 FROM s GROUP BY doc_id, n, ch, rate
+"""
+
+
+# same closed-form pixel field as media_decode_real, per channel ch in
+# 0..2 (offset ch*57); edge energy pairs columns c and c+1
+ORACLE_SQL["image_stats"] = """
+WITH d AS (SELECT doc_id,
+                  2 + doc_id % 6 AS w,
+                  2 + doc_id % 4 AS h
+           FROM documents),
+px AS (
+  SELECT d.doc_id, d.w,
+         (d.doc_id * 7 + r.r * 13 + c.c * 29 + ch.ch * 57) % 256 AS v,
+         c.c, ch.ch
+  FROM d, range(0, 8) r(r), range(0, 8) c(c), range(0, 3) ch(ch)
+  WHERE r.r < d.h AND c.c < d.w),
+base AS (
+  SELECT doc_id,
+         CAST(sum(v) AS DOUBLE) / count(*) AS m,
+         CAST(sum(v * v) AS DOUBLE) / count(*) AS e2
+  FROM px GROUP BY doc_id),
+dx AS (
+  SELECT d.doc_id,
+         abs(((d.doc_id * 7 + r.r * 13 + (c.c + 1) * 29 + ch.ch * 57) % 256)
+           - ((d.doc_id * 7 + r.r * 13 + c.c * 29 + ch.ch * 57) % 256)) AS e
+  FROM d, range(0, 8) r(r), range(0, 8) c(c), range(0, 3) ch(ch)
+  WHERE r.r < d.h AND c.c < d.w - 1),
+des AS (SELECT doc_id, CAST(sum(e) AS DOUBLE) / count(*) AS edge_energy
+        FROM dx GROUP BY doc_id)
+SELECT b.doc_id, b.m AS brightness, b.e2 - b.m * b.m AS contrast,
+       COALESCE(des.edge_energy, 0.0) AS edge_energy
+FROM base b LEFT JOIN des ON b.doc_id = des.doc_id
 """
 
 

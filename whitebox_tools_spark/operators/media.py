@@ -244,6 +244,24 @@ def _to_rgb8(img: np.ndarray) -> np.ndarray:
     return img
 
 
+def _decode_by_codec(payload: bytes, codec: str) -> np.ndarray:
+    """Dispatch real still-image decode by meta.codec -> (h, w, 3)
+    uint8 RGB. The shared entry for every image-feature lane."""
+    from whitebox_tools_spark.operators.jpeg_codec import decode_jpeg
+    from whitebox_tools_spark.operators.png_codec import decode_png
+
+    if codec == "bmp":
+        return decode_bmp(payload)
+    if codec == "png":
+        return _to_rgb8(decode_png(payload))
+    if codec == "jpeg":
+        return _to_rgb8(decode_jpeg(payload))
+    raise NotImplementedError(
+        f"real image decode for codec {codec!r} requires native "
+        "libraries; plug them in here"
+    )
+
+
 def decode_image_features(media: DataFrame) -> DataFrame:
     """The REAL decode lane: parse each payload by meta.codec and emit
     per-channel image features. codec='bmp' decodes with the pure-numpy
@@ -760,6 +778,53 @@ def audio_stats(
 
     return media.select("doc_id", "payload", "meta").mapInPandas(
         run, schema=_AUDIO_STATS_SCHEMA
+    )
+
+
+_IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("brightness", T.DoubleType()),
+        T.StructField("contrast", T.DoubleType()),
+        T.StructField("edge_energy", T.DoubleType()),
+    ]
+)
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """Training-data image quality stats over real decoded images, all
+    built from exact integer sums (one double division at the end) so a
+    SQL oracle recomputes them bit-identically:
+
+    - ``brightness``: mean pixel value over all channels;
+    - ``contrast``: variance E[v^2] - E[v]^2 (flat/blank-image filter);
+    - ``edge_energy``: mean \\|horizontal difference\\| over all
+      channels — the cheap blur/empty-content proxy (a separable slice
+      of the usual Laplacian sharpness score).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                img = _decode_by_codec(bytes(payload), meta["codec"])
+                v = img.astype(np.int64)
+                n = v.size
+                m = float(v.sum()) / n
+                e2 = float((v * v).sum()) / n
+                dx = np.abs(v[:, 1:, :] - v[:, :-1, :])
+                out.append((
+                    int(doc_id), m, e2 - m * m,
+                    float(dx.sum()) / dx.size if dx.size else 0.0,
+                ))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=[f.name for f in _IMAGE_STATS_SCHEMA.fields])
+
+    return media.select("doc_id", "payload", "meta").mapInPandas(
+        run, schema=_IMAGE_STATS_SCHEMA
     )
 
 
