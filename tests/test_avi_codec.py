@@ -229,3 +229,23 @@ def test_non_mjpeg_meta_raises_in_lane(spark):
     )
     with pytest.raises(Exception, match="h264"):
         media.decode_video_frames(m).collect()
+
+
+def test_sample_video_frames_stride(spark):
+    from whitebox_tools_spark.operators import media
+
+    docs = spark.range(0, 30).selectExpr("id AS doc_id")
+    m = media.synth_avi_media(docs)
+    full = media.decode_video_frames(m).collect()
+    want = sorted((r.doc_id, r.frame_idx) for r in full if r.frame_idx % 2 == 0)
+    got = media.sample_video_frames(m, stride=2).collect()
+    assert sorted((r.doc_id, r.frame_idx) for r in got) == want
+    # stride 1 == full decode; frame 0 always present per doc
+    all1 = media.sample_video_frames(m, stride=1).collect()
+    assert len(all1) == len(full)
+    s3 = media.sample_video_frames(m, stride=3).collect()
+    assert {r.doc_id for r in s3} == set(range(30))
+    assert all(r.frame_idx % 3 == 0 for r in s3)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="stride"):
+        media.sample_video_frames(m, stride=0)

@@ -516,7 +516,21 @@ QUERIES["media_decode_real"] = q_media_decode_real
 QUERIES["media_decode_png"] = q_media_decode_png
 QUERIES["media_decode_jpeg"] = q_media_decode_jpeg
 QUERIES["media_decode_gif"] = q_media_decode_gif
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal sampling over the REAL video container lane: every 2nd
+    frame of each MJPEG-AVI (frame 0 always kept), decoded through the
+    container walk + JPEG codec. The oracle is the media_decode_avi
+    closed form filtered to even frame indices, so a hash match
+    certifies the sampler keeps exactly the right frames with exactly
+    the decoded values."""
+    m = media.synth_avi_media(documents(spark, sf_dir))
+    out = media.sample_video_frames(m, stride=2)
+    return out.select("doc_id", "frame_idx", "width", "height", "fps",
+                      "mean_r", "mean_g", "mean_b")
+
+
 QUERIES["media_decode_avi"] = q_media_decode_avi
+QUERIES["video_frame_sample"] = q_video_frame_sample
 def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data audio QUALITY lane: RMS energy, channel-0 zero
     crossings, silence ratio and clip ratio over the decoded WAV clips
@@ -680,6 +694,29 @@ SELECT doc_id,
        CAST(least(255.0, greatest(0.0, round(3 * kq / 8 + 128))) AS DOUBLE) AS mean_b
 FROM k
 """
+
+ORACLE_SQL["video_frame_sample"] = """
+SELECT * FROM (WITH d AS (SELECT doc_id,
+                  3 + doc_id % 6 AS w,
+                  2 + doc_id % 5 AS h,
+                  1 + doc_id % 3 AS nf,
+                  CAST(5 + doc_id % 10 AS DOUBLE) AS fps
+           FROM documents),
+fr AS (SELECT d.*, f.f, (d.doc_id * 37 + f.f * 53 + 11) % 256 AS v
+       FROM d, range(0, 3) f(f) WHERE f.f < d.nf),
+k AS (SELECT *, round(8.0 * (v - 128) / 3) AS kq FROM fr)
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       fps,
+       CAST(least(255.0, greatest(0.0, round(3 * kq / 8 + 128))) AS DOUBLE) AS mean_r,
+       CAST(least(255.0, greatest(0.0, round(3 * kq / 8 + 128))) AS DOUBLE) AS mean_g,
+       CAST(least(255.0, greatest(0.0, round(3 * kq / 8 + 128))) AS DOUBLE) AS mean_b
+FROM k
+) WHERE frame_idx % 2 = 0
+"""
+
 
 # closed-form pixel field of synth_bmp_media, recomputed per channel;
 # sums are exact small integers so AVG is bit-identical across engines
