@@ -589,3 +589,31 @@ class TestImageStats:
         m = media.synth_png_media(documents(spark, SF_DIR).limit(5))
         rows = media.image_stats(m).collect()
         assert len(rows) == 5 and all(r.contrast >= 0 for r in rows)
+
+
+class TestPiiScrub:
+    def test_scrub_and_counts(self, spark):
+        import pandas as pd
+        from whitebox_tools_spark.operators import text as tx
+
+        pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": [
+            "mail a@b.co and b@c.org plus https://x.y/z?q=a@b.co end",
+            "phone 123456789012 then short 12345678 stays",
+            "clean text with no pii at all",
+        ]})
+        docs = spark.createDataFrame(pdf)
+        rows = {r.doc_id: r for r in tx.pii_scrub(docs).collect()}
+        # URL consumed first, so the address inside the link is <URL>'s
+        assert rows[1].clean_text == "mail <EMAIL> and <EMAIL> plus <URL> end"
+        assert rows[1].n_urls == 1 and rows[1].n_emails == 3
+        # >=9 digit runs scrubbed; 8-digit run kept
+        assert rows[2].clean_text == "phone <NUM> then short 12345678 stays"
+        assert rows[2].n_urls == 0 and rows[2].n_emails == 0
+        assert rows[3].clean_text == "clean text with no pii at all"
+
+    def test_plan_is_codegen_only(self, spark):
+        from whitebox_tools_spark.operators import text as tx
+
+        docs = documents(spark, SF_DIR)
+        plan = tx.pii_scrub(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "ArrowEval" not in plan

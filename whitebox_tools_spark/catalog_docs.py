@@ -87,6 +87,26 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.ngram_jaccard_pairs(documents(spark, sf_dir), threshold=0.5)
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data PII/link scrubbing: URLs -> <URL>, e-mails ->
+    <EMAIL>, long digit runs -> <NUM>, as chained JVM regexp_replace
+    (whole-stage codegen, zero Python). The fixture text carries no
+    PII, so the query plants a deterministic e-mail + URL + long id per
+    doc (same concat in the oracle) and the oracle replays the scrub
+    with RE2 patterns restricted to the Java/RE2 shared dialect — the
+    hash pins every replacement span and both match counts."""
+    docs = documents(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@mail.example.com or https://w"), F.col("doc_id"),
+            F.lit(".example/p?q=1 ref "),
+            (F.col("doc_id") * 137 + 123456789).cast("string"),
+        ),
+    )
+    return tx.pii_scrub(docs)
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = media.synth_media(documents(spark, sf_dir))
     return m.select(
@@ -109,6 +129,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "ngram_jaccard": q_ngram_jaccard,
     "ann_topk": q_ann_topk,
+    "pii_scrub": q_pii_scrub,
     "media_meta": q_media_meta,
 }
 
@@ -761,6 +782,26 @@ SELECT doc_id,
        CAST(sum(v) AS DOUBLE) / count(*) AS mean_sample,
        CAST(max(abs(v)) AS INTEGER) AS peak
 FROM s GROUP BY doc_id, n, ch, rate
+"""
+
+
+ORACLE_SQL["pii_scrub"] = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or https://w' || CAST(doc_id AS VARCHAR)
+              || '.example/p?q=1 ref '
+              || CAST(doc_id * 137 + 123456789 AS VARCHAR) AS t
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t, '{tx.PII_URL}', '<URL>', 'g'),
+           '{tx.PII_EMAIL}', '<EMAIL>', 'g'),
+         '{tx.PII_LONG_NUM}', '<NUM>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(t, '{tx.PII_URL}')) AS INT) AS n_urls,
+       CAST(len(regexp_extract_all(t, '{tx.PII_EMAIL}')) AS INT) AS n_emails
+FROM aug
 """
 
 

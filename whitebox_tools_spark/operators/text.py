@@ -630,3 +630,40 @@ def fingerprint(docs: DataFrame, record: str = "doc_id", text: str = "text") -> 
     return base.select(
         F.col(record), F.md5(F.col("_t")).alias("content_md5"), min_sh.alias("min_shingle_hash")
     )
+
+
+# --------------------------------------------------------------- PII scrub
+
+# patterns restricted to syntax shared by Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded/unbounded repeats — no lookaround,
+# no backreferences, so both engines match identical spans
+PII_URL = r"https?://[^\s]+"
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_LONG_NUM = r"[0-9]{9,}"
+
+
+def pii_scrub(docs: DataFrame, record: str = "doc_id",
+              text: str = "text") -> DataFrame:
+    """Training-data PII/link scrubbing: replace URLs, then e-mail
+    addresses, then long digit runs (IDs, phone-ish numbers) with typed
+    placeholder tokens, entirely JVM-side (``regexp_replace`` chains in
+    whole-stage codegen — zero Python). Order matters: URLs first so an
+    address inside a link is consumed by <URL>, not split. Also emits
+    per-doc match counts so a pipeline can gate on PII density.
+    """
+    t = F.col(text)
+    n_urls = F.size(F.split(t, PII_URL)) - 1
+    n_emails_pre = F.size(F.split(t, PII_EMAIL)) - 1
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_URL, "<URL>"),
+            PII_EMAIL, "<EMAIL>"),
+        PII_LONG_NUM, "<NUM>")
+    return docs.select(
+        F.col(record),
+        scrubbed.alias("clean_text"),
+        n_urls.cast("int").alias("n_urls"),
+        # e-mails counted BEFORE the URL pass (a scheme-less address
+        # inside a URL path still counts toward PII density)
+        n_emails_pre.cast("int").alias("n_emails"),
+    )
