@@ -99,7 +99,7 @@ HEADLINE = [
     "streaming_exact_dedup", "media_decode_gif", "media_decode_avi",
     "jpeg_in_tiff_roundtrip", "cog_overviews_roundtrip",
     "geojson_roundtrip", "geojsonl_scan", "audio_stats", "image_stats",
-    "video_frame_sample", "pii_scrub",
+    "video_frame_sample", "pii_scrub", "dedup_clusters",
 ]
 
 

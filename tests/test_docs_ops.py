@@ -617,3 +617,20 @@ class TestPiiScrub:
         docs = documents(spark, SF_DIR)
         plan = tx.pii_scrub(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "ArrowEval" not in plan
+
+
+class TestDedupClusters:
+    def test_components_and_canonicals(self, spark):
+        import pandas as pd
+        from whitebox_tools_spark.operators import text as tx
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": list(range(8))}))
+        # chains 0-1-2, 4-5; 3, 6, 7 singletons
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"a": [0, 1, 4], "b": [1, 2, 5]}))
+        rows = {r.doc_id: r for r in tx.dedup_clusters(docs, pairs).collect()}
+        assert len(rows) == 8
+        assert [rows[i].cluster_id for i in range(8)] == [0, 0, 0, 3, 4, 4, 6, 7]
+        canon = {i for i in range(8) if rows[i].is_canonical}
+        assert canon == {0, 3, 4, 6, 7}

@@ -87,6 +87,21 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.ngram_jaccard_pairs(documents(spark, sf_dir), threshold=0.5)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the dedup story: exact n-gram Jaccard pairs ->
+    distributed connected components (hash-to-min label propagation,
+    operators/graph.py) -> one canonical doc per near-dup cluster,
+    every doc labeled (cluster_id = min doc_id in component,
+    is_canonical). The oracle recomputes the same pairs and resolves
+    components with a recursive-CTE transitive closure — a hash match
+    certifies the CC fixpoint itself, not just the pair list. Keep
+    ``is_canonical`` rows and the corpus is near-dup-free."""
+    docs = documents(spark, sf_dir)
+    pairs = tx.ngram_jaccard_pairs(docs, threshold=0.5).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    return tx.dedup_clusters(docs, pairs)
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data PII/link scrubbing: URLs -> <URL>, e-mails ->
     <EMAIL>, long digit runs -> <NUM>, as chained JVM regexp_replace
@@ -128,6 +143,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "ngram_jaccard": q_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "ann_topk": q_ann_topk,
     "pii_scrub": q_pii_scrub,
     "media_meta": q_media_meta,
@@ -782,6 +798,38 @@ SELECT doc_id,
        CAST(sum(v) AS DOUBLE) / count(*) AS mean_sample,
        CAST(max(abs(v)) AS INTEGER) AS peak
 FROM s GROUP BY doc_id, n, ch, rate
+"""
+
+
+# same ngram pair derivation, then component resolution by recursive-CTE
+# transitive closure (UNION dedups, so the closure terminates); comp =
+# min reachable id; docs in no pair are their own singleton cluster
+ORACLE_SQL["dedup_clusters"] = f"""
+WITH RECURSIVE
+t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+             len(string_split(text, ' ')) AS n FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(n - 2, 1) + 1),
+           i -> {H60("concat_ws(' ', tk[i], tk[least(i + 1, n)], tk[least(i + 2, n)])")}
+       )) AS hs FROM t),
+posts AS (SELECT doc_id, len(hs) AS sz, unnest(hs) AS h FROM sh),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb,
+             count(*) AS n_shared
+      FROM posts a JOIN posts b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY ALL),
+pf AS (SELECT id_a, id_b FROM p
+       WHERE CAST(n_shared AS DOUBLE) / CAST(sa + sb - n_shared AS DOUBLE)
+             >= 0.5),
+e AS (SELECT id_a AS a, id_b AS b FROM pf
+      UNION ALL SELECT id_b, id_a FROM pf),
+r AS (SELECT DISTINCT a, a AS b FROM e
+      UNION
+      SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+c AS (SELECT a AS node, min(b) AS comp FROM r GROUP BY a)
+SELECT d.doc_id,
+       COALESCE(c.comp, d.doc_id) AS cluster_id,
+       COALESCE(c.comp, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN c ON d.doc_id = c.node
 """
 
 

@@ -667,3 +667,27 @@ def pii_scrub(docs: DataFrame, record: str = "doc_id",
         # inside a URL path still counts toward PII density)
         n_emails_pre.cast("int").alias("n_emails"),
     )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    record: str = "doc_id",
+) -> DataFrame:
+    """The end of the dedup story: near-dup PAIRS (from any of the
+    minhash / simhash / ngram lanes, columns (a, b)) -> connected
+    components (distributed hash-to-min label propagation,
+    operators/graph.py) -> one canonical doc per cluster. Returns every
+    doc with (cluster_id = min doc_id in its component, is_canonical);
+    a corpus pipeline keeps ``is_canonical`` rows. Singleton docs are
+    their own cluster — the CC nodes frame is the full doc table, so
+    nothing silently drops."""
+    from whitebox_tools_spark.operators.graph import connected_components
+
+    nodes = docs.select(F.col(record).alias("id"))
+    comp = connected_components(pairs.select("a", "b"), nodes)
+    return comp.select(
+        F.col("node").alias(record),
+        F.col("comp").alias("cluster_id"),
+        (F.col("node") == F.col("comp")).alias("is_canonical"),
+    )
