@@ -163,3 +163,23 @@ def test_executor_side_geojsonl_writer_roundtrips(spark, tmp_path):
     plan = geojson.polygons_to_geojsonl(ring_rows)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_geojsonl_points_lane(spark, tmp_path):
+    recs = [
+        ShapeRecord(parts=[np.array([[float(i), float(-i)]])],
+                    shape_type=shapefile.SHP_POINT, attrs={"n": i})
+        for i in range(5)
+    ]
+    # mix in a polygon line: the point lane must skip it
+    recs.append(_rect_recs()[0])
+    p = str(tmp_path / "pts.geojsonl")
+    geojson.write_geojsonl(recs, p)
+    df = geojson.read_geojsonl_points(spark, p)
+    rows = sorted(df.collect(), key=lambda r: r.fid)
+    assert len(rows) == 5
+    for i, r in enumerate(rows):
+        assert (r.x, r.y) == (float(i), float(-i))
+        assert r.properties["n"] == str(i)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan

@@ -209,6 +209,39 @@ def q_geojsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _geojson_ring_projection(geojson.read_geojsonl_polygons(spark, path))
 
 
+def q_geojsonl_points_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-feature GeoJSONSeq lane: every 10th document's derived
+    point becomes a Feature line; the JVM-side point scan
+    (read_geojsonl_points — from_json narrow view, zero Python) reads
+    them back. The oracle recomputes the derive closed form, so a hash
+    match certifies the JSON float round-trip (repr shortest-roundtrip
+    -> JVM double parse) and the Point filter."""
+    import numpy as np
+
+    from whitebox_tools_spark.io import geojson
+    from whitebox_tools_spark.io import shapefile as _shp
+
+    geo = derive.with_geometry(documents(spark, sf_dir), "doc_id").where(
+        F.col("doc_id") % 10 == 0)
+    pts = geo.select("doc_id", "x", "y").collect()
+    recs = []
+    fids = []
+    for r in sorted(pts, key=lambda r: r.doc_id):
+        recs.append(_shp.ShapeRecord(
+            parts=[np.array([[r.x, r.y]])], shape_type=_shp.SHP_POINT))
+        fids.append(int(r.doc_id))
+    d = tempfile.mkdtemp(prefix="wts_gjp_")
+    path = os.path.join(d, "pts.geojsonl")
+    geojson.write_geojsonl(recs, path)
+    out = geojson.read_geojsonl_points(spark, path)
+    # write_geojsonl numbers features positionally; map back to doc_id
+    fid_map = F.array(*[F.lit(f) for f in fids])
+    return out.select(
+        F.element_at(fid_map, F.col("fid").cast("int") + 1).alias("doc_id"),
+        "x", "y",
+    )
+
+
 def _geojson_oracle() -> str:
     rows = []
     for fid, f in enumerate(vectors.rect_layer()):
@@ -945,6 +978,7 @@ QUERIES = {
     "cog_overviews_roundtrip": q_cog_overviews_roundtrip,
     "geojson_roundtrip": q_geojson_roundtrip,
     "geojsonl_scan": q_geojsonl_scan,
+    "geojsonl_points_scan": q_geojsonl_points_scan,
     "bigtiff_roundtrip": q_bigtiff_roundtrip,
     "rgb_roundtrip": q_rgb_roundtrip,
     "arcascii_roundtrip": q_arcascii_roundtrip,
@@ -971,6 +1005,9 @@ ORACLE_SQL = {
     "cog_overviews_roundtrip": _ORACLE_COG,
     "geojson_roundtrip": _geojson_oracle(),
     "geojsonl_scan": _geojson_oracle(),
+    "geojsonl_points_scan": (
+        f"WITH {_PTS_CTE} SELECT doc_id, x, y FROM pts WHERE doc_id % 10 = 0"
+    ),
     "bigtiff_roundtrip": _ORACLE_GEOTIFF,
     "arcascii_roundtrip": _ORACLE_ARCASCII,
     "whitebox_roundtrip": _oracle_points_raster("max"),

@@ -242,6 +242,32 @@ def polygons_to_geojsonl(df: DataFrame) -> DataFrame:
     return grouped.select(F.to_json(feature).alias("value"))
 
 
+_POINT_JSON_SCHEMA = (
+    "struct<id: bigint, geometry: struct<type: string, "
+    "coordinates: array<double>>, properties: map<string, string>>"
+)
+
+
+def read_geojsonl_points(spark: SparkSession, path: str) -> DataFrame:
+    """JVM-side GeoJSONSeq POINT scan: the narrow view of the same
+    Feature lines (coordinates as array<double>) -> (fid, x, y,
+    properties). Zero Python; the text scan splits by line. Lines whose
+    geometry is not a Point parse to null coordinates and are filtered
+    — so mixed-geometry files read their point subset."""
+    lines = spark.read.text(path)
+    f = F.from_json(F.col("value"), _POINT_JSON_SCHEMA).alias("f")
+    return (
+        lines.select(f)
+        .where(F.col("f.geometry.type") == "Point")
+        .select(
+            F.col("f.id").alias("fid"),
+            F.element_at("f.geometry.coordinates", 1).alias("x"),
+            F.element_at("f.geometry.coordinates", 2).alias("y"),
+            F.col("f.properties").alias("properties"),
+        )
+    )
+
+
 def read_geojsonl_polygons(spark: SparkSession, path: str) -> DataFrame:
     """JVM-side GeoJSONSeq polygon scan: spark.read.text + ``from_json``
     + ring explode — zero Python, so Catalyst sees the whole plan and
