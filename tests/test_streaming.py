@@ -135,3 +135,15 @@ def test_drop_duplicates_within_watermark_smoke(spark, tmp_path):
     want = spark.read.parquet(f"{SF}/events.parquet").select(
         "user_id", F.col("ts").cast("timestamp").alias("ts")).distinct()
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_media_stats_matches_batch(spark):
+    from whitebox_tools_spark.operators import media
+    from whitebox_tools_spark.sources.tables import documents
+    from whitebox_tools_spark.streaming import pipeline as sp
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, sp.streaming_media_stats(spark, sf).collect()))
+    want = sorted(map(tuple, media.image_stats(
+        media.synth_bmp_media(documents(spark, sf))).collect()))
+    assert got == want

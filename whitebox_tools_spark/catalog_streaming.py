@@ -56,12 +56,20 @@ def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.streaming_exact_dedup(spark, sf_dir)
 
 
+def q_streaming_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode on the stream: synth BMP payloads + real image
+    quality stats via mapInPandas on a readStream frame (stateless —
+    row-for-row the batch image_stats output, same oracle)."""
+    return sp.streaming_media_stats(spark, sf_dir)
+
+
 QUERIES = {
     "streaming_tile_assign": q_streaming_tile_assign,
     "streaming_token_stats": q_streaming_token_stats,
     "streaming_window_counts": q_streaming_window_counts,
     "streaming_session_peaks": q_streaming_session_peaks,
     "streaming_exact_dedup": q_streaming_exact_dedup,
+    "streaming_media_stats": q_streaming_media_stats,
 }
 
 # The streaming tile grid is pinned to the derived-coordinate domain
@@ -95,4 +103,5 @@ GROUP BY user_id
     # min-id survivor semantics are arrival-order independent, so the
     # batch exact_dedup oracle applies verbatim
     "streaming_exact_dedup": _docs.ORACLE_SQL["exact_dedup"],
+    "streaming_media_stats": _docs.ORACLE_SQL["image_stats"],
 }

@@ -128,6 +128,20 @@ def streaming_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MULTIMODAL lane on the ingest stream: synth BMP payloads and
+    real-decode image quality stats (operators/media.py image_stats)
+    run UNCHANGED on the streaming frame — mapInPandas is
+    streaming-capable, so the binary-column -> Arrow batch -> numpy
+    decode path is one logical plan for both execution modes. Stateless
+    (append), hence row-for-row the batch operator's output."""
+    from whitebox_tools_spark.operators import media
+
+    docs = stream_table(spark, sf_dir, "documents")
+    stats = media.image_stats(media.synth_bmp_media(docs))
+    return run_available_now(stats, "streaming_media_stats")
+
+
 def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregation over the events stream:
     1-hour windows per event_type with count + sum(value). The 10-minute
