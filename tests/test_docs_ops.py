@@ -634,3 +634,54 @@ class TestDedupClusters:
         assert [rows[i].cluster_id for i in range(8)] == [0, 0, 0, 3, 4, 4, 6, 7]
         canon = {i for i in range(8) if rows[i].is_canonical}
         assert canon == {0, 3, 4, 6, 7}
+
+
+class TestPackSequences:
+    def test_concat_and_chunk_semantics(self, spark):
+        import pandas as pd
+        from whitebox_tools_spark.operators import text as tx
+
+        # token counts: 3, 5, 4 with max_tokens=4 ->
+        # doc0 [0,3) bin0; doc1 [3,8) bins 0(1 tok)+1(4); doc2 [8,12) bins 2
+        pdf = pd.DataFrame({"doc_id": [0, 1, 2], "text": [
+            "a b c", "a b c d e", "a b c d"]})
+        docs = spark.createDataFrame(pdf)
+        rows = sorted(
+            tx.pack_sequences(docs, max_tokens=4).collect(),
+            key=lambda r: (r.doc_id, r.bin_id))
+        got = [(r.doc_id, r.bin_id, r.bin_offset, r.span_len) for r in rows]
+        assert got == [(0, 0, 0, 3), (1, 0, 3, 1), (1, 1, 0, 4),
+                       (2, 2, 0, 4)]
+        # every bin except possibly the last is exactly full
+        per_bin = {}
+        for r in rows:
+            per_bin[r.bin_id] = per_bin.get(r.bin_id, 0) + r.span_len
+        assert per_bin == {0: 4, 1: 4, 2: 4}
+
+    def test_partitioned_packing_is_per_key(self, spark):
+        import pandas as pd
+        from whitebox_tools_spark.operators import text as tx
+
+        pdf = pd.DataFrame({
+            "doc_id": [0, 1, 2, 3],
+            "lang": ["en", "fr", "en", "fr"],
+            "text": ["a b", "c d e", "f", "g h i j"],
+        })
+        docs = spark.createDataFrame(pdf)
+        rows = tx.pack_sequences(docs, max_tokens=3,
+                                 partition_cols=["lang"]).collect()
+        en = sorted((r.doc_id, r.bin_id, r.bin_offset, r.span_len)
+                    for r in rows if r.lang == "en")
+        assert en == [(0, 0, 0, 2), (2, 0, 2, 1)]
+        fr = sorted((r.doc_id, r.bin_id, r.bin_offset, r.span_len)
+                    for r in rows if r.lang == "fr")
+        assert fr == [(1, 0, 0, 3), (3, 1, 0, 3), (3, 2, 0, 1)]
+
+    def test_validation(self, spark):
+        import pandas as pd
+        from whitebox_tools_spark.operators import text as tx
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0], "text": ["a"]}))
+        with pytest.raises(ValueError, match="max_tokens"):
+            tx.pack_sequences(docs, max_tokens=0)

@@ -102,6 +102,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.dedup_clusters(docs, pairs)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM sequence packing (concat-and-chunk, the GPT-pretraining
+    shape): docs laid end-to-end in doc_id order and cut into 512-token
+    bins, one row per (doc, bin) span — zero wasted context, docs may
+    straddle boundaries. One JVM window cumsum + a sequence explode;
+    the oracle replays the identical arithmetic, so a hash match pins
+    every bin id, offset and span length."""
+    out = tx.pack_sequences(documents(spark, sf_dir), max_tokens=512)
+    return out.select("doc_id", "bin_id", "bin_offset", "span_len",
+                      "n_tokens")
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data PII/link scrubbing: URLs -> <URL>, e-mails ->
     <EMAIL>, long digit runs -> <NUM>, as chained JVM regexp_replace
@@ -145,6 +157,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "ann_topk": q_ann_topk,
+    "pack_sequences": q_pack_sequences,
     "pii_scrub": q_pii_scrub,
     "media_meta": q_media_meta,
 }
@@ -830,6 +843,25 @@ SELECT d.doc_id,
        COALESCE(c.comp, d.doc_id) AS cluster_id,
        COALESCE(c.comp, d.doc_id) = d.doc_id AS is_canonical
 FROM documents d LEFT JOIN c ON d.doc_id = c.node
+"""
+
+
+ORACLE_SQL["pack_sequences"] = """
+WITH n AS (SELECT doc_id, len(string_split(text, ' ')) AS nt FROM documents),
+c AS (SELECT doc_id, nt, sum(nt) OVER (ORDER BY doc_id) AS tok_end FROM n),
+s AS (SELECT doc_id, nt, CAST(tok_end - nt AS BIGINT) AS tok_start,
+             CAST(tok_end AS BIGINT) AS tok_end FROM c),
+e AS (SELECT doc_id, nt, tok_start, tok_end,
+             unnest(range(tok_start // 512, (tok_end - 1) // 512 + 1))
+               AS bin_id
+      FROM s)
+SELECT doc_id, CAST(bin_id AS BIGINT) AS bin_id,
+       CAST(greatest(tok_start, bin_id * 512) - bin_id * 512 AS INT)
+         AS bin_offset,
+       CAST(least(tok_end, (bin_id + 1) * 512)
+            - greatest(tok_start, bin_id * 512) AS INT) AS span_len,
+       CAST(nt AS INT) AS n_tokens
+FROM e
 """
 
 

@@ -691,3 +691,67 @@ def dedup_clusters(
         F.col("comp").alias("cluster_id"),
         (F.col("node") == F.col("comp")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------- sequence packing
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int = 512,
+    record: str = "doc_id",
+    text: str = "text",
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """LLM pretraining sequence packing, concat-and-chunk semantics:
+    documents are laid end-to-end in ``record`` order and cut into
+    fixed ``max_tokens`` bins (docs may straddle a boundary — the
+    GPT-style packing that wastes zero context). Emits one row per
+    (doc, bin) span: (record, bin_id, bin_offset, span_len, n_tokens).
+
+    Entirely JVM-side: one window cumulative sum + a ``sequence``
+    explode over the (tiny) per-doc bin range. With no
+    ``partition_cols`` the window is global — a single-partition sort,
+    fine for a shard; at 100 TB pass partition_cols (e.g. the shard or
+    language key) so each shard packs independently and the window
+    parallelizes per key, which is also what keeps bin ids stable under
+    re-partitioning."""
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    n_tok = F.size(F.split(F.col(text), " "))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(record)
+    if partition_cols:
+        w = Window.partitionBy(*partition_cols).orderBy(record)
+    base = docs.select(
+        record,
+        *(partition_cols or []),
+        n_tok.alias("n_tokens"),
+    ).withColumn("tok_end", F.sum("n_tokens").over(w))
+    base = base.withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
+    L = F.lit(max_tokens)
+    spans = base.select(
+        record,
+        *(partition_cols or []),
+        "n_tokens",
+        "tok_start",
+        "tok_end",
+        F.explode(
+            F.sequence(
+                (F.col("tok_start") / L).cast("long"),
+                ((F.col("tok_end") - 1) / L).cast("long"),
+            )
+        ).alias("bin_id"),
+    )
+    bin_lo = F.col("bin_id") * L
+    span_start = F.greatest(F.col("tok_start"), bin_lo)
+    span_end = F.least(F.col("tok_end"), bin_lo + L)
+    return spans.select(
+        record,
+        *(partition_cols or []),
+        F.col("bin_id").cast("long").alias("bin_id"),
+        (span_start - bin_lo).cast("int").alias("bin_offset"),
+        (span_end - span_start).cast("int").alias("span_len"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+    )
