@@ -685,3 +685,44 @@ class TestPackSequences:
             pd.DataFrame({"doc_id": [0], "text": ["a"]}))
         with pytest.raises(ValueError, match="max_tokens"):
             tx.pack_sequences(docs, max_tokens=0)
+
+
+class TestCorpusUtils:
+    def test_split_is_deterministic_and_weighted(self, spark):
+        from whitebox_tools_spark.operators import text as tx
+
+        docs = documents(spark, SF_DIR)
+        a = {r.doc_id: r.split for r in tx.split_corpus(docs).collect()}
+        b = {r.doc_id: r.split
+             for r in tx.split_corpus(docs.repartition(7)).collect()}
+        assert a == b  # stable under re-partitioning
+        n = len(a)
+        frac_train = sum(1 for v in a.values() if v == "train") / n
+        assert 0.9 < frac_train <= 1.0
+        with pytest.raises(ValueError, match="sum to 100"):
+            tx.split_corpus(docs, weights={"train": 50, "val": 10})
+
+    def test_split_custom_weights_cover_all_buckets(self, spark):
+        import pandas as pd
+        from whitebox_tools_spark.operators import text as tx
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": list(range(500))}))
+        rows = tx.split_corpus(
+            docs, weights={"a": 50, "b": 30, "c": 20}).collect()
+        assert all(r.split in ("a", "b", "c") for r in rows)
+        assert all(
+            (r.bucket < 50) == (r.split == "a")
+            and (50 <= r.bucket < 80) == (r.split == "b") for r in rows)
+
+    def test_vocab_ids_total_order(self, spark):
+        import pandas as pd
+        from whitebox_tools_spark.operators import text as tx
+
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [0, 1], "text": ["b a a c c", "c b x"]}))
+        rows = sorted(tx.build_vocab(docs, top_k=3).collect(),
+                      key=lambda r: r.token_id)
+        # counts: c=3, a=2, b=2, x=1 -> ties broken by token ASC
+        assert [(r.token_id, r.token, r.n) for r in rows] == [
+            (0, "c", 3), (1, "a", 2), (2, "b", 2)]

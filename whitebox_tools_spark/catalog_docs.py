@@ -102,6 +102,23 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.dedup_clusters(docs, pairs)
 
 
+def q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test hash split (98/1/1): portable
+    60-bit md5 bucket mod 100 — stable under re-runs, re-partitioning
+    and corpus growth, the property a reproducible training pipeline
+    needs (random splits migrate docs between runs). Pure projection,
+    zero shuffles; the oracle replays the identical hash arithmetic."""
+    return tx.split_corpus(documents(spark, sf_dir))
+
+
+def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency vocabulary (tokenizer-training precursor): global
+    token counts -> top-100 tokens with deterministic dense ids
+    (count DESC, token ASC total order). The oracle replays the same
+    count + rank, pinning ids, tokens AND counts."""
+    return tx.build_vocab(documents(spark, sf_dir), top_k=100)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM sequence packing (concat-and-chunk, the GPT-pretraining
     shape): docs laid end-to-end in doc_id order and cut into 512-token
@@ -158,6 +175,8 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "ann_topk": q_ann_topk,
     "pack_sequences": q_pack_sequences,
+    "split_corpus": q_split_corpus,
+    "build_vocab": q_build_vocab,
     "pii_scrub": q_pii_scrub,
     "media_meta": q_media_meta,
 }
@@ -845,6 +864,28 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN c ON d.doc_id = c.node
 """
 
+
+ORACLE_SQL["split_corpus"] = f"""
+WITH b AS (SELECT doc_id,
+                  {H60("'split-v1:' || CAST(doc_id AS VARCHAR)")} % 100
+                    AS bucket
+           FROM documents)
+SELECT doc_id, CAST(bucket AS INT) AS bucket,
+       CASE WHEN bucket < 98 THEN 'train'
+            WHEN bucket < 99 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+ORACLE_SQL["build_vocab"] = """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+r AS (SELECT token, n,
+             row_number() OVER (ORDER BY n DESC, token) - 1 AS token_id
+      FROM c)
+SELECT CAST(token_id AS INT) AS token_id, token, CAST(n AS BIGINT) AS n
+FROM r WHERE token_id < 100
+"""
 
 ORACLE_SQL["pack_sequences"] = """
 WITH n AS (SELECT doc_id, len(string_split(text, ' ')) AS nt FROM documents),

@@ -755,3 +755,58 @@ def pack_sequences(
         (span_end - span_start).cast("int").alias("span_len"),
         F.col("n_tokens").cast("int").alias("n_tokens"),
     )
+
+
+# ------------------------------------------------------- corpus utilities
+
+
+def split_corpus(
+    docs: DataFrame,
+    weights: dict[str, int] | None = None,
+    record: str = "doc_id",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic hash split (train/val/test): bucket = portable
+    60-bit md5 of (salt + record) mod 100, assigned to splits by
+    cumulative weight. Hash-based (not random) on purpose — the split
+    is stable under re-runs, re-partitioning and corpus growth (a doc
+    never migrates), which is the property a training pipeline needs.
+    ``weights`` are integer percentages summing to 100 (default
+    98/1/1). Zero shuffles: a pure projection."""
+    weights = weights or {"train": 98, "val": 1, "test": 1}
+    if sum(weights.values()) != 100:
+        raise ValueError(f"split weights must sum to 100, got {weights}")
+    bucket = F.pmod(h60(F.concat(F.lit(salt), F.lit(":"),
+                                 F.col(record).cast("string"))), F.lit(100))
+    expr = None
+    lo = 0
+    for name, wgt in weights.items():
+        cond = bucket < F.lit(lo + wgt)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += wgt
+    return docs.select(
+        F.col(record), bucket.cast("int").alias("bucket"),
+        expr.alias("split"),
+    )
+
+
+def build_vocab(
+    docs: DataFrame,
+    top_k: int = 1000,
+    text: str = "text",
+) -> DataFrame:
+    """Frequency vocabulary (the tokenizer-training precursor): global
+    whitespace-token counts -> top_k tokens with dense rank ids
+    (count DESC, token ASC — a total order, so ids are deterministic).
+    One explode + one partial-aggregated groupBy; the rank window runs
+    over at most the distinct-token set, and only top_k rows survive."""
+    from pyspark.sql import Window
+
+    tok = docs.select(F.explode(F.split(F.col(text), " ")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("token_id", F.row_number().over(w) - 1)
+        .where(F.col("token_id") < top_k)
+        .select("token_id", "token", "n")
+    )
