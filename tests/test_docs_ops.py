@@ -726,3 +726,30 @@ class TestCorpusUtils:
         # counts: c=3, a=2, b=2, x=1 -> ties broken by token ASC
         assert [(r.token_id, r.token, r.n) for r in rows] == [
             (0, "c", 3), (1, "a", 2), (2, "b", 2)]
+
+
+class TestQuantizeEmbeddings:
+    def test_error_bound_and_zero_vector(self, spark):
+        import numpy as np
+        import pandas as pd
+        from whitebox_tools_spark.operators import ann
+
+        rng = np.random.default_rng(3)
+        vecs = [rng.normal(0, 1, 16).astype("float32").tolist()
+                for _ in range(20)] + [[0.0] * 16]
+        emb = spark.createDataFrame(pd.DataFrame({
+            "vec_id": list(range(21)), "embedding": vecs}))
+        rows = {r.vec_id: r for r in
+                ann.quantize_embeddings(emb).collect()}
+        for i, v in enumerate(vecs):
+            r = rows[i]
+            v = np.asarray(v, np.float64)
+            if not v.any():
+                assert r.scale == 0.0 and all(q == 0 for q in r.q)
+                continue
+            q = np.asarray(r.q)
+            assert np.abs(q).max() <= 127
+            # dequantization error bounded by scale/2 per component
+            assert np.abs(q * r.scale - v).max() <= r.scale / 2 + 1e-12
+            # the max-|x| component saturates exactly
+            assert np.abs(q).max() == 127

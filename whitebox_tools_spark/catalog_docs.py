@@ -102,6 +102,25 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.dedup_clusters(docs, pairs)
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (the ANN-serving memory
+    trick): per-vector scale = max|x|/127, codes round(x*127/max|x|).
+    Pure JVM projection over the embeddings table; the oracle replays
+    the identical double arithmetic (float32 -> double promotion is
+    exact, round-half-away matches), so a hash match pins every code
+    of every vector. Emits the code array plus its L1 mass so both the
+    values and the layout are covered."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = ann.quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.aggregate("q", F.lit(0), lambda a, v: a + F.abs(v)).alias("l1"),
+        F.concat_ws(",", F.transform("q", lambda v: v.cast("string")))
+            .alias("codes"),
+    )
+
+
 def q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test hash split (98/1/1): portable
     60-bit md5 bucket mod 100 — stable under re-runs, re-partitioning
@@ -177,6 +196,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "split_corpus": q_split_corpus,
     "build_vocab": q_build_vocab,
+    "quantize_embeddings": q_quantize_embeddings,
     "pii_scrub": q_pii_scrub,
     "media_meta": q_media_meta,
 }
@@ -864,6 +884,22 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN c ON d.doc_id = c.node
 """
 
+
+ORACLE_SQL["quantize_embeddings"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+q AS (SELECT vec_id, amax / 127.0 AS scale,
+             CASE WHEN amax = 0
+                  THEN list_transform(v, x -> 0)
+                  ELSE list_transform(v, x -> CAST(round(x * 127.0 / amax)
+                                                   AS INT)) END AS qs
+      FROM m)
+SELECT vec_id, round(scale, 9) AS scale,
+       CAST(list_sum(list_transform(qs, x -> abs(x))) AS INT) AS l1,
+       array_to_string(qs, ',') AS codes
+FROM q
+"""
 
 ORACLE_SQL["split_corpus"] = f"""
 WITH b AS (SELECT doc_id,

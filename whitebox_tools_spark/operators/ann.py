@@ -333,3 +333,30 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select(qrecord, record, "cos", "rank")
     )
+
+
+# -------------------------------------------------------- int8 quantization
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    vec: str = "embedding",
+    record: str = "vec_id",
+) -> DataFrame:
+    """Symmetric int8 quantization (the ANN-serving memory trick: 4x
+    smaller vectors, dot products in integer SIMD): per-vector scale =
+    max |x| / 127, q_i = round(x_i / scale) in [-127, 127]. Zero
+    vectors carry scale 0 and all-zero codes. Pure projection, zero
+    Python, zero shuffles; dequantization error is bounded by scale/2
+    per component (law in tests)."""
+    v = as_double(F.col(vec))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = (amax / F.lit(127.0)).alias("scale")
+    q = F.when(
+        amax == 0,
+        F.transform(v, lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(v, lambda x: F.round(x * F.lit(127.0) / amax)
+                    .cast("int"))
+    )
+    return emb.select(F.col(record), scale, q.alias("q"))
