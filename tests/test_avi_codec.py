@@ -249,3 +249,41 @@ def test_sample_video_frames_stride(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="stride"):
         media.sample_video_frames(m, stride=0)
+
+
+def test_audio_first_avi_video_on_stream_01():
+    # a legal AVI may list the audio strl first: audio = stream 00,
+    # video = stream 01, frame chunks '01dc'. The walk must follow the
+    # vids strh ordinal, not a hardcoded '00'.
+    raw = [encode_jpeg(np.full((2, 3), v, np.uint8), quality=90)
+           for v in (11, 22)]
+    w, h, fps = 3, 2, 10
+    avih = struct.pack("<IIIIIIIIII4I", 0, 0, 0, 0x10,
+                       len(raw), 0, 2, 0, w, h, 0, 0, 0, 0)
+    strh_a = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"auds", b"\x00" * 4,
+                         0, 0, 0, 0, 1, 8000, 0, 0, 0, 0xFFFFFFFF,
+                         0, 0, 0, 0, 0)
+    strf_a = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    strh_v = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"vids", b"MJPG",
+                         0, 0, 0, 0, 1, fps, 0, len(raw), 0,
+                         0xFFFFFFFF, 0, 0, 0, w, h)
+    strf_v = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                         w * h * 3, 0, 0, 0, 0)
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh_a) + _chunk(b"strf", strf_a))
+        + _list(b"strl", _chunk(b"strh", strh_v) + _chunk(b"strf", strf_v)),
+    )
+    movi = _list(b"movi",
+                 _chunk(b"00wb", b"\x80" * 16)       # audio payload
+                 + _chunk(b"01dc", raw[0])
+                 + _chunk(b"00wb", b"\x80" * 16)
+                 + _chunk(b"01dc", raw[1]))
+    body = hdrl + movi
+    data = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+    frames, got_fps = decode_avi_mjpeg(data)
+    assert got_fps == float(fps)
+    assert len(frames) == 2
+    for j, img in zip(raw, frames):
+        assert np.array_equal(img, decode_jpeg(j))

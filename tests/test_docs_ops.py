@@ -753,3 +753,45 @@ class TestQuantizeEmbeddings:
             assert np.abs(q * r.scale - v).max() <= r.scale / 2 + 1e-12
             # the max-|x| component saturates exactly
             assert np.abs(q).max() == 127
+
+
+class TestRound5ReviewRegressions:
+    def test_pii_scrub_null_text_yields_zero_counts(self, spark):
+        import pandas as pd
+        from whitebox_tools_spark.operators import text as tx
+
+        pdf = pd.DataFrame({"doc_id": [1, 2],
+                            "text": [None, "x https://a.b c"]})
+        docs = spark.createDataFrame(pdf)
+        rows = {r.doc_id: r for r in tx.pii_scrub(docs).collect()}
+        # F.size(split(NULL)) is -1, so counts were -2 pre-fix
+        assert rows[1].n_urls == 0 and rows[1].n_emails == 0
+        assert rows[1].clean_text is None
+        assert rows[2].n_urls == 1
+
+    def test_audio_stats_empty_data_chunk(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        payload = media.encode_wav(np.zeros((0, 2), np.int16), 8000)
+        pdf = pd.DataFrame({
+            "doc_id": [1], "media_ref": ["wav://1"], "payload": [payload],
+            "meta": [{"kind": "audio", "n_bytes": len(payload),
+                      "codec": "wav"}],
+        })
+        m = spark.createDataFrame(pdf, schema=media.MEDIA_SCHEMA)
+        row = media.audio_stats(m).collect()[0]
+        # an empty clip is all-silence, not a ZeroDivisionError
+        assert (row.rms_energy, row.zero_crossings,
+                row.silence_ratio, row.clip_ratio) == (0.0, 0, 1.0, 0.0)
+
+    def test_pack_sequences_uses_integer_div(self, spark):
+        from whitebox_tools_spark.operators import text as tx
+
+        docs = documents(spark, SF_DIR)
+        out = tx.pack_sequences(docs, max_tokens=1000)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        # bin ids must come from exact integer `div`, not double `/`
+        # (+cast): the double quotient rounds at ~2^53 cumulative
+        # tokens and mis-bins boundary docs at corpus scale
+        assert " div " in plan.lower() or "integral_divide" in plan.lower(), plan

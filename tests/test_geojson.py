@@ -183,3 +183,51 @@ def test_geojsonl_points_lane(spark, tmp_path):
         assert r.properties["n"] == str(i)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_3d_positions_drop_altitude(spark, tmp_path):
+    # RFC 7946 §3.1.1: a position may carry an optional altitude; the
+    # reader must drop it, not reshape-flatten it into garbage vertices
+    p = str(tmp_path / "z.geojson")
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "id": 0, "properties": {},
+         "geometry": {"type": "LineString",
+                      "coordinates": [[1, 2, 9], [3, 4, 9], [5, 6, 9]]}},
+        {"type": "Feature", "id": 1, "properties": {},
+         "geometry": {"type": "Point", "coordinates": [7, 8, 99]}},
+        {"type": "Feature", "id": 2, "properties": {},
+         # mixed 2D/3D positions in one ring (legal, if sloppy)
+         "geometry": {"type": "Polygon",
+                      "coordinates": [[[0, 0], [4, 0, 1], [4, 4],
+                                       [0, 4, 2], [0, 0]]]}},
+    ]}
+    with open(p, "w") as f:
+        json.dump(fc, f)
+    rows = {r.fid: r for r in geojson.read_geojson(spark, p).collect()}
+    assert rows[0].xs == [1.0, 3.0, 5.0] and rows[0].ys == [2.0, 4.0, 6.0]
+    assert rows[1].xs == [7.0] and rows[1].ys == [8.0]
+    assert rows[2].xs == [0.0, 4.0, 4.0, 0.0, 0.0]
+    assert rows[2].ys == [0.0, 0.0, 4.0, 4.0, 0.0]
+
+
+def test_non_integral_or_bool_ids_fall_back_to_position(spark, tmp_path):
+    # int(2.7) would collide with a real id=2 feature; bools are int
+    # subclasses; string ids are non-numeric. All -> positional fid.
+    p = str(tmp_path / "ids.geojson")
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "id": 2.7, "properties": {},
+         "geometry": {"type": "Point", "coordinates": [0, 0]}},
+        {"type": "Feature", "id": 2, "properties": {},
+         "geometry": {"type": "Point", "coordinates": [1, 1]}},
+        {"type": "Feature", "id": True, "properties": {},
+         "geometry": {"type": "Point", "coordinates": [2, 2]}},
+        {"type": "Feature", "id": 7.0, "properties": {},  # integral float: honored
+         "geometry": {"type": "Point", "coordinates": [3, 3]}},
+        {"type": "Feature", "id": "abc", "properties": {},
+         "geometry": {"type": "Point", "coordinates": [4, 4]}},
+    ]}
+    with open(p, "w") as f:
+        json.dump(fc, f)
+    got = sorted((r.fid, r.xs[0]) for r in
+                 geojson.read_geojson(spark, p).collect())
+    assert got == [(0, 0.0), (2, 1.0), (2, 2.0), (4, 4.0), (7, 3.0)]

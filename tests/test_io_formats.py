@@ -1088,7 +1088,11 @@ def test_geokey_geographic_classification():
     # projected despite living in 4xxx (ADVICE r4 #2: the known
     # projected outliers beyond 4087/4088 classify as projected too)
     for code in (4087, 4088, 4414, 4415, 4417, 4434, 4455, 4456, 4457,
-                 4484, 4497):
+                 4484, 4497,
+                 # round-5 widening: MOLDREF99 TM, WGS84 TMzn, DKTM,
+                 # Kertau grids, CGCS2000 / New Beijing Gauss-Kruger
+                 4026, 4037, 4038, 4093, 4096, 4390, 4398, 4491, 4554,
+                 4568, 4589):
         assert model_and_key(_geokey_directory_values(code)) == (
             1, (False, True)), code
     # geographic despite living outside 4xxx

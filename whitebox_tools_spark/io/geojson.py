@@ -122,7 +122,11 @@ def _feature_rows(path: str, fid: int, feat: dict) -> list[tuple]:
     rows = []
 
     def add(part, is_hole, coords, gt):
-        a = np.asarray(coords, dtype=np.float64).reshape(-1, 2)
+        # RFC 7946 §3.1.1 positions are [x, y] or [x, y, z]; drop the
+        # optional altitude (and tolerate per-position raggedness)
+        # instead of letting a flat reshape misalign every vertex.
+        a = np.asarray([p[:2] for p in coords], dtype=np.float64)
+        a = a.reshape(-1, 2)
         rows.append((path, fid, gt, part, is_hole,
                      a[:, 0].tolist(), a[:, 1].tolist(), props))
 
@@ -172,7 +176,15 @@ def read_geojson(spark: SparkSession, path: str) -> DataFrame:
                 rows = []
                 for pos, feat in enumerate(feats):
                     fid = feat.get("id", pos)
-                    fid = int(fid) if isinstance(fid, (int, float)) else pos
+                    # honour only genuinely integral numeric ids (bool is
+                    # an int subclass; 2.7 would truncate onto another
+                    # feature's fid) — else fall back to the position, as
+                    # the docstring promises.
+                    if isinstance(fid, bool) or not (
+                            isinstance(fid, int)
+                            or (isinstance(fid, float) and fid.is_integer())):
+                        fid = pos
+                    fid = int(fid)
                     rows.extend(_feature_rows(p, fid, feat))
                 if rows:
                     yield pd.DataFrame(

@@ -124,9 +124,27 @@ def _epsg_from_geokeys(tags: dict) -> int:
 # geographic-vs-projected from its full EPSG keyword tables; this set
 # covers the known projected 4xxx outliers — any OTHER projected code
 # in the 4xxx block must be written with epsg_geographic=False.
+# Projected CRSs inside the (mostly geographic) EPSG 4xxx block. A
+# curated high-confidence list, NOT a full registry resolution: the
+# 4xxx block mixes in many projected codes (Kertau grids, BLM zones,
+# CGCS2000/New Beijing Gauss-Kruger, ...). A 4xxx projected code not
+# listed here is inferred geographic — callers with such codes must
+# pass GridConfig.epsg_geographic=False explicitly (the flag always
+# wins over this inference).
 _PROJECTED_IN_4XXX = frozenset(
-    {4087, 4088, 4414, 4415, 4417, 4434, 4455, 4456, 4457}
-    | set(range(4484, 4498))
+    {4026,                    # MOLDREF99 / Moldova TM
+     4037, 4038,              # WGS 84 / TMzn35N-36N
+     4087, 4088,              # WGS 84 World Equidistant Cylindrical
+     4093, 4094, 4095, 4096,  # ETRS89 / DKTM1-4
+     4414,                    # NAD83(HARN) / Guam Map Grid
+     4415,                    # Katanga 1955 / Katanga Lambert
+     4417, 4434,              # Pulkovo 1942 / Gauss-Kruger zones
+     4437,                    # NAD83(NSRS2007) / Puerto Rico & VI
+     4455, 4456, 4457}        # NAD27 state-plane zones
+    | set(range(4390, 4399))  # Kertau 1968 / Malaysia state grids
+    | set(range(4484, 4491))  # Mexico ITRF92 / UTM zones 11N-17N
+    | set(range(4491, 4555))  # CGCS2000 / Gauss-Kruger zones + CM
+    | set(range(4568, 4590))  # New Beijing / Gauss-Kruger zones + CM
 )
 # common geographic CRS codes OUTSIDE the 4xxx block (NAD83(2011/PA11/
 # MA11), GDA2020)

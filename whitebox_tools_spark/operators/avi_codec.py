@@ -96,8 +96,9 @@ def encode_avi_mjpeg(
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
 
 
-def _walk_frames(data: bytes, pos: int, end: int, out: list[bytes]) -> None:
-    """Collect the first video stream's frame chunks between pos..end
+def _walk_frames(data: bytes, pos: int, end: int, out: list[bytes],
+                 sid: bytes = b"00") -> None:
+    """Collect stream ``sid``'s frame chunks between pos..end
     (directly, or nested one level in 'rec ' LISTs)."""
     while pos + 8 <= end:
         cid = data[pos:pos + 4]
@@ -106,8 +107,8 @@ def _walk_frames(data: bytes, pos: int, end: int, out: list[bytes]) -> None:
         if body_start + size > len(data):
             raise ValueError("AVI: truncated chunk")
         if cid == b"LIST" and data[body_start:body_start + 4] == b"rec ":
-            _walk_frames(data, body_start + 4, body_start + size, out)
-        elif cid[2:4] in (b"dc", b"db") and cid[:2] == b"00":
+            _walk_frames(data, body_start + 4, body_start + size, out, sid)
+        elif cid[2:4] in (b"dc", b"db") and cid[:2] == sid:
             out.append(data[body_start:body_start + size])
         pos = body_start + size + (size & 1)
 
@@ -121,6 +122,9 @@ def decode_avi_mjpeg(data: bytes) -> tuple[list[np.ndarray], float]:
     fps = 0.0
     usec_per_frame = 0
     handler = None
+    stream_idx = 0           # ordinal of the strh being parsed
+    video_stream = None      # ordinal of the first vids stream
+    movi_spans: list[tuple[int, int]] = []
     jpegs: list[bytes] = []
     n = len(data)
     while pos + 8 <= n:
@@ -130,7 +134,10 @@ def decode_avi_mjpeg(data: bytes) -> tuple[list[np.ndarray], float]:
         if cid == b"LIST":
             ltype = data[body:body + 4]
             if ltype == b"movi":
-                _walk_frames(data, body + 4, body + size, jpegs)
+                # defer the walk until strh parsing fixes the video
+                # stream's two-digit chunk id (audio-first AVIs put the
+                # video on '01', not '00')
+                movi_spans.append((body + 4, body + size))
             elif ltype in (b"hdrl", b"strl"):
                 pos = body + 4  # descend
                 continue
@@ -139,6 +146,7 @@ def decode_avi_mjpeg(data: bytes) -> tuple[list[np.ndarray], float]:
         elif cid == b"strh" and size >= 32:
             fcc_type = data[body:body + 4]
             if fcc_type == b"vids" and handler is None:
+                video_stream = stream_idx
                 handler = data[body + 4:body + 8]
                 if handler not in (b"MJPG", b"mjpg", b"\x00\x00\x00\x00"):
                     raise NotImplementedError(
@@ -148,7 +156,11 @@ def decode_avi_mjpeg(data: bytes) -> tuple[list[np.ndarray], float]:
                 scale, rate = struct.unpack_from("<II", data, body + 20)
                 if scale:
                     fps = rate / scale
+            stream_idx += 1
         pos = body + size + (size & 1)
+    sid = b"%02d" % (video_stream if video_stream is not None else 0)
+    for span_start, span_end in movi_spans:
+        _walk_frames(data, span_start, span_end, jpegs, sid)
     if not jpegs:
         raise ValueError("AVI: no video frame chunks")
     if fps == 0.0 and usec_per_frame:

@@ -270,8 +270,6 @@ def decode_image_features(media: DataFrame) -> DataFrame:
     (operators/jpeg_codec.py); any other codec raises
     NotImplementedError at this exact point — swap in ffmpeg here for
     video, the Spark plumbing is identical."""
-    from whitebox_tools_spark.operators.jpeg_codec import decode_jpeg
-    from whitebox_tools_spark.operators.png_codec import decode_png
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -279,18 +277,7 @@ def decode_image_features(media: DataFrame) -> DataFrame:
             for doc_id, payload, meta in zip(
                 pdf["doc_id"], pdf["payload"], pdf["meta"]
             ):
-                codec = meta["codec"]
-                if codec == "bmp":
-                    img = decode_bmp(bytes(payload))
-                elif codec == "png":
-                    img = _to_rgb8(decode_png(bytes(payload)))
-                elif codec == "jpeg":
-                    img = _to_rgb8(decode_jpeg(bytes(payload)))
-                else:
-                    raise NotImplementedError(
-                        f"real decode for codec {codec!r} requires native "
-                        "libraries (ffmpeg for video); plug them in here"
-                    )
+                img = _decode_by_codec(bytes(payload), meta["codec"])
                 out.append((
                     int(doc_id), img.shape[1], img.shape[0],
                     float(img[:, :, 0].mean()),
@@ -802,6 +789,12 @@ def audio_stats(
                     )
                 _, s = decode_wav(bytes(payload))
                 v = s.astype(np.int64)
+                if v.size == 0:
+                    # structurally valid but empty data chunk (truncated
+                    # upload): emit an all-silent row instead of killing
+                    # the whole partition with a ZeroDivisionError
+                    out.append((int(doc_id), 0.0, 0, 1.0, 0.0))
+                    continue
                 c0 = v[:, 0] >= 0
                 out.append((
                     int(doc_id),

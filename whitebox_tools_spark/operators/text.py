@@ -652,8 +652,13 @@ def pii_scrub(docs: DataFrame, record: str = "doc_id",
     per-doc match counts so a pipeline can gate on PII density.
     """
     t = F.col(text)
-    n_urls = F.size(F.split(t, PII_URL)) - 1
-    n_emails_pre = F.size(F.split(t, PII_EMAIL)) - 1
+    # F.size(null) is -1 by default, so a null text would yield -2
+    # counts; normalize null text to zero matches (clean_text stays
+    # null — a pass-through, matching SQL regexp_replace(NULL) = NULL)
+    n_urls = F.when(t.isNull(), F.lit(0)).otherwise(
+        F.size(F.split(t, PII_URL)) - 1)
+    n_emails_pre = F.when(t.isNull(), F.lit(0)).otherwise(
+        F.size(F.split(t, PII_EMAIL)) - 1)
     scrubbed = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(t, PII_URL, "<URL>"),
@@ -737,10 +742,13 @@ def pack_sequences(
         "n_tokens",
         "tok_start",
         "tok_end",
+        # exact integer division (`div`), NOT `/`+cast: the double
+        # quotient rounds at ~2^53 cumulative tokens, mis-binning a doc
+        # that starts exactly on a bin boundary — real at corpus scale
         F.explode(
             F.sequence(
-                (F.col("tok_start") / L).cast("long"),
-                ((F.col("tok_end") - 1) / L).cast("long"),
+                F.expr(f"tok_start div {int(max_tokens)}"),
+                F.expr(f"(tok_end - 1) div {int(max_tokens)}"),
             )
         ).alias("bin_id"),
     )
