@@ -795,3 +795,44 @@ class TestRound5ReviewRegressions:
         # (+cast): the double quotient rounds at ~2^53 cumulative
         # tokens and mis-bins boundary docs at corpus scale
         assert " div " in plan.lower() or "integral_divide" in plan.lower(), plan
+
+
+class TestRepetitionSignals:
+    def test_hand_computed(self, spark):
+        import pandas as pd
+        from whitebox_tools_spark.operators import text as tx
+
+        pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": [
+            "a b a b a b",        # heavy bigram repetition
+            "x\ny\nx\nz",         # duplicate lines, single "token"
+            "hello",              # one-token degenerate gram
+        ]})
+        rows = {r.doc_id: r for r in
+                tx.repetition_signals(spark.createDataFrame(pdf)).collect()}
+        r1 = rows[1]
+        assert r1.dup_token_frac == 4 / 6            # 6 tokens, 2 distinct
+        assert r1.dup_line_frac == 0.0
+        # "a b" occurs 3x, len 3 -> 9; len(text) = 11
+        assert r1.top_2gram_char_frac == 9 / 11
+        # "a b a" occurs 2x, len 5 -> 10
+        assert r1.top_3gram_char_frac == 10 / 11
+        r2 = rows[2]
+        assert r2.dup_line_frac == 1 / 4             # 4 lines, 3 distinct
+        assert r2.dup_token_frac == 0.0              # 1 whitespace token
+        r3 = rows[3]
+        assert r3.dup_token_frac == 0.0 and r3.dup_line_frac == 0.0
+        # degenerate clamped gram "hello hello": 1 * 11 / 5
+        assert r3.top_2gram_char_frac == 11 / 5
+
+    def test_plan_zero_shuffle_jvm_only(self, spark):
+        from whitebox_tools_spark.operators import text as tx
+
+        docs = documents(spark, SF_DIR)
+        out = tx.repetition_signals(docs)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan            # pure projection
+        assert "Python" not in plan and "ArrowEval" not in plan
+        opt = out._jdf.queryExecution().optimizedPlan().toString()
+        # token/line arrays bound once each — the CollapseProject
+        # recompute trap would inline split() into every n-gram branch
+        assert opt.count("split(") <= 3, opt.count("split(")

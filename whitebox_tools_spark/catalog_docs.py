@@ -1148,3 +1148,48 @@ _SPAN_PTS_CTE = (
 )
 
 ORACLE_SQL["span_invariant"] = _span_invariant_oracle()
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (dup-token/dup-line
+    fractions, top 2-/3-gram char fractions — Rae et al. 2021 §A1.1):
+    the excessive-repetition filter of a training pipeline. Pure JVM
+    higher-order projection, zero shuffles; counts are exact ints and
+    each ratio divides once, so the oracle's doubles are bit-identical."""
+    return tx.repetition_signals(documents(spark, sf_dir))
+
+
+QUERIES["repetition_signals"] = q_repetition_signals
+
+# grams mirror the engine's clamped construction (element_at least(i+j, n))
+# so one-token docs yield the same degenerate "w w" gram in both engines
+ORACLE_SQL["repetition_signals"] = """
+WITH tok AS (
+  SELECT doc_id, len(text) AS lt,
+         string_split(text, ' ') AS tk,
+         string_split(text, chr(10)) AS ln
+  FROM documents),
+base AS (
+  SELECT doc_id, lt, len(tk) AS nt, tk,
+         len(tk) - len(list_distinct(tk)) AS dupt,
+         len(ln) AS nl,
+         len(ln) - len(list_distinct(ln)) AS dupl
+  FROM tok),
+g2 AS (
+  SELECT doc_id, tk[i] || ' ' || tk[least(i + 1, nt)] AS g
+  FROM base, unnest(generate_series(1, greatest(nt - 1, 1))) AS t(i)),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+b2 AS (SELECT doc_id, max(c * len(g)) AS best FROM c2 GROUP BY doc_id),
+g3 AS (
+  SELECT doc_id, tk[i] || ' ' || tk[least(i + 1, nt)]
+                       || ' ' || tk[least(i + 2, nt)] AS g
+  FROM base, unnest(generate_series(1, greatest(nt - 2, 1))) AS t(i)),
+c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+b3 AS (SELECT doc_id, max(c * len(g)) AS best FROM c3 GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(b.dupt AS DOUBLE) / CAST(b.nt AS DOUBLE) AS dup_token_frac,
+       CAST(b.dupl AS DOUBLE) / CAST(b.nl AS DOUBLE) AS dup_line_frac,
+       CAST(b2.best AS DOUBLE) / CAST(b.lt AS DOUBLE) AS top_2gram_char_frac,
+       CAST(b3.best AS DOUBLE) / CAST(b.lt AS DOUBLE) AS top_3gram_char_frac
+FROM base b JOIN b2 USING (doc_id) JOIN b3 USING (doc_id)
+"""

@@ -818,3 +818,88 @@ def build_vocab(
         .where(F.col("token_id") < top_k)
         .select("token_id", "token", "n")
     )
+
+
+# ------------------------------------------------- repetition signals
+
+
+def _top_ngram_char_best(toks: Column, n_col: Column, n: int) -> Column:
+    """Max over distinct word n-grams g of count(g) * length(g), as an
+    INT (exact — the caller divides once). Sorted-run counting, not a
+    per-gram filter scan: build the n-gram array, array_sort it, then a
+    single linear ``aggregate`` pass tracks (prev, run-length, best).
+    O(B log B) per document instead of the naive O(B^2) — the shape
+    that stays flat on book-length docs."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_col - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ",
+            *[F.element_at(toks, F.least(i + j, n_col)) for j in range(n)],
+        ),
+    )
+    sorted_g = F.array_sort(grams)
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run * F.length(x)).alias("best"),
+        )
+
+    return F.aggregate(sorted_g, init, step, lambda acc: acc["best"])
+
+
+def repetition_signals(
+    docs: DataFrame, record: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    public paper), the standard excessive-repetition filter of a
+    training-data pipeline. Per document:
+
+    - ``dup_token_frac``: (n_tokens - n_distinct_tokens) / n_tokens —
+      word-level repetition mass;
+    - ``dup_line_frac``: (n_lines - n_distinct_lines) / n_lines over
+      ``\\n``-split lines (0.0 for single-line docs);
+    - ``top_2gram_char_frac`` / ``top_3gram_char_frac``: max over
+      distinct word n-grams g of count(g)*len(g), divided by len(text)
+      — the "one phrase dominates the document" detector.
+
+    Entirely JVM higher-order functions, zero shuffles (a pure
+    projection); each array is bound once in its own projection so
+    CollapseProject cannot inline the token build per n-gram (the
+    with_minhash / ngram_jaccard_pairs recompute trap). Counts are
+    exact integers; every ratio is one division, so a SQL oracle lands
+    on identical doubles."""
+    t = F.col(text)
+    base = docs.select(
+        F.col(record),
+        F.length(t).alias("_len"),
+        tokens(t).alias("_tok"),
+        F.split(t, "\n").alias("_ln"),
+    )
+    toks, ln = F.col("_tok"), F.col("_ln")
+    n_tok = F.size(toks)
+    n_ln = F.size(ln)
+    bound = base.select(
+        record, "_len",
+        n_tok.alias("_nt"),
+        (n_tok - F.size(F.array_distinct(toks))).alias("_dup_t"),
+        (n_ln - F.size(F.array_distinct(ln))).alias("_dup_l"),
+        n_ln.alias("_nl"),
+        _top_ngram_char_best(toks, n_tok, 2).alias("_b2"),
+        _top_ngram_char_best(toks, n_tok, 3).alias("_b3"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return bound.select(
+        record,
+        (d("_dup_t") / d("_nt")).alias("dup_token_frac"),
+        (d("_dup_l") / d("_nl")).alias("dup_line_frac"),
+        (d("_b2") / d("_len")).alias("top_2gram_char_frac"),
+        (d("_b3") / d("_len")).alias("top_3gram_char_frac"),
+    )
