@@ -101,7 +101,7 @@ HEADLINE = [
     "geojson_roundtrip", "geojsonl_scan", "audio_stats", "image_stats",
     "video_frame_sample", "pii_scrub", "dedup_clusters",
     "geojsonl_points_scan", "streaming_media_stats", "pack_sequences", "split_corpus", "build_vocab",
-    "repetition_signals",
+    "repetition_signals", "decontaminate",
     "quantize_embeddings",
 ]
 

@@ -836,3 +836,39 @@ class TestRepetitionSignals:
         # token/line arrays bound once each — the CollapseProject
         # recompute trap would inline split() into every n-gram branch
         assert opt.count("split(") <= 3, opt.count("split(")
+
+
+class TestDecontaminate:
+    def test_hand_computed(self, spark):
+        import pandas as pd
+        from whitebox_tools_spark.operators import text as tx
+
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [10, 11, 12],
+            "text": [
+                "the quick brown fox jumps over the lazy dog",  # contains bench gram
+                "completely different words entirely here now",
+                "quick brown fox appears again quick brown fox",  # 1 shared gram
+            ]}))
+        bench = spark.createDataFrame(pd.DataFrame({
+            "bench_id": [0],
+            "text": ["the quick brown fox runs"],
+        }))
+        # bench shingles: "the quick brown","quick brown fox","brown fox runs"
+        got = {(r.doc_id, r.bench_id): r.n_shared
+               for r in tx.decontaminate(docs, bench, min_shared=1).collect()}
+        assert got == {(10, 0): 2, (12, 0): 1}
+        got2 = {(r.doc_id, r.bench_id): r.n_shared
+                for r in tx.decontaminate(docs, bench, min_shared=2).collect()}
+        assert got2 == {(10, 0): 2}
+
+    def test_plan_broadcasts_benchmark(self, spark):
+        from whitebox_tools_spark.operators import text as tx
+
+        docs = documents(spark, SF_DIR)
+        bench = (docs.where(F.col("doc_id") < 5)
+                 .select(F.col("doc_id").alias("bench_id"), "text"))
+        plan = (tx.decontaminate(docs, bench)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan

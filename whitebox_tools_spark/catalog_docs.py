@@ -1193,3 +1193,37 @@ SELECT b.doc_id,
        CAST(b3.best AS DOUBLE) / CAST(b.lt AS DOUBLE) AS top_3gram_char_frac
 FROM base b JOIN b2 USING (doc_id) JOIN b3 USING (doc_id)
 """
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the pre-training leak filter): flag
+    training docs sharing >= 2 distinct word 3-gram shingles with an
+    eval set (here: the 20 lowest-id docs standing in as the
+    benchmark). One broadcast equi-join on 60-bit shingle hashes — the
+    corpus is scanned once, zero corpus-side shuffles before the
+    per-pair count."""
+    docs = documents(spark, sf_dir)
+    bench = (docs.where(F.col("doc_id") < 20)
+             .select(F.col("doc_id").alias("bench_id"), "text"))
+    out = tx.decontaminate(docs, bench, min_shared=2)
+    return out.select("doc_id", "bench_id",
+                      F.col("n_shared").cast("long").alias("n_shared"))
+
+
+QUERIES["decontaminate"] = q_decontaminate
+
+ORACLE_SQL["decontaminate"] = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+                  len(string_split(text, ' ')) AS n FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(n - 2, 1) + 1),
+           i -> {H60("concat_ws(' ', tk[i], tk[least(i + 1, n)], tk[least(i + 2, n)])")}
+       )) AS hs FROM t),
+posts AS (SELECT doc_id, unnest(hs) AS h FROM sh)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(b.doc_id AS BIGINT) AS bench_id,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM posts d JOIN posts b ON d.h = b.h AND b.doc_id < 20
+GROUP BY ALL
+HAVING count(*) >= 2
+"""

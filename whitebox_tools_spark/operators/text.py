@@ -903,3 +903,67 @@ def repetition_signals(
         (d("_b2") / d("_len")).alias("top_2gram_char_frac"),
         (d("_b3") / d("_len")).alias("top_3gram_char_frac"),
     )
+
+
+# ------------------------------------------------- benchmark decontamination
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    min_shared: int = 1,
+    record: str = "doc_id",
+    text: str = "text",
+    bench_record: str = "bench_id",
+    bench_text: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    word 3-gram shingles with any benchmark/eval document (the standard
+    pre-training leak filter). Returns (record, bench_record, n_shared)
+    for every contaminated pair with ``n_shared >= min_shared`` distinct
+    shared shingles.
+
+    Shape: distinct shingle-hash postings on both sides (the
+    ngram_jaccard_pairs construction — 60-bit h60 longs, clamped
+    3-gram build), then ONE equi-join on the shingle hash with the
+    benchmark side broadcast — eval sets are thousands of docs, the
+    training corpus is 10^12, so the join is map-side and the corpus is
+    scanned exactly once with zero shuffles. A benchmark too large to
+    broadcast degrades gracefully: drop the hint and the same plan runs
+    as a shuffle equi-join on the hash."""
+
+    def posts(frame: DataFrame, rec: str, txt: str, out: str) -> DataFrame:
+        base = frame.select(
+            F.col(rec).alias(out),
+            tokens(F.col(txt)).alias("_toks"),
+            F.size(tokens(F.col(txt))).alias("_n"),
+        )
+        toks, n = F.col("_toks"), F.col("_n")
+        sh = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+                lambda i: h60(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(toks, i),
+                        F.element_at(toks, F.least(i + 1, n)),
+                        F.element_at(toks, F.least(i + 2, n)),
+                    )
+                ),
+            )
+        )
+        # bind-then-explode (the ngram_jaccard_pairs recompute note)
+        return (
+            base.select(out, sh.alias("_sh"))
+            .select(out, F.explode("_sh").alias("_h"))
+        )
+
+    d = posts(docs, record, text, record)
+    b = posts(benchmark, bench_record, bench_text, bench_record)
+    return (
+        d.join(F.broadcast(b), "_h")
+        .groupBy(record, bench_record)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= int(min_shared))
+        .select(record, bench_record, "n_shared")
+    )
