@@ -117,3 +117,27 @@ class TestCheckpointNostats:
             ).bit_length()
             assert bits <= 64, f"stats estimate grew to {bits} bits"
         assert df.count() == 100
+
+
+def test_torn_manifest_recomputes_instead_of_crashing(spark, tmp_path):
+    # a crash mid-manifest-write must read as "stage incomplete", not
+    # blow up resume with a JSONDecodeError
+    from whitebox_tools_spark.checkpoint import MANIFEST, Pipeline, Stage
+
+    root = str(tmp_path / "pipe")
+    stages = [Stage("a", lambda sp, _: sp.range(5).selectExpr("id AS k"),
+                    key_cols=["k"])]
+    p = Pipeline(root, stages)
+    _, ex1 = p.run(spark)
+    assert ex1 == ["a"]
+    # tear the manifest (truncated JSON)
+    mp = f"{root}/a/{MANIFEST}"
+    with open(mp, "w") as f:
+        f.write('{"stage": "a", "finge')
+    assert p.read_manifest("a") is None
+    out, ex2 = p.run(spark)
+    assert ex2 == ["a"]          # recomputed, not resumed
+    assert out.count() == 5
+    # and the rewritten manifest resumes cleanly again
+    _, ex3 = p.run(spark)
+    assert ex3 == []

@@ -75,7 +75,13 @@ class Pipeline:
         if not os.path.exists(p):
             return None
         with open(p) as f:
-            return json.load(f)
+            try:
+                return json.load(f)
+            except json.JSONDecodeError:
+                # a torn/corrupt manifest means the snapshot commit never
+                # completed — treat as absent so resume recomputes the
+                # stage instead of crashing the whole pipeline
+                return None
 
     def _write_data(self, df: DataFrame, stage: Stage) -> None:
         df.write.mode("overwrite").parquet(os.path.join(self._dir(stage.name), "data"))
@@ -172,8 +178,14 @@ class Pipeline:
                 "ts": time.time(),
             }
             os.makedirs(self._dir(stage.name), exist_ok=True)
-            with open(self._manifest_path(stage.name), "w") as f:
+            # atomic commit: the manifest IS the snapshot's commit record
+            # (same role as an Iceberg metadata swap) — write-then-rename
+            # so a crash can never leave a torn manifest that a resume
+            # would misread as a completed stage
+            tmp = self._manifest_path(stage.name) + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump(manifest, f, indent=1, default=str)
+            os.replace(tmp, self._manifest_path(stage.name))
             fps[stage.name] = expect
             executed.append(stage.name)
             last = out
