@@ -187,6 +187,15 @@ class TestCatalogPlanSweep:
         anywhere; BroadcastNestedLoopJoin only in the audited allowlist."""
         from whitebox_tools_spark import api
 
+        import re
+
+        # expensive expressions that must never appear inside a parquet
+        # scan's DataFilters: a Generate's inferred non-empty filter can
+        # collapse a single-referenced array build into the scan,
+        # recomputing it per row (measured 8x on the shingle lanes —
+        # explode_outer on never-empty arrays is the fix)
+        expensive = ("transform(", "array_distinct", "md5(", "aggregate(")
+
         offenders = []
         for name, fn in api.QUERIES.items():
             plan = _plan(fn(spark, SF_DIR))
@@ -194,4 +203,11 @@ class TestCatalogPlanSweep:
                 offenders.append((name, "CartesianProduct"))
             if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
                 offenders.append((name, "BroadcastNestedLoopJoin"))
+            for line in plan.splitlines():
+                if "DataFilters" in line:
+                    m = re.search(r"DataFilters: \[(.*?)\], Format", line)
+                    expr = m.group(1) if m else ""
+                    if any(k in expr for k in expensive):
+                        offenders.append((name, "recompute-in-scan-filter"))
+                        break
         assert not offenders, offenders

@@ -29,7 +29,12 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = tx.with_minhash(documents(spark, sf_dir))
-    return sig.select("doc_id", F.posexplode("minhash").alias("band", "mh"))
+    # posexplode_OUTER: the signature is always M entries, but a plain
+    # posexplode infers size(minhash) > 0 and CollapseProject inlines
+    # the full M-permutation build into that pushed scan filter —
+    # doubling the md5 work per row (see decontaminate's posts note)
+    return sig.select(
+        "doc_id", F.posexplode_outer("minhash").alias("band", "mh"))
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

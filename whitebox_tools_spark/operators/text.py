@@ -952,10 +952,17 @@ def decontaminate(
                 ),
             )
         )
-        # bind-then-explode (the ngram_jaccard_pairs recompute note)
+        # bind-then-explode (the ngram_jaccard_pairs recompute note) —
+        # and explode_OUTER, deliberately: a plain explode lets Catalyst
+        # infer `size(_sh) > 0`, and with `_sh` referenced only once
+        # CollapseProject inlines the whole md5 shingle build into that
+        # filter, which is then PUSHED INTO THE SCAN as a DataFilter —
+        # the build runs twice per row (measured 8x slower at sf0.1).
+        # Shingle arrays are never empty (greatest(n-2,1) >= 1), and a
+        # hypothetical null row would drop at the hash equi-join anyway.
         return (
             base.select(out, sh.alias("_sh"))
-            .select(out, F.explode("_sh").alias("_h"))
+            .select(out, F.explode_outer("_sh").alias("_h"))
         )
 
     d = posts(docs, record, text, record)
