@@ -103,6 +103,9 @@ HEADLINE = [
     "geojsonl_points_scan", "streaming_media_stats", "pack_sequences", "split_corpus", "build_vocab",
     "repetition_signals", "decontaminate",
     "quantize_embeddings",
+    # round-5 closing session: BM25/TF-IDF topicality scoring,
+    # substring-level exact dedup (Lee et al. spans), BPE merge training
+    "bm25_score", "dup_spans", "bpe_train",
 ]
 
 

@@ -88,7 +88,12 @@ def main():
             if msg != "OK":
                 bad.append((name, msg))
             print(f"{name}: {msg} ({dt:.1f}s)", flush=True)
-    print("BAD:", [n for n, _ in bad], flush=True)
+    rows_only = [n for n, msg in bad if "rows-only" in msg]
+    if rows_only:
+        # documented oracle-less rows (genuinely iterative ops) — a
+        # weaker row-count/schema check, NOT a failure
+        print("ROWS-ONLY:", rows_only, flush=True)
+    print("BAD:", [n for n, msg in bad if "rows-only" not in msg], flush=True)
     return 0 if not [n for n, msg in bad if "rows-only" not in msg] else 1
 
 

@@ -872,3 +872,192 @@ class TestDecontaminate:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestBm25Scores:
+    def test_hand_computed(self, spark):
+        import math
+
+        import pandas as pd
+        from whitebox_tools_spark.operators import text as tx
+
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": [
+                "spark join spark filter",
+                "window scan merge",
+                "vector vector vector vector",
+            ]}))
+        terms = ["spark", "window", "missing"]
+        rows = {r.doc_id: r for r in
+                tx.bm25_scores(docs, terms).collect()}
+        n, dls = 3, {1: 4, 2: 3, 3: 4}
+        avgdl = sum(dls.values()) / n
+        tfs = {1: {"spark": 2}, 2: {"window": 1}, 3: {}}
+        dfs = {"spark": 1, "window": 1, "missing": 0}
+        for d in (1, 2, 3):
+            bm = ti = 0.0
+            for t in terms:
+                tf, df = tfs[d].get(t, 0), dfs[t]
+                idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+                bm += idf * (tf * 2.2) / (
+                    tf + 1.2 * (0.25 + 0.75 * (dls[d] / avgdl)))
+                if tf > 0:
+                    ti += tf * math.log(n / df)
+            assert rows[d].n_tokens == dls[d]
+            assert abs(rows[d].bm25 - bm) < 1e-12, (d, rows[d].bm25, bm)
+            assert abs(rows[d].tfidf - ti) < 1e-12
+
+    def test_validation_and_plan(self, spark):
+        import pytest as _pytest
+        from whitebox_tools_spark.operators import text as tx
+
+        docs = documents(spark, SF_DIR)
+        with _pytest.raises(ValueError):
+            tx.bm25_scores(docs, [])
+        out = tx.bm25_scores(docs, ["spark", "join"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # global stats reach the per-doc rows via a broadcast of the
+        # single-row aggregate, never a shuffle join or cartesian
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan
+
+
+class TestDupSpans:
+    def test_hand_computed_cross_doc_span(self, spark):
+        import pandas as pd
+        from whitebox_tools_spark.operators import text as tx
+
+        shared = "one two three four five six seven eight nine ten"
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": [
+                f"alpha beta {shared} gamma delta",
+                f"start {shared} end",
+                "totally unrelated words that never repeat anywhere at all",
+            ]}))
+        out = {r.doc_id: r for r in tx.dup_spans(docs, k=8).collect()}
+        # doc 1: shared spans tokens 3..12 -> shingle starts 3,4,5 merge
+        r1 = out[1]
+        assert (r1.span_start, r1.span_end) == (3, 12)
+        assert r1.span_tokens == 10 and r1.n_shingles == 3
+        # doc 2: tokens 2..11
+        r2 = out[2]
+        assert (r2.span_start, r2.span_end) == (2, 11)
+        assert r2.span_tokens == 10 and r2.n_shingles == 3
+        assert 3 not in out
+
+    def test_same_doc_repetition_and_short_docs(self, spark):
+        import pandas as pd
+        from whitebox_tools_spark.operators import text as tx
+
+        rep = "a b c d e f g h"            # 8 tokens, repeated twice
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": [f"{rep} {rep}", "short doc under k tokens"],
+        }))
+        rows = tx.dup_spans(docs, k=8).collect()
+        # the repeated 8-gram occurs at pos 1 and 9 of doc 1; the
+        # in-between shingles are unique, so two islands merge into one
+        # span only if consecutive — pos 1 and 9 are separate islands
+        assert {(r.doc_id, r.span_start, r.span_end) for r in rows} == {
+            (1, 1, 8), (1, 9, 16)}
+        with __import__("pytest").raises(ValueError):
+            tx.dup_spans(docs, k=1)
+
+    def test_max_df_drops_stop_shingles(self, spark):
+        import pandas as pd
+        from whitebox_tools_spark.operators import text as tx
+
+        boiler = "p q r s t u v w"
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": list(range(5)),
+            "text": [f"{boiler} filler{i}" for i in range(5)],
+        }))
+        assert len(tx.dup_spans(docs, k=8).collect()) == 5
+        assert tx.dup_spans(docs, k=8, max_df=4).collect() == []
+
+    def test_plan_shape(self, spark):
+        from whitebox_tools_spark.operators import text as tx
+
+        out = tx.dup_spans(documents(spark, SF_DIR), k=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan
+        opt = out._jdf.queryExecution().optimizedPlan().toString()
+        # the bind-then-posexplode_outer guard: the md5 shingle build
+        # must not be inlined into a pushed scan filter
+        assert "md5" not in plan.split("Scan parquet")[-1].split("\n")[0]
+
+
+def _python_bpe(word_counts, n_merges):
+    """Independent pure-Python BPE reference (Sennrich et al. 2016):
+    greedy pair-count argmax with (count desc, pair lex asc) tie-break,
+    leftmost-greedy merge application."""
+    segs = {w: tuple(w) for w in word_counts}
+    merges = []
+    for rank in range(n_merges):
+        counts = {}
+        for w, cnt in word_counts.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + cnt
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), n = best
+        merges.append((rank, left, right, n))
+        merged = left + right
+        for w, s in segs.items():
+            out = []
+            for x in s:
+                if out and out[-1] == left and x == right:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            segs[w] = tuple(out)
+    return merges
+
+
+class TestBpeTrain:
+    def test_matches_pure_python_reference(self, spark):
+        import pandas as pd
+        from whitebox_tools_spark.operators import text as tx
+
+        texts = [
+            "lower lower lowest newer newer newest wider wide widest",
+            "low lower lowest new newer newest slow slower slowest",
+            "the cat sat on the mat the cat ran",
+        ]
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+        wc = {}
+        for t in texts:
+            for w in t.split(" "):
+                wc[w] = wc.get(w, 0) + 1
+        expect = _python_bpe(wc, 10)
+        got = tx.bpe_train(docs, n_merges=10)
+        assert got == expect, (got, expect)
+
+    def test_fixture_corpus_first_merges(self, spark):
+        from whitebox_tools_spark.operators import text as tx
+
+        docs = documents(spark, SF_DIR)
+        wc = {}
+        for r in docs.select("text").collect():
+            for w in r.text.split(" "):
+                wc[w] = wc.get(w, 0) + 1
+        assert tx.bpe_train(docs, n_merges=6) == _python_bpe(wc, 6)
+
+    def test_validation(self, spark):
+        import pandas as pd
+        import pytest as _pytest
+        from whitebox_tools_spark.operators import text as tx
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": ["a"]}))
+        with _pytest.raises(ValueError):
+            tx.bpe_train(docs, n_merges=0)
+        # single one-char word: no pairs -> loop stops early, no merges
+        assert tx.bpe_train(docs, n_merges=3) == []

@@ -178,6 +178,11 @@ BNLJ_ALLOWED = {
     # percentage_stretch; weighted_overlay composes it per factor
     # (round 4).
     "rescale_range", "weighted_overlay",
+    # bm25_score crossJoins the explicitly broadcast 1-row global-stats
+    # aggregate (N, avg dl, per-term df) onto the per-doc frame
+    # (text.py bm25_scores) — the audited 1-row-stats-frame shape
+    # (round 5).
+    "bm25_score",
 }
 
 

@@ -1232,3 +1232,137 @@ FROM posts d JOIN posts b ON d.h = b.h AND b.doc_id < 20
 GROUP BY ALL
 HAVING count(*) >= 2
 """
+
+
+# ---------------------------------------------------- relevance scoring
+
+BM25_TERMS = ["spark", "join", "window", "vector"]
+
+
+def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 + TF-IDF topicality scores against a fixed seed vocabulary
+    (the quality/topicality filter of a training pipeline). Two corpus
+    scans, one single-row reduce broadcast back, zero wide shuffles;
+    6-dp rounding on both sides (the catalog_stats.py convention for
+    transcendental lanes — idf is a natural log)."""
+    out = tx.bm25_scores(documents(spark, sf_dir), BM25_TERMS)
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("bm25", 6).alias("bm25"),
+        F.round("tfidf", 6).alias("tfidf"),
+    )
+
+
+QUERIES["bm25_score"] = q_bm25_score
+
+
+def _bm25_oracle(terms: list[str], k1: str = "1.2", b: str = "0.75") -> str:
+    """Mirror of bm25_scores' exact double association order: every
+    cast, parenthesis and left-to-right sum matches the Spark column
+    expressions, so the pre-round doubles already agree to the ulp."""
+    nt = len(terms)
+    tf = ",\n     ".join(
+        f"len(list_filter(tk, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df = ",\n     ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(nt)
+    )
+    avgdl = "(CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))"
+
+    def contrib(i: int) -> str:
+        return (
+            f"(ln((CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(df{i} AS DOUBLE) + 0.5) + 1.0)"
+            f" * (CAST(tf{i} AS DOUBLE) * ({k1} + 1.0))"
+            f" / (CAST(tf{i} AS DOUBLE) + {k1} * ((1.0 - {b})"
+            f" + {b} * (CAST(dl AS DOUBLE) / {avgdl}))))"
+        )
+
+    def tic(i: int) -> str:
+        return (
+            f"(CASE WHEN tf{i} > 0 THEN CAST(tf{i} AS DOUBLE)"
+            f" * ln(CAST(n AS DOUBLE) / CAST(df{i} AS DOUBLE))"
+            f" ELSE 0.0 END)"
+        )
+
+    bmsum, tisum = contrib(0), tic(0)
+    for i in range(1, nt):
+        bmsum = f"({bmsum} + {contrib(i)})"
+        tisum = f"({tisum} + {tic(i)})"
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+per AS (SELECT doc_id, len(tk) AS dl,
+     {tf}
+  FROM t),
+g AS (SELECT count(*) AS n, sum(dl) AS sdl,
+     {df}
+  FROM per)
+SELECT doc_id, CAST(dl AS INT) AS n_tokens,
+       round({bmsum}, 6) AS bm25,
+       round({tisum}, 6) AS tfidf
+FROM per, g
+"""
+
+
+ORACLE_SQL["bm25_score"] = _bm25_oracle(BM25_TERMS)
+
+
+# ------------------------------------------- substring-level exact dedup
+
+DUP_SPAN_K = 8
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated >=k-token spans (Lee et al. 2022 substring
+    dedup) — positional shingle postings -> occurrence counts ->
+    gaps-and-islands span merge. Exact integer output."""
+    return tx.dup_spans(documents(spark, sf_dir), k=DUP_SPAN_K)
+
+
+QUERIES["dup_spans"] = q_dup_spans
+
+_K = DUP_SPAN_K
+ORACLE_SQL["dup_spans"] = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+                  len(string_split(text, ' ')) AS n FROM documents),
+sh AS (SELECT doc_id, i AS pos,
+              {H60(f"array_to_string(tk[i:i + {_K - 1}], ' ')")} AS h
+       FROM t, unnest(generate_series(1, n - {_K - 1})) u(i)
+       WHERE n >= {_K}),
+c AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 1),
+dup AS (SELECT doc_id, pos FROM sh JOIN c USING (h)),
+isl AS (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM dup)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {_K - 1} AS BIGINT) AS span_end,
+       CAST(max(pos) + {_K - 1} - min(pos) + 1 AS BIGINT) AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_shingles
+FROM isl GROUP BY doc_id, g
+"""
+
+
+# ------------------------------------------------------- BPE merge training
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer merge training (8 rounds). Genuinely iterative —
+    each round's pair statistics depend on the previous segmentation —
+    so this is the catalog's one rows-only row (the brief's documented
+    exception); exactness vs an independent pure-Python BPE reference
+    is pinned by tests/test_docs_ops.py::TestBpeTrain."""
+    from pyspark.sql import types as T
+
+    merges = tx.bpe_train(documents(spark, sf_dir), n_merges=8)
+    schema = T.StructType([
+        T.StructField("rank", T.IntegerType(), False),
+        T.StructField("left", T.StringType(), False),
+        T.StructField("right", T.StringType(), False),
+        T.StructField("pair_count", T.LongType(), False),
+    ])
+    return spark.createDataFrame(merges, schema)
+
+
+QUERIES["bpe_train"] = q_bpe_train

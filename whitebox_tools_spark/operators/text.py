@@ -974,3 +974,259 @@ def decontaminate(
         .where(F.col("n_shared") >= int(min_shared))
         .select(record, bench_record, "n_shared")
     )
+
+
+# ---------------------------------------------------- relevance scoring
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    record: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """BM25 + TF-IDF relevance scores of every document against a fixed
+    query term set (Robertson et al., the classic probabilistic ranking
+    — the standard quality/topicality filter of a training-data
+    pipeline, e.g. "score every crawl page against a seed topic
+    vocabulary"). Returns (record, n_tokens, bm25, tfidf).
+
+    - per-term tf is a JVM higher-order ``filter``+``size`` over the
+      bound token array (terms are a small literal list — zero extra
+      corpus passes, no explode);
+    - the global stats (N, avg doc length, per-term document
+      frequency) are ONE partial-aggregated reduce to a single row,
+      broadcast-crossJoined back — so at 100 TB the lane is two
+      corpus scans and zero wide shuffles;
+    - idf is the Lucene BM25 form ln(1 + (N - df + .5)/(df + .5))
+      (always positive); tfidf uses tf * ln(N/df) with a df=0 guard.
+
+    Double arithmetic is written in a fixed association order and the
+    catalog row rounds to 6 dp on both sides (the catalog_stats.py
+    convention for transcendental lanes)."""
+    if not terms:
+        raise ValueError("bm25_scores needs a non-empty term list")
+    base = docs.select(F.col(record), tokens(F.col(text)).alias("_toks"))
+
+    def _tf(term: str) -> Column:
+        # closure factory, NOT a default-arg lambda: a 2-parameter
+        # lambda would make F.filter bind the (value, index) form
+        return F.size(F.filter(F.col("_toks"), lambda x: x == F.lit(term)))
+
+    per = base.select(
+        record,
+        F.size("_toks").alias("_dl"),
+        *[_tf(t).alias(f"_tf{i}") for i, t in enumerate(terms)],
+    )
+    g = per.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_dl").alias("_sdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = per.crossJoin(F.broadcast(g))
+    nd = F.col("_n").cast("double")
+    avgdl = F.col("_sdl").cast("double") / nd
+    dl = F.col("_dl").cast("double")
+    bm, ti = None, None
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        df = F.col(f"_df{i}").cast("double")
+        idf = F.log((nd - df + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1.0))
+        denom = tf + F.lit(float(k1)) * (
+            (F.lit(1.0) - F.lit(float(b))) + F.lit(float(b)) * (dl / avgdl)
+        )
+        c = idf * (tf * F.lit(float(k1) + 1.0)) / denom
+        t_ = F.when(tf > 0, tf * F.log(nd / df)).otherwise(F.lit(0.0))
+        bm = c if bm is None else bm + c
+        ti = t_ if ti is None else ti + t_
+    return j.select(
+        F.col(record),
+        F.col("_dl").cast("int").alias("n_tokens"),
+        bm.alias("bm25"),
+        ti.alias("tfidf"),
+    )
+
+
+# ------------------------------------------- substring-level exact dedup
+
+
+def dup_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_shingles: int = 1,
+    max_df: int | None = None,
+    record: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Substring-level exact deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", public
+    paper): find every maximal span of >= k consecutive tokens that
+    occurs more than once anywhere in the corpus (another document OR
+    another position of the same document) — the spans a pipeline
+    would cut out before training, where document-level dedup keeps
+    them. The distributed stand-in for the paper's suffix array:
+    positional k-token shingle postings -> global occurrence counts ->
+    merge runs of consecutive duplicated positions (gaps-and-islands)
+    into maximal spans.
+
+    Returns (record, span_start, span_end, span_tokens, n_shingles)
+    with 1-based inclusive token positions.
+
+    Shape: one posting explode, one count shuffle on the 60-bit
+    shingle hash (partial-aggregated; AQE splits hot hashes), one
+    equi-join back, one per-document window. Pair volume never
+    appears — the lane counts postings, it does not enumerate pairs.
+    At 100 TB the skew lever is ``max_df``: shingles occurring in
+    more than max_df positions are stop-shingles (boilerplate) and
+    are dropped from the duplicated set — the same lever, with the
+    same semantics, as ngram_jaccard_pairs — which bounds every join
+    bucket; AQE skew-split handles the residual."""
+    if k < 2:
+        raise ValueError("dup_spans needs k >= 2")
+    base = docs.select(
+        F.col(record),
+        tokens(F.col(text)).alias("_toks"),
+        F.size(tokens(F.col(text))).alias("_n"),
+    ).where(F.col("_n") >= k)
+    toks, n = F.col("_toks"), F.col("_n")
+    sh = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: h60(F.concat_ws(" ", F.slice(toks, i, F.lit(k)))),
+    )
+    # bind-then-posexplode_outer: same CollapseProject / inferred-filter
+    # trap as decontaminate's posts (the array is never empty after the
+    # _n >= k filter, and explode_outer stops Catalyst pushing the md5
+    # build into the scan as an inferred size()>0 DataFilter)
+    posts = (
+        base.select(record, sh.alias("_sh"))
+        .select(record, F.posexplode_outer("_sh").alias("_idx", "_h"))
+        .select(record, (F.col("_idx") + 1).alias("pos"), "_h")
+    )
+    counts = posts.groupBy("_h").agg(F.count(F.lit(1)).alias("_occ"))
+    dup_keys = counts.where(F.col("_occ") > 1)
+    if max_df is not None:
+        dup_keys = dup_keys.where(F.col("_occ") <= int(max_df))
+    dup = posts.join(dup_keys.select("_h"), "_h").select(record, "pos")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(record).orderBy("pos")
+    isl = dup.withColumn("_isl", F.col("pos") - F.row_number().over(w))
+    spans = (
+        isl.groupBy(record, "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("pos").alias("_last"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        .where(F.col("n_shingles") >= int(min_shingles))
+    )
+    return spans.select(
+        F.col(record),
+        F.col("span_start").cast("long").alias("span_start"),
+        (F.col("_last") + (k - 1)).cast("long").alias("span_end"),
+        (F.col("_last") + (k - 1) - F.col("span_start") + 1)
+        .cast("long")
+        .alias("span_tokens"),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+    )
+
+
+# ------------------------------------------------------- BPE merge training
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text: str = "text",
+) -> list[tuple[int, str, str, int]]:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016, public
+    paper) — the tokenizer-training step of an LLM data pipeline,
+    distributed the way it should be at 100 TB: the corpus is scanned
+    exactly ONCE (the word-frequency aggregate); every merge round then
+    runs over the distinct-WORD table (vocabulary-sized — millions of
+    rows for a trillion-token corpus), as one explode + one
+    partial-aggregated pair count + a single-row argmax. The per-word
+    rewrite is a JVM ``aggregate`` fold implementing the standard
+    leftmost-greedy merge (so "a a a" under merge (a,a) becomes
+    ["aa","a"], matching the reference algorithm).
+
+    Genuinely iterative (each round's pair statistics depend on the
+    previous round's segmentation), so the catalog row is a rows-only
+    check; exactness is pinned by a pytest against an independent
+    pure-Python BPE reference (tests/test_docs_ops.py).
+
+    Returns the merge table [(rank, left, right, pair_count)], argmax
+    ties broken by (left, right) lexicographic order — a total order,
+    so the table is deterministic."""
+    if n_merges < 1:
+        raise ValueError("bpe_train needs n_merges >= 1")
+    words = (
+        docs.select(F.explode(tokens(F.col(text))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cur = words.select(
+        "w",
+        "cnt",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    empty = F.expr("cast(array() as array<string>)")
+    for rank in range(int(n_merges)):
+        pairs = cur.where(F.size("syms") >= 2).select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(syms[i - 1] AS l, syms[i] AS r))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("p.l"), F.col("p.r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["p"]["l"], top[0]["p"]["r"]
+        merges.append((rank, left, right, int(top[0]["n"])))
+        merged = left + right
+
+        def _make_step(_l: str, _r: str, _m: str):
+            # factory, not default args: F.aggregate requires the merge
+            # lambda itself to take exactly (acc, x)
+            def step(acc, x):
+                hit = (
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(_l))
+                    & (x == F.lit(_r))
+                )
+                return F.when(
+                    hit,
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1),
+                        F.array(F.lit(_m)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x)))
+
+            return step
+
+        step = _make_step(left, right, merged)
+
+        # localCheckpoint per round: the fold nests one aggregate() per
+        # merge — truncating lineage keeps the plan flat and re-runs the
+        # (vocabulary-sized) rewrite, never the corpus scan
+        cur = cur.withColumn(
+            "syms", F.aggregate("syms", empty, step)
+        ).localCheckpoint(eager=True)
+    return merges
