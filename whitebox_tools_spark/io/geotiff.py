@@ -203,6 +203,13 @@ def _read_ifd_entries(
     else:
         (n,) = struct.unpack_from(bo + "H", buf, off)
         base, stride, inline, cnt_code, val_skip = off + 2, 12, 4, "HHI", 8
+    # malformed-input guards (fuzz-found): a corrupt entry count or a
+    # corrupt per-entry value count would otherwise drive a
+    # multi-gigabyte struct format build / allocation before any
+    # unpack raises — validate every extent against the buffer first
+    if base + stride * n > len(buf):
+        raise ValueError(
+            f"TIFF IFD claims {n} entries past the end of the file")
     entries: dict[int, tuple] = {}
     for i in range(n):
         tag, ftype, count = struct.unpack_from(bo + cnt_code, buf, base + stride * i)
@@ -213,6 +220,10 @@ def _read_ifd_entries(
         voff = base + stride * i + val_skip
         if total > inline:
             (voff,) = struct.unpack_from(bo + ("Q" if big else "I"), buf, voff)
+        if voff + total > len(buf):
+            raise ValueError(
+                f"TIFF IFD entry tag {tag} value ({count} x {size} B at "
+                f"offset {voff}) runs past the end of the file")
         if ftype == 2:  # ASCII
             entries[tag] = (buf[voff:voff + count].split(b"\0")[0].decode("ascii", "replace"),)
         elif ftype == 7:  # UNDEFINED: opaque bytes (e.g. JPEGTables)

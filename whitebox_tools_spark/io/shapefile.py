@@ -140,6 +140,13 @@ def _decode_dbf(data: bytes) -> list[dict]:
         dec = data[pos + 17]
         fields.append((name, ftype, ln, dec))
         pos += 32
+    # malformed-header guard (fuzz-found): a corrupt record count would
+    # otherwise drive a loop over billions of phantom records — the
+    # declared record block must fit the actual file
+    if rec_size < 1 or hdr_size + n * rec_size > len(data):
+        raise ValueError(
+            f".dbf header claims {n} records of {rec_size} B past the "
+            f"end of the {len(data)}-byte file")
     out = []
     for i in range(n):
         rpos = hdr_size + i * rec_size
