@@ -104,8 +104,10 @@ HEADLINE = [
     "repetition_signals", "decontaminate",
     "quantize_embeddings",
     # round-5 closing session: BM25/TF-IDF topicality scoring,
-    # substring-level exact dedup (Lee et al. spans), BPE merge training
-    "bm25_score", "dup_spans", "bpe_train",
+    # substring-level exact dedup (Lee et al. spans), BPE merge
+    # training, product-quantization ANN (compressed-domain ADC)
+    "bm25_score", "dup_spans", "bpe_train", "pq_topk", "bigram_lm",
+    "ivfpq_topk",
 ]
 
 

@@ -83,6 +83,28 @@ def _samples() -> dict[str, tuple]:
     def grass(b: bytes):
         return simple_grids.decode_grass(b.decode("latin-1"))
 
+    # two-part (header text + payload) codecs: fuzz each part against a
+    # valid counterpart
+    ab_hdr, ab_data = simple_grids.encode_arcbinary(grid, cfg)
+    id_hdr, id_data = simple_grids.encode_idrisi(grid, cfg)
+    sg_hdr, sg_data = simple_grids.encode_saga(grid, cfg)
+
+    def _two_part(decode_fn, hdr, data, which):
+        if which == "data":
+            return lambda b: decode_fn(hdr, b), data
+        return lambda b: decode_fn(b.decode("latin-1"), data), hdr.encode("latin-1")
+
+    import zipfile
+    from io import BytesIO
+
+    las_bytes = las.encode_las(pts)
+    zbuf = BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as zf:
+        zf.writestr("points.las", las_bytes)
+
+    def las_zip(b: bytes):
+        return list(las.decode_las(b))
+
     gif = gif_codec.encode_gif(
         [np.asarray(img[:8, :8] % 4, dtype=np.uint8)],
         palette=np.asarray(rng.integers(0, 256, (4, 3)), dtype=np.uint8),
@@ -108,6 +130,19 @@ def _samples() -> dict[str, tuple]:
                          .encode("latin-1")),
         "grass": (grass, simple_grids.encode_grass(grid, cfg)
                   .encode("latin-1")),
+        "arcbinary_data": _two_part(simple_grids.decode_arcbinary,
+                                    ab_hdr, ab_data, "data"),
+        "arcbinary_hdr": _two_part(simple_grids.decode_arcbinary,
+                                   ab_hdr, ab_data, "hdr"),
+        "idrisi_data": _two_part(simple_grids.decode_idrisi,
+                                 id_hdr, id_data, "data"),
+        "idrisi_hdr": _two_part(simple_grids.decode_idrisi,
+                                id_hdr, id_data, "hdr"),
+        "saga_data": _two_part(simple_grids.decode_saga,
+                               sg_hdr, sg_data, "data"),
+        "saga_hdr": _two_part(simple_grids.decode_saga,
+                              sg_hdr, sg_data, "hdr"),
+        "las_zip": (las_zip, zbuf.getvalue()),
     }
 
 

@@ -1061,3 +1061,202 @@ class TestBpeTrain:
             tx.bpe_train(docs, n_merges=0)
         # single one-char word: no pairs -> loop stops early, no merges
         assert tx.bpe_train(docs, n_merges=3) == []
+
+
+class TestPq:
+    def test_pq_recall_vs_exact_l2(self, spark):
+        import numpy as np
+
+        emb = load(spark, SF_DIR, "embeddings").cache()
+        queries = emb.where(F.pmod("vec_id", F.lit(10)) == 0).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        pdf = emb.toPandas()
+        V = np.stack(pdf.embedding.values).astype(float)
+        ids = pdf.vec_id.values
+        truth = set()
+        for qi in np.where(ids % 10 == 0)[0]:
+            d = ((V - V[qi]) ** 2).sum(1)
+            d[qi] = np.inf
+            for j in np.lexsort((ids, d))[:5]:
+                truth.add((ids[qi], ids[j]))
+        pq = ann.pq_topk(emb, queries, k=5)
+        approx = {(r["qid"], r["vec_id"]) for r in pq.collect()}
+        recall = len(truth & approx) / len(truth)
+        # deterministic codebooks + fixture => deterministic recall:
+        # measured 0.22 on the sf0.001 random-64-dim worst case (32-bit
+        # codes on structureless data; chance is 5/499 ~ 0.01). Floor =
+        # measured minus margin so a codebook/ADC regression that drops
+        # it to chance fails loudly.
+        assert recall >= 0.15, f"PQ recall {recall} (expected ~0.22 measured)"
+
+    def test_pq_recall_clustered_non_default_dim(self, spark):
+        """16-dim clustered corpus, m=4 subquantizers: dim/m plumbing
+        beyond the fixture shape, and recall on clusterable data."""
+        import random
+
+        import numpy as np
+
+        rng = random.Random(11)
+        base = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(6)]
+        rows = []
+        for i in range(120):
+            b = base[i % 6]
+            rows.append(
+                (i, [float(x + rng.uniform(-0.05, 0.05)) for x in b]))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        queries = emb.where(F.pmod("vec_id", F.lit(12)) == 0).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        V = np.array([r[1] for r in rows])
+        ids = np.array([r[0] for r in rows])
+        truth = set()
+        for qi in range(0, 120, 12):
+            d = ((V - V[qi]) ** 2).sum(1)
+            d[qi] = np.inf
+            for j in np.lexsort((ids, d))[:5]:
+                truth.add((qi, ids[j]))
+        pq = ann.pq_topk(emb, queries, k=5, m=4, dim=16)
+        approx = {(r["qid"], r["vec_id"]) for r in pq.collect()}
+        assert len(truth & approx) / len(truth) >= 0.4  # measured 0.5
+
+    def test_pq_index_shapes_and_code_range(self, spark):
+        emb = load(spark, SF_DIR, "embeddings")
+        cents, codes = ann.pq_index(emb)
+        crows = cents.collect()
+        assert {len(r["cent"]) for r in crows} == {ann.DIM // ann.PQ_M}
+        assert all(0 <= r["cl"] < ann.PQ_K for r in crows)
+        assert all(0 <= r["sub_id"] < ann.PQ_M for r in crows)
+        per_vec = (codes.groupBy("vec_id")
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        F.min("cl").alias("lo"), F.max("cl").alias("hi"))
+                   .collect())
+        assert all(r["n"] == ann.PQ_M for r in per_vec)
+        assert all(0 <= r["lo"] and r["hi"] < ann.PQ_K for r in per_vec)
+
+    def test_pq_validation_and_plan(self, spark):
+        emb = load(spark, SF_DIR, "embeddings")
+        with pytest.raises(ValueError, match="not divisible"):
+            ann.pq_index(emb, m=7)
+        queries = emb.limit(3).select(F.col("vec_id").alias("qid"), "embedding")
+        out = ann.pq_topk(emb, queries, k=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan
+        rows = out.collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["qid"], []).append(r)
+        for q, rs in by_q.items():
+            assert sorted(r["rank"] for r in rs) == [1, 2, 3]
+            ads = [r["ad2"] for r in sorted(rs, key=lambda r: r["rank"])]
+            assert ads == sorted(ads) and all(a >= 0 for a in ads)
+            assert all(r["vec_id"] != q for r in rs)
+
+
+class TestBigramLm:
+    def test_hand_computed(self, spark):
+        import math
+
+        import pandas as pd
+        from whitebox_tools_spark.operators import text as tx
+
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["a b a b", "a b", "x"],
+        }))
+        rows = {r.doc_id: r for r in tx.bigram_lm_scores(docs).collect()}
+        # corpus bigrams: (a,b) x3, (b,a) x1; prefix c1: a->3, b->1; V=3
+        p_ab = math.log((3 + 1.0) / (3 + 3.0))
+        p_ba = math.log((1 + 1.0) / (1 + 3.0))
+        assert rows[1].n_bigrams == 3
+        assert abs(rows[1].avg_logp - (p_ab + p_ba + p_ab) / 3.0) < 1e-12
+        assert rows[2].n_bigrams == 1
+        assert abs(rows[2].avg_logp - p_ab) < 1e-12
+        assert 3 not in rows  # single-token doc has no bigrams
+
+    def test_quality_signal_orders_typical_above_rare(self, spark):
+        """The property a quality gate relies on: a document made of
+        corpus-frequent bigrams outscores one whose bigrams occur
+        nowhere else (which survives only on add-one smoothing)."""
+        import pandas as pd
+        from whitebox_tools_spark.operators import text as tx
+
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": list(range(20)) + [99],
+            "text": ["the quick fox"] * 20 + ["zqj xvw pqm"],
+        }))
+        rows = {r.doc_id: r.avg_logp
+                for r in tx.bigram_lm_scores(docs).collect()}
+        assert rows[0] > rows[99]
+
+    def test_plan_single_bigram_shuffle(self, spark):
+        from whitebox_tools_spark.operators import text as tx
+
+        out = tx.bigram_lm_scores(documents(spark, SF_DIR))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan
+
+
+class TestIvfPq:
+    def test_composition_recall_and_shape(self, spark):
+        import numpy as np
+
+        emb = load(spark, SF_DIR, "embeddings").cache()
+        queries = emb.where(F.pmod("vec_id", F.lit(10)) == 0).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        rows = ann.ivfpq_topk(emb, queries, k=5).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["qid"], []).append(r)
+        for q, rs in by_q.items():
+            assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))
+            assert all(r["vec_id"] != q for r in rs)
+        pdf = emb.toPandas()
+        V = np.stack(pdf.embedding.values).astype(float)
+        ids = pdf.vec_id.values
+        truth = set()
+        for qi in np.where(ids % 10 == 0)[0]:
+            d = ((V - V[qi]) ** 2).sum(1)
+            d[qi] = np.inf
+            for j in np.lexsort((ids, d))[:5]:
+                truth.add((ids[qi], ids[j]))
+        ap = {(r["qid"], r["vec_id"]) for r in rows}
+        recall = len(truth & ap) / len(truth)
+        # measured 0.148 on the random-64-dim worst case (IVF pruning
+        # to 4/16 lists stacked on 32-bit PQ codes; chance ~ 0.01);
+        # floor = measured minus margin
+        assert recall >= 0.08, f"IVF-PQ recall {recall}"
+
+    def test_candidates_subset_of_probed_lists(self, spark):
+        """Every returned candidate must live in one of the query's
+        probed IVF lists — the pruning contract of the composition."""
+        emb = load(spark, SF_DIR, "embeddings").cache()
+        queries = emb.where(F.pmod("vec_id", F.lit(25)) == 0).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        out = {(r["qid"], r["vec_id"])
+               for r in ann.ivfpq_topk(emb, queries, k=5).collect()}
+        cents, assigned = ann.ivf_index(emb)
+        assign_map = {r["vec_id"]: r["cl"] for r in assigned.collect()}
+        centl = [(r["cl"], r["cent"]) for r in cents.collect()]
+        qrows = {r["vec_id"]: r["embedding"]
+                 for r in emb.where(F.pmod("vec_id", F.lit(25)) == 0).collect()}
+        for (q, v) in out:
+            qv = [float(x) for x in qrows[q]]
+            d2 = sorted(
+                (sum((a - b) ** 2 for a, b in zip(qv, c)), cl)
+                for cl, c in centl
+            )
+            probed = {cl for _, cl in d2[: ann.IVF_PROBE]}
+            assert assign_map[v] in probed, (q, v)
+
+    def test_plan_no_cartesian_no_python(self, spark):
+        emb = load(spark, SF_DIR, "embeddings")
+        queries = emb.limit(3).select(F.col("vec_id").alias("qid"), "embedding")
+        plan = (ann.ivfpq_topk(emb, queries, k=3)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan

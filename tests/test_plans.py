@@ -183,6 +183,11 @@ BNLJ_ALLOWED = {
     # (text.py bm25_scores) — the audited 1-row-stats-frame shape
     # (round 5).
     "bm25_score",
+    # bigram_lm crossJoins the explicitly broadcast 1-row vocabulary
+    # size aggregate onto the scored postings (text.py
+    # bigram_lm_scores) — the same audited 1-row-stats-frame shape
+    # (round 5).
+    "bigram_lm",
 }
 
 

@@ -1366,3 +1366,247 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["bpe_train"] = q_bpe_train
+
+
+# ------------------------------------------------- product quantization
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third 100-TB ANN path (after lsh_topk / ivf_topk): product
+    quantization with asymmetric-distance scoring — every corpus vector
+    is m=8 4-bit codes, queries scan codes only (64x smaller than the
+    raw vectors). The oracle unrolls the same two Lloyd rounds per
+    subquantizer in SQL with the same 6-dp centroid rounding and the
+    same sub_id-ordered distance fold, so ad2 matches to the bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.pmod("vec_id", F.lit(ANN_QMOD)) == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = ann.pq_topk(emb, queries, k=ANN_K)
+    return out.select(
+        "qid", "vec_id", F.round("ad2", 6).alias("ad2"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+QUERIES["pq_topk"] = q_pq_topk
+
+
+def _pq_oracle() -> str:
+    """Unrolled PQ training + ADC, mirroring operators.ann.pq_*
+    expression-for-expression (same seeds, 6-dp round per Lloyd round,
+    (d2, cl) ties, sub_id-ordered list_sum distance fold)."""
+    import whitebox_tools_spark.operators.ann as _a
+
+    M, KS, IT = _a.PQ_M, _a.PQ_K, _a.PQ_ITERS
+    SL = _a.DIM // M
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {SL + 1}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    it_tpl = """
+d{J} AS (SELECT subs.vec_id, subs.sub_id, c.cl, {D2} AS d2
+         FROM subs JOIN c{I} c USING (sub_id)),
+a{J} AS (SELECT vec_id, sub_id, cl FROM (
+           SELECT vec_id, sub_id, cl,
+                  row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY d2, cl) AS rn
+           FROM d{J}) WHERE rn = 1),
+m{J} AS (SELECT a.sub_id, a.cl, i, round(avg(subs.sub[i]), 6) AS mu
+         FROM a{J} a JOIN subs USING (vec_id, sub_id) CROSS JOIN range(1, {SL1}) t(i)
+         GROUP BY a.sub_id, a.cl, i),
+c{J} AS (SELECT sub_id, cl, list(mu ORDER BY i) AS cent FROM m{J} GROUP BY sub_id, cl)"""
+    iters = "".join(
+        "," + it_tpl.format(J=j + 1, I=j, SL1=SL + 1,
+                            D2=d2("subs.sub", "c.cent"))
+        for j in range(IT)
+    )
+    fin = IT
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+subs AS (SELECT vec_id, CAST(s AS INT) AS sub_id, v[s*{SL}+1 : s*{SL}+{SL}] AS sub
+         FROM e CROSS JOIN range(0, {M}) t(s)),
+seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl, v
+          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {KS})),
+c0 AS (SELECT CAST(s AS INT) AS sub_id, cl, v[s*{SL}+1 : s*{SL}+{SL}] AS cent
+       FROM seeds CROSS JOIN range(0, {M}) t(s)){iters},
+df AS (SELECT subs.vec_id, subs.sub_id, c.cl, {d2("subs.sub", "c.cent")} AS d2
+       FROM subs JOIN c{fin} c USING (sub_id)),
+af AS (SELECT vec_id, sub_id, cl FROM (
+         SELECT vec_id, sub_id, cl,
+                row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY d2, cl) AS rn
+         FROM df) WHERE rn = 1),
+q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id % {ANN_QMOD} = 0),
+qs AS (SELECT qid, CAST(s AS INT) AS sub_id, v[s*{SL}+1 : s*{SL}+{SL}] AS qsub
+       FROM q CROSS JOIN range(0, {M}) t(s)),
+dt AS (SELECT qs.qid, qs.sub_id, c.cl, {d2("qs.qsub", "c.cent")} AS d2
+       FROM qs JOIN c{fin} c USING (sub_id)),
+sc AS (SELECT dt.qid, af.vec_id,
+              list_sum(list(dt.d2 ORDER BY dt.sub_id)) AS ad2
+       FROM af JOIN dt ON af.sub_id = dt.sub_id AND af.cl = dt.cl
+       WHERE dt.qid <> af.vec_id
+       GROUP BY dt.qid, af.vec_id),
+r AS (SELECT qid, vec_id, ad2,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY ad2, vec_id) AS INT) AS rank
+      FROM sc)
+SELECT qid, vec_id, round(ad2, 6) AS ad2, rank FROM r WHERE rank <= {ANN_K}
+"""
+
+
+ORACLE_SQL["pq_topk"] = _pq_oracle()
+
+
+# ------------------------------------------------- bigram LM quality score
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score from a corpus-trained add-one
+    bigram LM (the KenLM stand-in). One bigram-count shuffle + one
+    posting equi-join; the per-doc mean folds ln P in position order
+    so the oracle matches pre-round to the bit; 6-dp rounding both
+    sides (the transcendental-lane convention)."""
+    out = tx.bigram_lm_scores(documents(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_bigrams", F.round("avg_logp", 6).alias("avg_logp"))
+
+
+QUERIES["bigram_lm"] = q_bigram_lm
+
+ORACLE_SQL["bigram_lm"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+                  len(string_split(text, ' ')) AS n FROM documents),
+posts AS (SELECT doc_id, i AS pos, tk[i] AS w1, tk[i+1] AS w2
+          FROM t, unnest(generate_series(1, n - 1)) u(i) WHERE n >= 2),
+bic AS (SELECT w1, w2, count(*) AS c FROM posts GROUP BY w1, w2),
+pre AS (SELECT w1, sum(c) AS c1 FROM bic GROUP BY w1),
+v AS (SELECT count(DISTINCT w) AS v FROM
+        (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+sc AS (SELECT posts.doc_id, posts.pos,
+              ln((CAST(c AS DOUBLE) + 1.0)
+                 / (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE))) AS logp
+       FROM posts JOIN bic USING (w1, w2) JOIN pre USING (w1) CROSS JOIN v),
+agg AS (SELECT doc_id, list_sum(list(logp ORDER BY pos)) AS s, count(*) AS nb
+        FROM sc GROUP BY doc_id)
+SELECT doc_id, CAST(nb AS INT) AS n_bigrams,
+       round(s / CAST(nb AS DOUBLE), 6) AS avg_logp
+FROM agg
+"""
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed billion-vector ANN architecture: IVF coarse lists
+    prune the corpus to IVF_PROBE/IVF_LISTS, PQ codes score the
+    survivors in the compressed domain. Composes the two audited
+    building blocks verbatim; the oracle unrolls BOTH trainings
+    (coarse k-means + per-subquantizer k-means) in one SQL."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.pmod("vec_id", F.lit(ANN_QMOD)) == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = ann.ivfpq_topk(emb, queries, k=ANN_K)
+    return out.select(
+        "qid", "vec_id", F.round("ad2", 6).alias("ad2"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+QUERIES["ivfpq_topk"] = q_ivfpq_topk
+
+
+def _ivfpq_oracle() -> str:
+    """Unrolled IVF-PQ: the _ivf_oracle coarse training (prefix v),
+    the _pq_oracle subquantizer training (prefix p), probe-join
+    candidates, sub_id-ordered ADC fold — mirroring ann.ivfpq_topk
+    expression-for-expression."""
+    import whitebox_tools_spark.operators.ann as _a
+
+    DIM1 = _a.DIM + 1
+    M, KS, IT = _a.PQ_M, _a.PQ_K, _a.PQ_ITERS
+    SL = _a.DIM // M
+    NL, NP = _a.IVF_LISTS, _a.IVF_PROBE
+
+    def d2full(vv: str, cc: str) -> str:
+        return (f"list_sum(list_transform(range(1, {DIM1}), "
+                f"i -> ({vv}[i] - {cc}[i]) * ({vv}[i] - {cc}[i])))")
+
+    def d2sub(a: str, b: str) -> str:
+        return (f"list_sum(list_transform(range(1, {SL + 1}), "
+                f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
+
+    ivf_it = """
+vd{J} AS (SELECT e.vec_id, c.cl, {D2} AS d2 FROM e CROSS JOIN vc{I} c),
+va{J} AS (SELECT vec_id, cl FROM (
+           SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+           FROM vd{J}) WHERE rn = 1),
+vm{J} AS (SELECT va{J}.cl, i, round(avg(e.v[i]), 6) AS m
+         FROM va{J} JOIN e USING (vec_id) CROSS JOIN range(1, {DIM1}) t(i)
+         GROUP BY va{J}.cl, i),
+vc{J} AS (SELECT cl, list(m ORDER BY i) AS cent FROM vm{J} GROUP BY cl)"""
+    ivf_iters = "".join(
+        "," + ivf_it.format(J=j + 1, I=j, DIM1=DIM1,
+                            D2=d2full("e.v", "c.cent"))
+        for j in range(IT)
+    )
+    pq_it = """
+pd{J} AS (SELECT subs.vec_id, subs.sub_id, c.cl, {D2} AS d2
+         FROM subs JOIN pc{I} c USING (sub_id)),
+pa{J} AS (SELECT vec_id, sub_id, cl FROM (
+           SELECT vec_id, sub_id, cl,
+                  row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY d2, cl) AS rn
+           FROM pd{J}) WHERE rn = 1),
+pm{J} AS (SELECT a.sub_id, a.cl, i, round(avg(subs.sub[i]), 6) AS mu
+         FROM pa{J} a JOIN subs USING (vec_id, sub_id) CROSS JOIN range(1, {SL1}) t(i)
+         GROUP BY a.sub_id, a.cl, i),
+pc{J} AS (SELECT sub_id, cl, list(mu ORDER BY i) AS cent FROM pm{J} GROUP BY sub_id, cl)"""
+    pq_iters = "".join(
+        "," + pq_it.format(J=j + 1, I=j, SL1=SL + 1,
+                           D2=d2sub("subs.sub", "c.cent"))
+        for j in range(IT)
+    )
+    fin = IT
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+vc0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl, v AS cent
+       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {NL})){ivf_iters},
+vdf AS (SELECT e.vec_id, c.cl, {d2full("e.v", "c.cent")} AS d2 FROM e CROSS JOIN vc{fin} c),
+vaf AS (SELECT vec_id, cl FROM (
+         SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+         FROM vdf) WHERE rn = 1),
+subs AS (SELECT vec_id, CAST(s AS INT) AS sub_id, v[s*{SL}+1 : s*{SL}+{SL}] AS sub
+         FROM e CROSS JOIN range(0, {M}) t(s)),
+seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl, v
+          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {KS})),
+pc0 AS (SELECT CAST(s AS INT) AS sub_id, cl, v[s*{SL}+1 : s*{SL}+{SL}] AS cent
+       FROM seeds CROSS JOIN range(0, {M}) t(s)){pq_iters},
+pdf AS (SELECT subs.vec_id, subs.sub_id, c.cl, {d2sub("subs.sub", "c.cent")} AS d2
+       FROM subs JOIN pc{fin} c USING (sub_id)),
+paf AS (SELECT vec_id, sub_id, cl FROM (
+         SELECT vec_id, sub_id, cl,
+                row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY d2, cl) AS rn
+         FROM pdf) WHERE rn = 1),
+q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id % {ANN_QMOD} = 0),
+qpd AS (SELECT q.qid, c.cl, {d2full("q.v", "c.cent")} AS d2 FROM q CROSS JOIN vc{fin} c),
+probe AS (SELECT qid, cl FROM (
+            SELECT qid, cl, row_number() OVER (PARTITION BY qid ORDER BY d2, cl) AS rn
+            FROM qpd) WHERE rn <= {NP}),
+cand AS (SELECT probe.qid, vaf.vec_id FROM probe JOIN vaf USING (cl)
+         WHERE probe.qid <> vaf.vec_id),
+qs AS (SELECT qid, CAST(s AS INT) AS sub_id, v[s*{SL}+1 : s*{SL}+{SL}] AS qsub
+       FROM q CROSS JOIN range(0, {M}) t(s)),
+dt AS (SELECT qs.qid, qs.sub_id, c.cl, {d2sub("qs.qsub", "c.cent")} AS d2
+       FROM qs JOIN pc{fin} c USING (sub_id)),
+sc AS (SELECT cand.qid, cand.vec_id,
+              list_sum(list(dt.d2 ORDER BY dt.sub_id)) AS ad2
+       FROM cand JOIN paf ON paf.vec_id = cand.vec_id
+                 JOIN dt ON dt.qid = cand.qid AND dt.sub_id = paf.sub_id AND dt.cl = paf.cl
+       GROUP BY cand.qid, cand.vec_id),
+r AS (SELECT qid, vec_id, ad2,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY ad2, vec_id) AS INT) AS rank
+      FROM sc)
+SELECT qid, vec_id, round(ad2, 6) AS ad2, rank FROM r WHERE rank <= {ANN_K}
+"""
+
+
+ORACLE_SQL["ivfpq_topk"] = _ivfpq_oracle()

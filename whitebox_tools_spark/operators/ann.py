@@ -335,6 +335,244 @@ def ivf_topk(
     )
 
 
+# ------------------------------------------------------------------- PQ
+
+PQ_M = 8  # subquantizers (one per dim/PQ_M-component subvector)
+PQ_K = 16  # codes per subquantizer (4-bit codes)
+PQ_ITERS = 2  # Lloyd iterations per subquantizer (unrolled in the oracle)
+
+
+def pq_index(
+    corpus: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_K,
+    iters: int = PQ_ITERS,
+    dim: int = DIM,
+    vec: str = "embedding",
+    record: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization codebooks + codes (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search", public paper) —
+    the compressed-domain ANN index: each vector becomes ``m`` 4-bit
+    codes (dim doubles -> m bytes, a 64x memory cut at dim=64), and
+    query scoring never touches the original vectors.
+
+    All ``m`` subquantizers train TOGETHER in one distributed k-means:
+    the corpus explodes once into (record, sub_id, subvector) rows, and
+    every Lloyd iteration is a single broadcast-join argmin over the
+    m*ksub centroid rows plus one per-(sub_id, cluster, dim)
+    partial-aggregated mean — the ivf_index shape with a composite key,
+    so the 100-TB cost per round stays one corpus pass. Init and
+    tie-breaks mirror ivf_index (seeds = the ksub smallest record ids,
+    argmin ties by code id, centroid means rounded 6 dp per round so
+    the SQL oracle lands on identical bits).
+
+    Returns (codebooks(sub_id, cl, cent), codes(record, sub_id, cl)).
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by {m} subquantizers")
+    sub_len = dim // m
+    c = corpus.select(F.col(record), as_double(F.col(vec)).alias("_v"))
+    sub_arr = F.array(
+        *[F.slice(F.col("_v"), i * sub_len + 1, sub_len) for i in range(m)]
+    )
+    subs = c.select(record, F.posexplode(sub_arr).alias("sub_id", "sub"))
+    w_init = Window.orderBy(record)
+    seeds = (
+        c.orderBy(record)
+        .limit(ksub)
+        .select(
+            (F.row_number().over(w_init) - 1).alias("cl"),
+            F.col("_v").alias("_sv"),
+        )
+    )
+    cents = seeds.select(
+        "cl", F.posexplode(
+            F.array(*[F.slice(F.col("_sv"), i * sub_len + 1, sub_len)
+                      for i in range(m)])
+        ).alias("sub_id", "cent")
+    ).select("sub_id", "cl", "cent")
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        # min_by aggregation, not a window: map-side combinable over
+        # the corpus x ksub candidate rows (see ivf_index.assign)
+        return (
+            subs.join(F.broadcast(centroids), "sub_id")
+            .withColumn("d2", _sq_dist(F.col("sub"), F.col("cent")))
+            .groupBy(record, "sub_id")
+            .agg(
+                F.min_by(F.struct("cl", "sub"), F.struct("d2", "cl")).alias("_w")
+            )
+            .select(record, "sub_id", "_w.cl", "_w.sub")
+        )
+
+    spark = corpus.sparkSession
+    for _ in range(iters):
+        a = assign(cents)
+        new_cents = (
+            a.select("sub_id", "cl", F.posexplode("sub").alias("pos", "x"))
+            .groupBy("sub_id", "cl", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("mu"))
+            .groupBy("sub_id", "cl")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("_pm"))
+            .select("sub_id", "cl", F.expr("transform(_pm, s -> s.mu)").alias("cent"))
+        )
+        # LocalRelation pin per round (the ivf_index note): m*ksub rows
+        cents = spark.createDataFrame(
+            new_cents.collect(), schema="sub_id int, cl long, cent array<double>"
+        )
+    codes = assign(cents).select(record, "sub_id", "cl")
+    return cents, codes
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    m: int = PQ_M,
+    ksub: int = PQ_K,
+    iters: int = PQ_ITERS,
+    dim: int = DIM,
+    vec: str = "embedding",
+    record: str = "vec_id",
+    qrecord: str = "qid",
+) -> DataFrame:
+    """Approximate L2 top-k by asymmetric distance computation (ADC)
+    over PQ codes: per query, a distance table of m*ksub exact
+    subvector distances, then approx_d2(query, x) = sum over
+    subquantizers of dtable[sub_id][code]. The corpus side touches
+    ONLY the m-byte codes — the compressed-domain exhaustive scan that
+    is the classic billion-vector baseline (compose with ivf_topk's
+    coarse lists to prune it).
+
+    Scale shape: the distance table (queries x m x ksub rows) is
+    broadcast onto the codes table — a map-side join, one corpus-codes
+    pass — and the per-(query, record) sum folds the m partial
+    distances IN sub_id ORDER (array_sort + aggregate, not a float
+    sum whose order the shuffle would scramble), so results are
+    bit-deterministic and match the SQL oracle exactly.
+
+    Output: (qid, vec_id, ad2, rank) — ad2 ascending, ties by record,
+    self-match excluded."""
+    cents, codes = pq_index(corpus, m, ksub, iters, dim, vec, record)
+    sub_len = dim // m
+    q = queries.select(F.col(qrecord), as_double(F.col(vec)).alias("_qv"))
+    qsubs = q.select(
+        qrecord,
+        F.posexplode(
+            F.array(*[F.slice(F.col("_qv"), i * sub_len + 1, sub_len)
+                      for i in range(m)])
+        ).alias("sub_id", "qsub"),
+    )
+    dtab = (
+        qsubs.join(F.broadcast(cents), "sub_id")
+        .withColumn("d2", _sq_dist(F.col("qsub"), F.col("cent")))
+        .select(qrecord, "sub_id", "cl", "d2")
+    )
+    scored = (
+        codes.join(F.broadcast(dtab), ["sub_id", "cl"])
+        .where(F.col(qrecord) != F.col(record))
+        .groupBy(qrecord, record)
+        .agg(F.array_sort(F.collect_list(F.struct("sub_id", "d2"))).alias("_sd"))
+        .withColumn(
+            "ad2",
+            F.aggregate(
+                F.expr("transform(_sd, s -> s.d2)"),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    w = Window.partitionBy(qrecord).orderBy("ad2", record)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qrecord, record, "ad2", "rank")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_list: int = IVF_LISTS,
+    n_probe: int = IVF_PROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_K,
+    iters: int = IVF_ITERS,
+    dim: int = DIM,
+    vec: str = "embedding",
+    record: str = "vec_id",
+    qrecord: str = "qid",
+) -> DataFrame:
+    """IVF-PQ: the composed billion-vector ANN architecture (Jégou et
+    al. 2011 §IV) — the IVF coarse quantizer prunes the corpus to
+    ``n_probe`` of ``n_list`` inverted lists, and PQ codes score ONLY
+    the surviving candidates in the compressed domain (ADC), so a
+    query touches n_probe/n_list of the corpus and reads m bytes per
+    candidate instead of the raw vector.
+
+    This engine composes its two audited building blocks verbatim:
+    ivf_index for the lists, pq_index for the codes (flat codes over
+    the original vectors — the IVFADC variant without residual
+    encoding, which keeps both codebooks reusable standalone). The
+    candidate set is a cluster-id equi-join (never a corpus cross
+    join); ADC folds the m partial distances in sub_id order exactly
+    like pq_topk, so the unrolled SQL oracle matches to the bit.
+
+    Output: (qid, vec_id, ad2, rank), self-match excluded."""
+    cents_ivf, assigned = ivf_index(corpus, n_list, iters, vec, record)
+    cents_pq, codes = pq_index(corpus, m, ksub, iters, dim, vec, record)
+    sub_len = dim // m
+    q = queries.select(F.col(qrecord), as_double(F.col(vec)).alias("_qv"))
+    w_probe = Window.partitionBy(qrecord).orderBy("d2", "cl")
+    probed = (
+        q.crossJoin(F.broadcast(cents_ivf))
+        .withColumn("d2", _sq_dist(F.col("_qv"), F.col("cent")))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .where(F.col("_rn") <= n_probe)
+        .select(qrecord, "cl", "_qv")
+    )
+    cand = (
+        probed.join(assigned.select(record, "cl"), "cl")
+        .where(F.col(qrecord) != F.col(record))
+        .select(qrecord, record, "_qv")
+    )
+    qsubs = q.select(
+        qrecord,
+        F.posexplode(
+            F.array(*[F.slice(F.col("_qv"), i * sub_len + 1, sub_len)
+                      for i in range(m)])
+        ).alias("sub_id", "qsub"),
+    )
+    dtab = (
+        qsubs.join(F.broadcast(cents_pq), "sub_id")
+        .withColumn("d2", _sq_dist(F.col("qsub"), F.col("cent")))
+        .select(qrecord, "sub_id", "cl", "d2")
+    )
+    scored = (
+        cand.select(qrecord, record)
+        .join(codes, record)
+        .join(F.broadcast(dtab), [qrecord, "sub_id", "cl"])
+        .groupBy(qrecord, record)
+        .agg(F.array_sort(F.collect_list(F.struct("sub_id", "d2"))).alias("_sd"))
+        .withColumn(
+            "ad2",
+            F.aggregate(
+                F.expr("transform(_sd, s -> s.d2)"),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    w = Window.partitionBy(qrecord).orderBy("ad2", record)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qrecord, record, "ad2", "rank")
+    )
+
+
 # -------------------------------------------------------- int8 quantization
 
 

@@ -1230,3 +1230,87 @@ def bpe_train(
             "syms", F.aggregate("syms", empty, step)
         ).localCheckpoint(eager=True)
     return merges
+
+
+# ------------------------------------------------- bigram LM quality score
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    record: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Perplexity-proxy quality score from a corpus-trained word-bigram
+    language model with add-one smoothing (the KenLM stand-in of a
+    training pipeline's quality gate, computable without external
+    models): P(w2|w1) = (c(w1 w2) + 1) / (c_prefix(w1) + V), and each
+    document scores mean ln P over its bigrams. Gibberish and
+    boilerplate-free text score low; corpus-typical text scores high.
+
+    Returns (record, n_bigrams, avg_logp) for documents with >= 2
+    tokens.
+
+    Scale shape: ONE bigram-count shuffle (partial-aggregated; prefix
+    counts derive from it, so there is no second corpus pass), one
+    vocabulary-size scalar broadcast, one equi-join of document bigrams
+    to the count table (AQE splits hot bigrams), one per-document
+    fold. The per-document mean folds ln P IN POSITION ORDER
+    (array_sort + aggregate, the pq_topk trick) — never a float sum
+    whose order the shuffle would scramble — so the SQL oracle matches
+    pre-round to the bit."""
+    base = docs.select(
+        F.col(record),
+        tokens(F.col(text)).alias("_toks"),
+        F.size(tokens(F.col(text))).alias("_n"),
+    ).where(F.col("_n") >= 2)
+    toks, n = F.col("_toks"), F.col("_n")
+    bi = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    # bind-then-explode_outer (the decontaminate scan-filter note); the
+    # array is never empty after the _n >= 2 filter
+    posts = (
+        base.select(record, bi.alias("_bi"))
+        .select(record, F.explode_outer("_bi").alias("_b"))
+        .select(record, "_b.pos", "_b.w1", "_b.w2")
+    )
+    bic = posts.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c"))
+    pre = bic.groupBy("w1").agg(F.sum("_c").alias("_c1"))
+    vocab = docs.select(
+        F.explode(tokens(F.col(text))).alias("w")
+    ).agg(F.countDistinct("w").alias("_v"))
+    scored = (
+        posts.join(bic, ["w1", "w2"])
+        .join(pre, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "_logp",
+            F.log(
+                (F.col("_c").cast("double") + F.lit(1.0))
+                / (F.col("_c1").cast("double") + F.col("_v").cast("double"))
+            ),
+        )
+    )
+    agg = (
+        scored.groupBy(record)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "_logp"))).alias("_pl"))
+        .withColumn(
+            "_sum",
+            F.aggregate(
+                F.expr("transform(_pl, s -> s._logp)"),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .withColumn("n_bigrams", F.size("_pl"))
+    )
+    return agg.select(
+        F.col(record),
+        F.col("n_bigrams").cast("int").alias("n_bigrams"),
+        (F.col("_sum") / F.col("n_bigrams").cast("double")).alias("avg_logp"),
+    )
