@@ -180,10 +180,20 @@ def run(cases: int = 60) -> list[str]:
     findings: list[str] = []
     signal.signal(signal.SIGALRM, _alarm)
     for name, (decode, valid) in _samples().items():
-        # sanity: the valid sample itself must decode
-        err = _one(decode, valid)
-        if err:
-            findings.append(f"{name} valid-sample {err}")
+        # sanity: the valid sample must decode SUCCESSFULLY — not via
+        # _one(), which treats any clean exception as a pass; a decoder
+        # that rejects its own valid bytes would otherwise nullify the
+        # whole codec's fuzz coverage silently (review-found)
+        try:
+            signal.alarm(DEADLINE)
+            try:
+                decode(valid)
+            finally:
+                signal.alarm(0)
+        except BaseException as e:  # noqa: BLE001
+            findings.append(
+                f"{name} valid-sample rejected: {type(e).__name__}: {e}")
+            continue
         rng = np.random.default_rng(1234)
         for i in range(cases):
             blob = rng.integers(0, 256, rng.integers(0, 400),

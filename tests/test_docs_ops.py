@@ -1260,3 +1260,39 @@ class TestIvfPq:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "CartesianProduct" not in plan
         assert "Python" not in plan
+
+
+class TestBpeEmptyTokens:
+    def test_consecutive_spaces_no_phantom_merges(self, spark):
+        """Real crawl text has consecutive/leading/trailing spaces;
+        split(' ') then yields empty tokens, and Spark's
+        sequence(1, 0) is DESCENDING — without the empty-word filter
+        the engine emitted phantom ('','') merges (review-found)."""
+        import pandas as pd
+        from whitebox_tools_spark.operators import text as tx
+
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": ["a  b a  b a  b", " leading and trailing "],
+        }))
+        wc = {}
+        for t in ["a  b a  b a  b", " leading and trailing "]:
+            for w in t.split(" "):
+                if w:
+                    wc[w] = wc.get(w, 0) + 1
+        got = tx.bpe_train(docs, n_merges=4)
+        assert got == _python_bpe(wc, 4)
+        assert all(m[1] != "" and m[2] != "" for m in got)
+
+
+class TestPqDimGuard:
+    def test_mismatched_dim_rejected(self, spark):
+        """dim= must match the real embedding length: a silent slice
+        past (or short of) the vector end trains garbage codebooks
+        (review-found) — now a one-row probe raises up front."""
+        emb = load(spark, SF_DIR, "embeddings")
+        with pytest.raises(ValueError, match="components"):
+            ann.pq_index(emb, m=8, dim=32)
+        with pytest.raises(ValueError, match="components"):
+            ann.pq_topk(emb, emb.limit(2).select(
+                F.col("vec_id").alias("qid"), "embedding"), k=3, dim=128)

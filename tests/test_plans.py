@@ -188,6 +188,10 @@ BNLJ_ALLOWED = {
     # bigram_lm_scores) — the same audited 1-row-stats-frame shape
     # (round 5).
     "bigram_lm",
+    # ivfpq_topk probes via the same explicitly-broadcast 16-row
+    # centroid crossJoin audited for ivf_topk; candidates and ADC are
+    # equi-joins (round 5).
+    "ivfpq_topk",
 }
 
 

@@ -1523,7 +1523,9 @@ def _ivfpq_oracle() -> str:
     import whitebox_tools_spark.operators.ann as _a
 
     DIM1 = _a.DIM + 1
-    M, KS, IT = _a.PQ_M, _a.PQ_K, _a.PQ_ITERS
+    M, KS = _a.PQ_M, _a.PQ_K
+    # separate unroll depths, matching ivfpq_topk's ivf_iters/pq_iters
+    ITV, ITP = _a.IVF_ITERS, _a.PQ_ITERS
     SL = _a.DIM // M
     NL, NP = _a.IVF_LISTS, _a.IVF_PROBE
 
@@ -1547,7 +1549,7 @@ vc{J} AS (SELECT cl, list(m ORDER BY i) AS cent FROM vm{J} GROUP BY cl)"""
     ivf_iters = "".join(
         "," + ivf_it.format(J=j + 1, I=j, DIM1=DIM1,
                             D2=d2full("e.v", "c.cent"))
-        for j in range(IT)
+        for j in range(ITV)
     )
     pq_it = """
 pd{J} AS (SELECT subs.vec_id, subs.sub_id, c.cl, {D2} AS d2
@@ -1563,14 +1565,14 @@ pc{J} AS (SELECT sub_id, cl, list(mu ORDER BY i) AS cent FROM pm{J} GROUP BY sub
     pq_iters = "".join(
         "," + pq_it.format(J=j + 1, I=j, SL1=SL + 1,
                            D2=d2sub("subs.sub", "c.cent"))
-        for j in range(IT)
+        for j in range(ITP)
     )
-    fin = IT
+    finv, finp = ITV, ITP
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 vc0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl, v AS cent
        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {NL})){ivf_iters},
-vdf AS (SELECT e.vec_id, c.cl, {d2full("e.v", "c.cent")} AS d2 FROM e CROSS JOIN vc{fin} c),
+vdf AS (SELECT e.vec_id, c.cl, {d2full("e.v", "c.cent")} AS d2 FROM e CROSS JOIN vc{finv} c),
 vaf AS (SELECT vec_id, cl FROM (
          SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
          FROM vdf) WHERE rn = 1),
@@ -1581,13 +1583,13 @@ seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl, 
 pc0 AS (SELECT CAST(s AS INT) AS sub_id, cl, v[s*{SL}+1 : s*{SL}+{SL}] AS cent
        FROM seeds CROSS JOIN range(0, {M}) t(s)){pq_iters},
 pdf AS (SELECT subs.vec_id, subs.sub_id, c.cl, {d2sub("subs.sub", "c.cent")} AS d2
-       FROM subs JOIN pc{fin} c USING (sub_id)),
+       FROM subs JOIN pc{finp} c USING (sub_id)),
 paf AS (SELECT vec_id, sub_id, cl FROM (
          SELECT vec_id, sub_id, cl,
                 row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY d2, cl) AS rn
          FROM pdf) WHERE rn = 1),
 q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id % {ANN_QMOD} = 0),
-qpd AS (SELECT q.qid, c.cl, {d2full("q.v", "c.cent")} AS d2 FROM q CROSS JOIN vc{fin} c),
+qpd AS (SELECT q.qid, c.cl, {d2full("q.v", "c.cent")} AS d2 FROM q CROSS JOIN vc{finv} c),
 probe AS (SELECT qid, cl FROM (
             SELECT qid, cl, row_number() OVER (PARTITION BY qid ORDER BY d2, cl) AS rn
             FROM qpd) WHERE rn <= {NP}),
@@ -1596,7 +1598,7 @@ cand AS (SELECT probe.qid, vaf.vec_id FROM probe JOIN vaf USING (cl)
 qs AS (SELECT qid, CAST(s AS INT) AS sub_id, v[s*{SL}+1 : s*{SL}+{SL}] AS qsub
        FROM q CROSS JOIN range(0, {M}) t(s)),
 dt AS (SELECT qs.qid, qs.sub_id, c.cl, {d2sub("qs.qsub", "c.cent")} AS d2
-       FROM qs JOIN pc{fin} c USING (sub_id)),
+       FROM qs JOIN pc{finp} c USING (sub_id)),
 sc AS (SELECT cand.qid, cand.vec_id,
               list_sum(list(dt.d2 ORDER BY dt.sub_id)) AS ad2
        FROM cand JOIN paf ON paf.vec_id = cand.vec_id

@@ -373,6 +373,15 @@ def pq_index(
         raise ValueError(f"dim {dim} not divisible by {m} subquantizers")
     sub_len = dim // m
     c = corpus.select(F.col(record), as_double(F.col(vec)).alias("_v"))
+    # dim must equal the ACTUAL embedding length: F.slice past the end
+    # returns short/empty subvectors whose _sq_dist degenerates to 0.0,
+    # silently training garbage codebooks (review-found). One-row probe,
+    # not a per-row assert — index building is a one-off.
+    first = c.select(F.size("_v").alias("n")).first()
+    if first is not None and first["n"] != dim:
+        raise ValueError(
+            f"pq_index dim={dim} but embeddings have {first['n']} "
+            "components — pass dim=<actual length>")
     sub_arr = F.array(
         *[F.slice(F.col("_v"), i * sub_len + 1, sub_len) for i in range(m)]
     )
@@ -499,7 +508,8 @@ def ivfpq_topk(
     n_probe: int = IVF_PROBE,
     m: int = PQ_M,
     ksub: int = PQ_K,
-    iters: int = IVF_ITERS,
+    ivf_iters: int = IVF_ITERS,
+    pq_iters: int = PQ_ITERS,
     dim: int = DIM,
     vec: str = "embedding",
     record: str = "vec_id",
@@ -520,9 +530,15 @@ def ivfpq_topk(
     join); ADC folds the m partial distances in sub_id order exactly
     like pq_topk, so the unrolled SQL oracle matches to the bit.
 
-    Output: (qid, vec_id, ad2, rank), self-match excluded."""
-    cents_ivf, assigned = ivf_index(corpus, n_list, iters, vec, record)
-    cents_pq, codes = pq_index(corpus, m, ksub, iters, dim, vec, record)
+    Output: (qid, vec_id, ad2, rank), self-match excluded.
+
+    ``ivf_iters``/``pq_iters`` are SEPARATE knobs defaulting to the
+    standalone lanes' constants, so the composition trains exactly the
+    codebooks ivf_topk / pq_topk (and their oracles) train — a single
+    shared iters would silently diverge the moment the two constants
+    differ (review-found)."""
+    cents_ivf, assigned = ivf_index(corpus, n_list, ivf_iters, vec, record)
+    cents_pq, codes = pq_index(corpus, m, ksub, pq_iters, dim, vec, record)
     sub_len = dim // m
     q = queries.select(F.col(qrecord), as_double(F.col(vec)).alias("_qv"))
     w_probe = Window.partitionBy(qrecord).orderBy("d2", "cl")

@@ -1167,6 +1167,12 @@ def bpe_train(
         raise ValueError("bpe_train needs n_merges >= 1")
     words = (
         docs.select(F.explode(tokens(F.col(text))).alias("w"))
+        # drop empty tokens (consecutive/leading/trailing spaces):
+        # they carry no pairs in the reference algorithm, and Spark's
+        # sequence(1, 0) is DESCENDING [1, 0], which would turn '' into
+        # the phantom symbol list ['', ''] and emit bogus ('','')
+        # merges (review-found)
+        .where(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
