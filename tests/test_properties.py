@@ -175,3 +175,120 @@ def test_local_df_large_fallback(spark):
     assert df.count() == 4500
     got = {r.i: r.v for r in df.collect()}
     assert got[4499] == 4499 * 0.5 and got[0] == 0.0
+
+
+# ------------------------------------------------- round-5 closing lanes
+
+_words = st.sampled_from(["a", "b", "c", "aa", "ab"])
+_docs_strategy = st.lists(
+    st.lists(_words, min_size=0, max_size=18).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(**_SETTINGS)
+@given(texts=_docs_strategy, k=st.integers(min_value=2, max_value=4))
+def test_dup_spans_matches_bruteforce(spark, texts, k):
+    """dup_spans vs a plain-Python sweep: positional k-shingle
+    occurrence counting + island merge, on tiny random corpora with a
+    5-word vocabulary (dense collisions by construction)."""
+    from whitebox_tools_spark.operators import text as tx
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = local_df(spark, rows, columns=["doc_id", "text"])
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_shingles)
+        for r in tx.dup_spans(docs, k=k).collect()
+    )
+    # brute force
+    occ = Counter()
+    per_doc = {}
+    for i, t in rows:
+        toks = t.split(" ")
+        pos = []
+        for p in range(len(toks) - k + 1):
+            sh = tuple(toks[p:p + k])
+            occ[sh] += 1
+            pos.append((p + 1, sh))
+        per_doc[i] = pos
+    want = []
+    for i, pos in per_doc.items():
+        dup = [p for p, sh in pos if occ[sh] > 1]
+        run = []
+        for p in dup:
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    want.append((i, run[0], run[-1] + k - 1,
+                                 run[-1] + k - 1 - run[0] + 1, len(run)))
+                run = [p]
+        if run:
+            want.append((i, run[0], run[-1] + k - 1,
+                         run[-1] + k - 1 - run[0] + 1, len(run)))
+    assert got == sorted(want)
+
+
+@settings(**_SETTINGS)
+@given(texts=_docs_strategy)
+def test_bm25_matches_bruteforce(spark, texts):
+    """bm25_scores vs plain-Python BM25/TF-IDF on random corpora."""
+    from whitebox_tools_spark.operators import text as tx
+
+    terms = ["a", "ab", "zz"]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = local_df(spark, rows, columns=["doc_id", "text"])
+    got = {r.doc_id: r for r in tx.bm25_scores(docs, terms).collect()}
+    n = len(rows)
+    toks = {i: t.split(" ") for i, t in rows}
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfs = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    for i, _ in rows:
+        dl = len(toks[i])
+        bm = ti = 0.0
+        for t in terms:
+            tf = toks[i].count(t)
+            df = dfs[t]
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            bm += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+            if tf > 0:
+                ti += tf * math.log(n / df)
+        assert got[i].n_tokens == dl
+        assert math.isclose(got[i].bm25, bm, rel_tol=0, abs_tol=1e-10)
+        assert math.isclose(got[i].tfidf, ti, rel_tol=0, abs_tol=1e-10)
+
+
+@settings(**_SETTINGS)
+@given(texts=_docs_strategy)
+def test_bigram_lm_matches_bruteforce(spark, texts):
+    """bigram_lm_scores vs plain-Python add-one bigram LM."""
+    from whitebox_tools_spark.operators import text as tx
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = local_df(spark, rows, columns=["doc_id", "text"])
+    got = {r.doc_id: r for r in tx.bigram_lm_scores(docs).collect()}
+    bic = Counter()
+    vocab = set()
+    toks = {i: t.split(" ") for i, t in rows}
+    for v in toks.values():
+        vocab.update(v)
+        for a, b in zip(v, v[1:]):
+            bic[(a, b)] += 1
+    pre = Counter()
+    for (a, _b), c in bic.items():
+        pre[a] += c
+    V = len(vocab)
+    for i, _ in rows:
+        v = toks[i]
+        if len(v) < 2:
+            assert i not in got
+            continue
+        lp = [math.log((bic[(a, b)] + 1.0) / (pre[a] + V))
+              for a, b in zip(v, v[1:])]
+        s = 0.0
+        for x in lp:
+            s += x
+        assert got[i].n_bigrams == len(lp)
+        assert math.isclose(got[i].avg_logp, s / len(lp),
+                            rel_tol=0, abs_tol=1e-10)

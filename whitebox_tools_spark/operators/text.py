@@ -1085,7 +1085,16 @@ def dup_spans(
     more than max_df positions are stop-shingles (boilerplate) and
     are dropped from the duplicated set — the same lever, with the
     same semantics, as ngram_jaccard_pairs — which bounds every join
-    bucket; AQE skew-split handles the residual."""
+    bucket; AQE skew-split handles the residual.
+
+    The posting explode deliberately runs TWICE (once into the
+    partial-aggregated count, once into the join) rather than once
+    into a window count over the shingle hash: the window would halve
+    the scans but funnels every posting of a hot boilerplate shingle
+    into a single sort partition BEFORE max_df can drop it, which is
+    exactly the skew a 10^12-document corpus has — map-side-combined
+    counting never materializes a hot shingle's posting list in one
+    task."""
     if k < 2:
         raise ValueError("dup_spans needs k >= 2")
     base = docs.select(
