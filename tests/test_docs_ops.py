@@ -1296,3 +1296,50 @@ class TestPqDimGuard:
         with pytest.raises(ValueError, match="components"):
             ann.pq_topk(emb, emb.limit(2).select(
                 F.col("vec_id").alias("qid"), "embedding"), k=3, dim=128)
+
+
+class TestBpeEncode:
+    def test_matches_pure_python_reference(self, spark):
+        import pandas as pd
+        from whitebox_tools_spark.operators import text as tx
+
+        texts = [
+            "lower lower lowest newer newer newest wider wide widest",
+            "low lower  lowest new newer newest slow slower slowest",
+            "the cat sat on the mat the cat ran",
+        ]
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+        wc = {}
+        for t in texts:
+            for w in t.split(" "):
+                if w:
+                    wc[w] = wc.get(w, 0) + 1
+        merges = _python_bpe(wc, 10)
+        got = {r.doc_id: r for r in
+               tx.bpe_encode(docs, tx.bpe_train(docs, n_merges=10)).collect()}
+        # apply the same merges in Python
+        def encode(word):
+            s = list(word)
+            for _rank, l, r, _c in merges:
+                out = []
+                for x in s:
+                    if out and out[-1] == l and x == r:
+                        out[-1] = l + r
+                    else:
+                        out.append(x)
+                s = out
+            return len(s)
+        for i, t in enumerate(texts):
+            ws = [w for w in t.split(" ") if w]
+            assert got[i].n_words == len(ws)
+            assert got[i].n_tokens == sum(encode(w) for w in ws), (i, got[i])
+
+    def test_no_merges_counts_chars(self, spark):
+        import pandas as pd
+        from whitebox_tools_spark.operators import text as tx
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": ["ab cde"]}))
+        r = tx.bpe_encode(docs, []).collect()[0]
+        assert (r.n_words, r.n_tokens) == (2, 5)

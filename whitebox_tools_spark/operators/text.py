@@ -1329,3 +1329,75 @@ def bigram_lm_scores(
         F.col("n_bigrams").cast("int").alias("n_bigrams"),
         (F.col("_sum") / F.col("n_bigrams").cast("double")).alias("avg_logp"),
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    record: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge table (from :func:`bpe_train`) to every
+    document — the tokenizer-application step, the one that actually
+    runs at corpus scale. Returns (record, n_words, n_tokens) where
+    n_tokens is the subword count under the merge table.
+
+    The 100-TB shape: the expensive per-word merge folding runs ONCE
+    per DISTINCT word (vocabulary-sized frame), and documents get their
+    counts back through a broadcast join on the word — the corpus side
+    is one explode + one map-side join + one partial-aggregated sum,
+    never a per-document merge loop. (At web scale the distinct-word
+    frame may outgrow a broadcast; drop the hint and the same plan runs
+    as a shuffle equi-join.)
+
+    Not a catalog row: the merge table is data-derived, so no static
+    SQL oracle exists (same reason bpe_train is rows-only); exactness
+    vs the pure-Python reference is pinned in pytest."""
+    words = (
+        docs.select(F.explode(tokens(F.col(text))).alias("w"))
+        .where(F.length("w") > 0)
+        .distinct()
+    )
+    syms = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    cur = F.col("_syms")
+    lens = words.withColumn("_syms", syms)
+    empty = F.expr("cast(array() as array<string>)")
+    for _rank, left, right, _cnt in sorted(merges):
+        merged = left + right
+
+        def _mk(_l: str, _r: str, _m: str):
+            def step(acc, x):
+                hit = (
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(_l))
+                    & (x == F.lit(_r))
+                )
+                return F.when(
+                    hit,
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1),
+                        F.array(F.lit(_m)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x)))
+
+            return step
+
+        lens = lens.withColumn("_syms", F.aggregate("_syms", empty, _mk(left, right, merged)))
+    word_len = lens.select("w", F.size("_syms").alias("_wl"))
+    doc_words = (
+        docs.select(F.col(record), F.explode(tokens(F.col(text))).alias("w"))
+        .where(F.length("w") > 0)
+    )
+    return (
+        doc_words.join(F.broadcast(word_len), "w")
+        .groupBy(record)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_wl").alias("n_tokens"),
+        )
+        .select(
+            F.col(record),
+            F.col("n_words").cast("int").alias("n_words"),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+        )
+    )
