@@ -110,3 +110,27 @@ class TestFuzzRegressions:
         )
         recs = shapefile.decode_shapefile(shp, dbf)
         assert len(recs) == 1 and recs[0].attrs["name"] == "a"
+
+
+class TestFuzzRegressions2:
+    def _valid_tiff(self):
+        from whitebox_tools_spark.io import geotiff
+        from whitebox_tools_spark.operators.gridding import GridConfig
+
+        cfg = GridConfig(rows=8, cols=9, north=100.0, west=10.0,
+                         res_x=1.0, res_y=1.0)
+        rng = np.random.default_rng(7)
+        return geotiff, bytearray(geotiff.encode_geotiff(
+            rng.normal(0, 10, (8, 9)), cfg))
+
+    def test_tiff_corrupt_image_length_rejected(self):
+        geotiff, data = self._valid_tiff()
+        data[33] = 62  # ImageLength -> 1,040,187,400 (75 GB decoded)
+        with pytest.raises(ValueError, match="claims a"):
+            geotiff.decode_geotiff(bytes(data))
+
+    def test_tiff_corrupt_image_width_rejected(self):
+        geotiff, data = self._valid_tiff()
+        data[21] = 210  # ImageWidth -> 3,523,215,369 (225 GB decoded)
+        with pytest.raises(ValueError, match="claims a"):
+            geotiff.decode_geotiff(bytes(data))

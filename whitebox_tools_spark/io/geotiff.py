@@ -550,6 +550,17 @@ def decode_geotiff_multi(
             raise ValueError("JPEG strip smaller than its raster window")
         return img[:nrows, :ncols]
 
+    # malformed-dimension guard (fuzz-found): a corrupt ImageWidth /
+    # ImageLength would otherwise allocate a grid of hundreds of GB
+    # before any chunk read fails. Bound the decoded size by what the
+    # file could plausibly hold: 10,000x is far beyond any real
+    # deflate/LZW ratio, and the 256 MB floor keeps tiny files with
+    # legitimately huge constant rasters decodable.
+    decoded_bytes = height * width * spp * dt.itemsize
+    if decoded_bytes > max(len(data) * 10_000, 1 << 28):
+        raise ValueError(
+            f"TIFF claims a {height}x{width}x{spp} raster "
+            f"({decoded_bytes} B decoded) from a {len(data)}-byte file")
     grid = np.empty((height, width, spp), dtype=dt)
     if _TILE_OFFSETS in tags:
         tw = int(tags[_TILE_WIDTH][0])
